@@ -1,0 +1,61 @@
+"""Extraction configuration.
+
+The reference drives every stage from a YAML config tree
+(/root/reference/configs/det/det_mv3_db.yml:1-60, merged overrides at
+paddleocr/_pipelines/ocr.py:237-306).  The new engine replaces that with a
+single frozen dataclass: Catalyst is the plan IR, this is the knob set.
+
+Threshold lineage (reference file:line → field here):
+- ``min_chars``       ← DBPostProcess ``min_size=3`` (ppocr/postprocess/db_postprocess.py:34-57)
+- ``max_link_density``← box_thresh-style keep predicate (db_postprocess.py:126-158);
+                        Boilerpipe/Readability link-density rule re-expressed as the
+                        integer comparison ``2*link_chars <= total_chars``
+- ``max_candidates``  ← DBPostProcess ``max_candidates=1000`` (db_postprocess.py:38,75,126)
+- ``drop_score``      ← tools/infer/utility.py:109 (default 0.5), applied at
+                        tools/infer/predict_system.py:149-154
+- ``y_band``          ← the 10px y-tolerance in ``sorted_boxes``
+                        (tools/infer/predict_system.py:160-182), made deterministic
+                        by quantization (SURVEY.md §2.5)
+- ``header_y``/``footer_y`` ← header/footer drop in markdown recovery
+                        (ppstructure/recovery/recovery_to_markdown.py:168-169)
+- ``xy_min_gap``      ← XY projection-profile zero-run split
+                        (ppocr/data/imaug/table_ops.py:35-138)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # -- HTML block keep predicates (detect analog) --
+    min_chars: int = 3              # blocks shorter than this are dropped
+    max_link_density: float = 0.5   # kept iff 2*link_chars <= total_chars
+    max_candidates: int = 1000      # cap candidate blocks per turn
+    drop_score: float = 0.5         # span score floor (score = 1 - link_density)
+
+    # -- PDF-like layout (layout/XY-cut analog) --
+    page_w: int = 800
+    page_h: int = 1000
+    header_y: int = 50              # blocks fully above this line are header → drop
+    footer_y: int = 950             # blocks fully below this line are footer → drop
+    y_band: int = 10                # banded reading-order quantum (10px tolerance)
+    xy_min_gap: int = 1             # minimum projection gap that splits a region
+
+    # -- assembly --
+    para_sep: str = "\n\n"
+
+    # -- Spark execution knobs (plan-construction decisions, SURVEY.md §4.2) --
+    salt_buckets: int = 64          # pmod(hash(turn_idx), S) salt for conv skew
+    arrow_max_records: int = 2048   # spark.sql.execution.arrow.maxRecordsPerBatch
+
+    # tags whose subtree is boilerplate by container (Readability-style)
+    boiler_tags: frozenset = field(
+        default_factory=lambda: frozenset({"nav", "header", "footer", "aside"})
+    )
+    # class token that marks a boilerplate container
+    boiler_class: str = "sidebar"
+
+
+DEFAULT_CONFIG = ExtractConfig()

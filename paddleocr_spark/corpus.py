@@ -1,0 +1,232 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1-2, SURVEY.md §7 M0).
+
+Builds the input table of exactly the ``BASELINE.json input_hint`` shape —
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` — by deriving payloads from the driver's
+``documents.parquet`` word pool. Everything is a pure function of
+``(doc_id, rep, turn_idx, words)`` seeded through md5, so the SAME rows are
+produced by the pure-Python generator (pytest goldens) and the distributed
+Spark generator (mapInPandas) at any parallelism.
+
+Payload mix per turn (FIXTURES.md §2): 55% HTML / 25% PDF-like / 20% plain.
+Skew (FIXTURES.md §1): doc_id % 97 == 0 → 100× the median turn count, which
+is what the salted repartition in operators/extract.py has to defuse.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timedelta, timezone
+from typing import List
+
+BASE_TURNS = 4
+SKEW_FACTOR = 100
+SKEW_MOD = 97
+EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+ROLES = ("user", "assistant", "tool")
+TOOLS = ("fetch", "browser", "search")
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def conv_id_for(doc_id: int, rep: int) -> str:
+    return f"conv-{doc_id:06d}-{rep:03d}"
+
+
+def n_turns_for(doc_id: int, base_turns: int = BASE_TURNS) -> int:
+    return base_turns * (SKEW_FACTOR if doc_id % SKEW_MOD == 0 else 1)
+
+
+def _sent(rng: random.Random, words: List[str], k: int) -> str:
+    return " ".join(rng.choice(words) for _ in range(k))
+
+
+def _make_html(rng: random.Random, words: List[str]) -> str:
+    w = lambda: rng.choice(words)
+    parts = ["<html><head><title>", _sent(rng, words, 3), "</title></head><body>"]
+    # boilerplate: nav of links (high link density → must be stripped)
+    nav = " ".join(f'<a href="/{w()}">{w()} {w()}</a>' for _ in range(rng.randint(3, 6)))
+    parts.append(f"<nav>{nav}</nav>")
+    parts.append(f"<header><p>{_sent(rng, words, 4)} banner</p></header>")
+    parts.append(
+        '<div class="sidebar"><ul>'
+        + "".join(f'<li><a href="#{w()}">{w()}</a></li>' for _ in range(3))
+        + "</ul></div>"
+    )
+    parts.append("<article>")
+    if rng.random() < 0.6:
+        parts.append(f"<h1>{_sent(rng, words, rng.randint(2, 5))}</h1>")
+    for _ in range(rng.randint(2, 6)):
+        sent = _sent(rng, words, rng.randint(8, 30))
+        roll = rng.random()
+        if roll < 0.20:  # entities
+            sent = sent.replace(" ", " &amp; ", 1) + " caf&#233; &lt;tag&gt;"
+        elif roll < 0.45:  # inline style tokens (scrubbed, text kept)
+            ws = sent.split(" ")
+            i = rng.randrange(len(ws))
+            ws[i] = f"<b>{ws[i]}</b>"
+            if len(ws) > 2:
+                ws[-1] = f"<i>{ws[-1]}</i>"
+            sent = " ".join(ws)
+        elif roll < 0.55:  # a single inline link (low density → kept)
+            sent += f' see <a href="/{w()}">{w()}</a>'
+        parts.append(f"<p>{sent}</p>")
+    if rng.random() < 0.10:
+        parts.append("<p></p>")  # empty block
+    if rng.random() < 0.25:  # list content
+        parts.append(
+            "<ul>"
+            + "".join(f"<li>{_sent(rng, words, rng.randint(3, 7))}</li>" for _ in range(3))
+            + "</ul>"
+        )
+    if rng.random() < 0.15:  # table with known cells
+        rows = []
+        for _ in range(rng.randint(2, 3)):
+            cells = "".join(f"<td>{_sent(rng, words, 2)}</td>" for _ in range(rng.randint(2, 3)))
+            rows.append(f"<tr>{cells}</tr>")
+        parts.append("<table>" + "".join(rows) + "</table>")
+    parts.append("</article>")
+    parts.append(f"<footer><p>copyright {w()} <a href='/{w()}'>{w()}</a></p></footer>")
+    parts.append("</body></html>")
+    doc = "".join(parts)
+    if rng.random() < 0.07:  # malformed/truncated payload → must not error
+        doc = doc[: rng.randint(len(doc) // 2, len(doc) - 1)]
+    return doc
+
+
+def _make_pdflike(rng: random.Random, words: List[str]) -> str:
+    lines = ["PDFLIKE v1"]
+    n_pages = 2 if rng.random() < 0.20 else 1
+    for page in range(n_pages):
+        if rng.random() < 0.7:  # header band (dropped)
+            lines.append(f"{page}|50,10,750,40|{_sent(rng, words, 3)} header")
+        two_col = rng.random() < 0.4
+        if two_col:
+            for col, (x0, x1) in enumerate(((50, 380), (420, 750))):
+                y = 100
+                for _ in range(rng.randint(2, 4)):
+                    j = rng.randint(-9, 9)
+                    lines.append(
+                        f"{page}|{x0},{y + j},{x1},{y + j + 30}|{_sent(rng, words, rng.randint(4, 12))}"
+                    )
+                    y += 60
+        else:
+            y = 100
+            for _ in range(rng.randint(3, 6)):
+                if rng.random() < 0.3:  # one visual row, two blocks, y-jitter ±9
+                    j1, j2 = rng.randint(-9, 9), rng.randint(-9, 9)
+                    lines.append(f"{page}|50,{y + j1},380,{y + j1 + 30}|{_sent(rng, words, 4)}")
+                    lines.append(f"{page}|400,{y + j2},750,{y + j2 + 30}|{_sent(rng, words, 4)}")
+                else:
+                    j = rng.randint(-9, 9)
+                    lines.append(
+                        f"{page}|50,{y + j},750,{y + j + 30}|{_sent(rng, words, rng.randint(5, 14))}"
+                    )
+                y += 60
+        if rng.random() < 0.7:  # footer band (dropped)
+            lines.append(f"{page}|50,960,750,990|page {page} footer")
+        if rng.random() < 0.10:  # malformed line → skipped, not an error
+            lines.append(f"{page}|oops,bad|{_sent(rng, words, 2)}")
+    return "\n".join(lines)
+
+
+def _make_plain(rng: random.Random, words: List[str]) -> str:
+    paras = []
+    for _ in range(rng.randint(1, 5)):
+        if rng.random() < 0.15:
+            paras.append("ok")  # < min_chars → dropped
+        else:
+            paras.append(_sent(rng, words, rng.randint(6, 40)))
+    sep = "\n\n" if rng.random() < 0.7 else "\n   \n\n"
+    return sep.join(paras)
+
+
+def payload_for(doc_id: int, rep: int, turn_idx: int, words: List[str]) -> str:
+    """The deterministic payload function — identical on driver and executors."""
+    if not words:
+        words = ["empty"]
+    h = _h(f"{conv_id_for(doc_id, rep)}:{turn_idx}")
+    rng = random.Random(h)
+    r = h % 100
+    if r < 55:
+        return _make_html(rng, words)
+    if r < 80:
+        return _make_pdflike(rng, words)
+    return _make_plain(rng, words)
+
+
+def turn_row(doc_id: int, rep: int, turn_idx: int, words: List[str]) -> dict:
+    h = _h(f"role:{doc_id}:{rep}:{turn_idx}")
+    role = ROLES[h % 3]
+    return {
+        "conv_id": conv_id_for(doc_id, rep),
+        "turn_idx": turn_idx,
+        "role": role,
+        "text": payload_for(doc_id, rep, turn_idx, words),
+        "tool": TOOLS[h % len(TOOLS)] if role == "tool" else None,
+        "ts": EPOCH + timedelta(seconds=60 * doc_id + 7 * turn_idx),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python generation (pytest goldens — FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+def generate_rows(doc_items, reps: int = 1, base_turns: int = BASE_TURNS):
+    """doc_items: iterable of (doc_id, text). Yields transcript row dicts in
+    canonical (doc_id, rep, turn_idx) order."""
+    for doc_id, text in doc_items:
+        words = text.split() if text else ["empty"]
+        for rep in range(reps):
+            for t in range(n_turns_for(doc_id, base_turns)):
+                yield turn_row(doc_id, rep, t, words)
+
+
+# ---------------------------------------------------------------------------
+# Distributed generation (Spark) — same rows at any parallelism
+# ---------------------------------------------------------------------------
+
+def transcripts_df(spark, sf_dir: str, reps: int = 1, base_turns: int = BASE_TURNS):
+    """Distributed corpus build: documents scan → explode (rep, turn_idx) →
+    one mapInPandas crossing that calls the same pure payload function."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exploded = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn(
+            "n_turns",
+            F.when(
+                F.col("doc_id") % SKEW_MOD == 0, F.lit(base_turns * SKEW_FACTOR)
+            ).otherwise(F.lit(base_turns)),
+        )
+        .withColumn("turn_idx", F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)))
+        .select("doc_id", "rep", "turn_idx", "text")
+        # defuse generation skew up front: skewed docs explode to 100× rows
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id", "turn_idx")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                turn_row(int(d), int(r), int(t), (w or "").split() or ["empty"])
+                for d, r, t, w in zip(pdf["doc_id"], pdf["rep"], pdf["turn_idx"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return exploded.mapInPandas(gen, schema=schema)

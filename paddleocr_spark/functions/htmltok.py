@@ -1,0 +1,258 @@
+"""Lightweight HTML tag-tree tokenizer + boilerplate-scored block segmentation.
+
+This is the engine's *detect* analog (SURVEY.md §2.9): where the reference runs
+a DB segmentation model over a probability map and keeps boxes via
+``thresh/box_thresh/min_size/max_candidates``
+(/root/reference/ppocr/postprocess/db_postprocess.py:29-256), we scan an HTML
+payload in ONE regex pass (no DOM library — O(tokens), honoring "zero per-row
+Python" in spirit), segment it into contiguous candidate blocks at block-level
+tag boundaries, and keep blocks by text-density/link-density predicates
+(Boilerpipe/Readability-style):
+
+    kept iff  NOT in a boilerplate container (nav/header/footer/aside/.sidebar)
+          AND total_chars >= cfg.min_chars            (min_size=3 analog)
+          AND 2*link_chars <= total_chars             (link-density <= 0.5)
+    score = 1 - link_chars/total_chars                (box_score analog,
+            /root/reference/ppocr/postprocess/db_postprocess.py:189-225)
+
+Candidates are capped at ``cfg.max_candidates`` (db_postprocess.py:38).
+Malformed/truncated HTML never raises — it yields whatever blocks parse,
+possibly none (mirrors DecodeImage returning None on bad bytes,
+/root/reference/ppocr/data/imaug/operators.py:56-57).
+
+Style tokens (<b>, <i>, ...) are inline: their text merges into the block with
+the tags stripped (mirrors the scrub at
+/root/reference/ppstructure/predict_system.py:210-231).
+
+Tables are parsed directly from the tag stream (the HTML source IS the ground
+truth, so no model analog is needed — SURVEY.md §2.9 table row): one block of
+kind='table', text = rows joined by newline, cells joined by ' | '
+(get_pred_html template-fill analog, /root/reference/ppstructure/table/matcher.py:104-149).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ..config import ExtractConfig, DEFAULT_CONFIG
+from .textnorm import decode_entities, collapse_ws
+
+# one-pass token scan: comments | tags/declarations | text runs
+_TOKEN_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+_TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
+_CLASS_RE = re.compile(r"""class\s*=\s*["']([^"']*)""", re.IGNORECASE)
+
+# tags that terminate the current block when opened or closed
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li tr pre blockquote article section main nav "
+    "header footer aside ul ol table title br hr td th".split()
+)
+# void tags: never pushed on the open-tag stack
+VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+@dataclass
+class Block:
+    """A candidate text block (the 'box' of the detect analog)."""
+
+    kind: str = "para"
+    pieces: List[str] = field(default_factory=list)
+    link_chars: int = 0
+    boiler: bool = False
+    kind_set: bool = False
+
+    def text(self) -> str:
+        return collapse_ws("".join(self.pieces))
+
+
+def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
+    m = _CLASS_RE.search(tag_token)
+    if not m:
+        return False
+    return boiler_class in m.group(1).split()
+
+
+def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Scan *text* → (candidate blocks, n_dropped) in document order.
+
+    Returns ``(spans, n_dropped)`` where spans is a list of
+    ``(kind, text, score)`` for KEPT blocks and n_dropped counts candidate
+    blocks (non-empty text) that the keep predicate rejected.
+    """
+    # open-tag stack entries: (tagname, is_boiler, is_link, is_heading, is_pre, is_li)
+    # context is tracked by clamped counters; lenient close pops decrement them
+    stack: List[tuple] = []
+    boiler_depth = 0
+    link_depth = 0
+    skip_depth = 0  # inside script/style
+    heading_depth = 0
+    pre_depth = 0
+    li_depth = 0
+
+    # table mode state
+    table_depth = 0
+    table_rows: List[List[str]] = []
+    cell_pieces: Optional[List[str]] = None
+    table_link_chars = 0
+    table_boiler = False
+
+    candidates: List[tuple] = []  # (kind, text, total, link, boiler)
+    cur = Block()
+
+    def current_kind() -> str:
+        if heading_depth > 0:
+            return "title"
+        if pre_depth > 0:
+            return "code"
+        if li_depth > 0:
+            return "list"
+        return "para"
+
+    def flush():
+        nonlocal cur
+        t = cur.text()
+        if t:
+            candidates.append((cur.kind, t, len(t), min(cur.link_chars, len(t)), cur.boiler))
+        cur = Block()
+
+    def flush_table():
+        nonlocal table_rows, table_link_chars, table_boiler
+        rows = [" | ".join(r) for r in table_rows if r]
+        t = "\n".join(rows)
+        if t.strip():
+            candidates.append(
+                ("table", t, sum(len(c) for r in table_rows for c in r),
+                 table_link_chars, table_boiler)
+            )
+        table_rows = []
+        table_link_chars = 0
+        table_boiler = False
+
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if tok.startswith("<!--"):
+            continue
+        if tok.startswith("<"):
+            tm = _TAG_NAME_RE.match(tok)
+            if tm is None:
+                continue  # declaration / malformed tag → ignored
+            closing = tm.group(1) == "/"
+            name = tm.group(2).lower()
+            self_closing = tok.rstrip().endswith("/>")
+
+            if not closing and name in ("script", "style") and not self_closing:
+                skip_depth += 1
+                flush()
+                continue
+            if closing and name in ("script", "style"):
+                if skip_depth > 0:
+                    skip_depth -= 1
+                flush()
+                continue
+            if skip_depth > 0:
+                continue
+
+            # --- table mode handling ---
+            if table_depth > 0:
+                if not closing:
+                    if name == "table":
+                        table_depth += 1
+                    elif name == "tr":
+                        table_rows.append([])
+                    elif name in ("td", "th") and not self_closing:
+                        cell_pieces = []
+                        if not table_rows:
+                            table_rows.append([])
+                    elif name == "a":
+                        link_depth += 1
+                else:
+                    if name == "table":
+                        table_depth -= 1
+                        if table_depth == 0:
+                            cell_pieces = None
+                            flush_table()
+                    elif name in ("td", "th"):
+                        if cell_pieces is not None:
+                            table_rows[-1].append(collapse_ws("".join(cell_pieces)))
+                            cell_pieces = None
+                    elif name == "a" and link_depth > 0:
+                        link_depth -= 1
+                continue
+
+            if not closing and name == "table" and not self_closing:
+                flush()
+                table_depth = 1
+                table_boiler = boiler_depth > 0
+                continue
+
+            is_block = name in BLOCK_TAGS
+            if is_block:
+                flush()
+
+            if not closing:
+                if name in VOID_TAGS or self_closing:
+                    continue
+                boiler = name in cfg.boiler_tags or _is_sidebar(tok, cfg.boiler_class)
+                is_a = name == "a"
+                is_h = name in HEADING_TAGS
+                is_pre = name in ("pre", "code")
+                is_li = name == "li"
+                stack.append((name, boiler, is_a, is_h, is_pre, is_li))
+                boiler_depth += boiler
+                link_depth += is_a
+                heading_depth += is_h
+                pre_depth += is_pre
+                li_depth += is_li
+            else:
+                # lenient close: pop until matching tag name (if present)
+                idx = None
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i][0] == name:
+                        idx = i
+                        break
+                if idx is not None:
+                    for _, b2, a2, h2, p2, l2 in stack[idx:]:
+                        boiler_depth = max(0, boiler_depth - b2)
+                        link_depth = max(0, link_depth - a2)
+                        heading_depth = max(0, heading_depth - h2)
+                        pre_depth = max(0, pre_depth - p2)
+                        li_depth = max(0, li_depth - l2)
+                    del stack[idx:]
+            continue
+
+        # --- text token ---
+        if skip_depth > 0:
+            continue
+        piece = decode_entities(tok)
+        if table_depth > 0:
+            if cell_pieces is not None:
+                cell_pieces.append(piece)
+                if link_depth > 0:
+                    table_link_chars += len(collapse_ws(piece))
+            continue
+        if not cur.kind_set and piece.strip():
+            cur.kind = current_kind()
+            cur.kind_set = True
+        cur.pieces.append(piece)
+        if link_depth > 0:
+            cur.link_chars += len(collapse_ws(piece))
+        if boiler_depth > 0 and piece.strip():
+            cur.boiler = True
+
+    flush()
+    if table_depth > 0:  # truncated payload inside a table
+        flush_table()
+
+    candidates = candidates[: cfg.max_candidates]
+    spans = []
+    n_dropped = 0
+    for kind, t, total, link, boiler in candidates:
+        if boiler or total < cfg.min_chars or 2 * link > total:
+            n_dropped += 1
+            continue
+        score = 1.0 - (link / total) if total else 0.0
+        spans.append((kind, t, score))
+    return spans, n_dropped

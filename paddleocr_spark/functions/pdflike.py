@@ -1,0 +1,126 @@
+"""PDF-like payload parsing + XY-cut reading order.
+
+The engine's *layout analysis* analog (SURVEY.md §2.5, §2.9):
+
+- XY projection-profile cut ← /root/reference/ppocr/data/imaug/table_ops.py:35-138
+  (binarize → project → split at zero-runs → recurse), re-expressed directly on
+  block coordinates: no raster needed, O(n log n) per page.
+- Two-column reading order ← sorted_layout_boxes
+  (/root/reference/ppstructure/recovery/recovery_to_doc.py:87-155): emerges
+  naturally from the vertical cut of the recursion.
+- Banded top→bottom/left→right ordering with 10px y-tolerance ← sorted_boxes
+  (/root/reference/tools/infer/predict_system.py:160-182). The tolerance is made
+  DETERMINISTIC by quantizing y into bands of cfg.y_band and sorting on
+  (y0 // band, x0, input_line_idx) — a total order stable under any partitioning
+  (SURVEY.md §7 hard-part #1).
+- Header/footer band drop ← recovery_to_markdown.py:168-169.
+- Multi-page payloads ← check_and_read page explode + img_idx reassembly
+  (/root/reference/ppocr/utils/utility.py:119-152).
+
+Payload mini-format (FIXTURES.md §2.2)::
+
+    PDFLIKE v1
+    page_idx|x0,y0,x1,y1|block text
+
+Malformed lines are skipped, never raised (DecodeImage-None analog).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from ..config import ExtractConfig, DEFAULT_CONFIG
+from .textnorm import collapse_ws
+
+Box = Tuple[int, int, int, int, int, str]  # x0, y0, x1, y1, line_idx, text
+
+
+def parse_pdflike(text: str) -> List[Tuple[int, Box]]:
+    """Parse payload → list of (page_idx, box). Malformed lines skipped."""
+    out = []
+    lines = text.split("\n")
+    for i, line in enumerate(lines[1:]):  # line 0 is the 'PDFLIKE v1' header
+        if not line.strip():
+            continue
+        parts = line.split("|", 2)
+        if len(parts) != 3:
+            continue
+        try:
+            page = int(parts[0].strip())
+            coords = [int(c.strip()) for c in parts[1].split(",")]
+            if len(coords) != 4:
+                continue
+        except ValueError:
+            continue
+        x0, y0, x1, y1 = coords
+        out.append((page, (x0, y0, x1, y1, i, parts[2])))
+    return out
+
+
+def _split_1d(blocks: List[Box], lo_i: int, hi_i: int, min_gap: int) -> List[List[Box]]:
+    """Split blocks into groups wherever the interval projection has a gap."""
+    order = sorted(blocks, key=lambda b: (b[lo_i], b[hi_i], b[4]))
+    groups: List[List[Box]] = []
+    cur: List[Box] = []
+    cur_max = None
+    for b in order:
+        if cur_max is not None and b[lo_i] >= cur_max + min_gap:
+            groups.append(cur)
+            cur = []
+        cur.append(b)
+        cur_max = b[hi_i] if cur_max is None or b[hi_i] > cur_max else cur_max
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def xy_cut(blocks: List[Box], cfg: ExtractConfig = DEFAULT_CONFIG) -> List[Box]:
+    """Recursive XY-cut: try vertical (x) split FIRST — a whole-page x-gap is a
+    column boundary, and columns must be read fully left→right before rows
+    (sorted_layout_boxes semantics, recovery_to_doc.py:87-155) — then
+    horizontal (y), else banded lexicographic sort (the sorted_boxes analog).
+    Full-width blocks bridge the column gap, so single-column pages with
+    occasional side-by-side pairs still split by rows first."""
+    if len(blocks) <= 1:
+        return list(blocks)
+    g = _split_1d(blocks, 0, 2, cfg.xy_min_gap)  # x-projection (columns)
+    if len(g) > 1:
+        out: List[Box] = []
+        for grp in g:
+            out.extend(xy_cut(grp, cfg))
+        return out
+    g = _split_1d(blocks, 1, 3, cfg.xy_min_gap)  # y-projection (rows)
+    if len(g) > 1:
+        out = []
+        for grp in g:
+            out.extend(xy_cut(grp, cfg))
+        return out
+    return sorted(blocks, key=lambda b: (b[1] // cfg.y_band, b[0], b[4]))
+
+
+def pdflike_spans(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Full PDF-like path → (spans, n_dropped).
+
+    spans: list of (kind, text, score, bbox) in reading order across pages.
+    Dropped: header/footer-band blocks and too-short blocks.
+    """
+    parsed = parse_pdflike(text)
+    n_dropped = 0
+    by_page = {}
+    for page, box in parsed:
+        x0, y0, x1, y1, i, t = box
+        if y1 <= cfg.header_y or y0 >= cfg.footer_y:
+            n_dropped += 1
+            continue
+        by_page.setdefault(page, []).append(box)
+
+    spans = []
+    for page in sorted(by_page):
+        for x0, y0, x1, y1, i, t in xy_cut(by_page[page], cfg):
+            clean = collapse_ws(t)
+            if len(clean) < cfg.min_chars:
+                if clean:
+                    n_dropped += 1
+                continue
+            spans.append(("para", clean, 1.0, [x0, y0, x1, y1]))
+    return spans, n_dropped

@@ -1,0 +1,83 @@
+"""Batch extraction kernel: payload string → ordered spans.
+
+This is the single Python-boundary crossing of the pipeline (SURVEY.md §3.5):
+the Spark operator feeds Arrow batches of payload strings here; the kernel
+dispatches per payload kind and returns span lists. All hot loops are a single
+O(tokens) pass per payload — no DOM library, no per-row Python outside the
+batch (the reference's analog: one C++ predictor crossing per stage,
+/root/reference/tools/infer/predict_system.py:49-61).
+
+Stage composition per payload (detect → recognize → structure analogs):
+  sniff kind → tokenize/segment → density keep-filter → reading order →
+  span structs → paragraph assembly (recovery_to_markdown semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from .config import ExtractConfig, DEFAULT_CONFIG
+from .functions.sniff import sniff_kind
+from .functions.htmltok import html_blocks
+from .functions.pdflike import pdflike_spans
+from .functions.textnorm import collapse_ws, squeeze_newlines
+
+_PARA_SPLIT_RE = re.compile(r"\n\s*\n")
+
+# span tuple: (span_idx, kind, text, score, bbox-or-None)
+Span = Tuple[int, str, str, float, Optional[List[int]]]
+
+
+def plain_spans(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Plain-text path: paragraphs split on blank lines, whitespace-normalized
+    (paragraph-merge semantics of
+    /root/reference/ppstructure/recovery/recovery_to_markdown.py:23-126)."""
+    spans = []
+    n_dropped = 0
+    for para in _PARA_SPLIT_RE.split(text):
+        clean = collapse_ws(para)
+        if not clean:
+            continue
+        if len(clean) < cfg.min_chars:
+            n_dropped += 1
+            continue
+        spans.append(("para", clean, 1.0, None))
+    return spans, n_dropped
+
+
+def extract_payload(text, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """One payload → (kind, spans, n_dropped); spans carry span_idx rank."""
+    kind = sniff_kind(text)
+    if text is None:
+        return kind, [], 0
+    if kind == "pdf":
+        raw, n_dropped = pdflike_spans(text, cfg)
+    elif kind == "html":
+        raw2, n_dropped = html_blocks(text, cfg)
+        raw = [(k, t, s, None) for (k, t, s) in raw2]
+    else:
+        raw, n_dropped = plain_spans(text, cfg)
+    spans: List[Span] = [
+        (i, k, t, s, bbox) for i, (k, t, s, bbox) in enumerate(raw)
+    ]
+    return kind, spans, n_dropped
+
+
+def assemble_text(spans: List[Span], cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """Ordered spans → extracted_text: para_sep-joined, >=3 newlines squeezed."""
+    return squeeze_newlines(cfg.para_sep.join(s[2] for s in spans))
+
+
+def extract_batch(texts, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Vectorized entry for Arrow batches: iterable of payloads →
+    (kinds, span_lists, extracted_texts, n_spans, n_dropped) parallel lists."""
+    kinds, span_lists, extracted, n_spans, n_dropped = [], [], [], [], []
+    for t in texts:
+        kind, spans, dropped = extract_payload(t, cfg)
+        kinds.append(kind)
+        span_lists.append(spans)
+        extracted.append(assemble_text(spans, cfg))
+        n_spans.append(len(spans))
+        n_dropped.append(dropped)
+    return kinds, span_lists, extracted, n_spans, n_dropped

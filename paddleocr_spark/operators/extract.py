@@ -1,0 +1,156 @@
+"""The extraction pipeline operator: transcripts → spans + extracted_text.
+
+Spark-first re-expression of the reference's TextSystem/StructureSystem chain
+(/root/reference/tools/infer/predict_system.py:76-157,
+/root/reference/ppstructure/predict_system.py:98-202):
+
+  salted repartition (skew defuse)            — the reference's entire
+    horizontal-scaling story is ``files[pid::nproc]`` + subprocess spawn
+    (predict_system.py:186-187,313-324); here it's a real shuffle over
+    (conv_id, salt(turn_idx)) since every turn is independent.
+  ONE fused Arrow crossing (pandas_udf)       — sniff → tokenize → score →
+    keep-filter → reading order, all inside kernel.extract_batch; the analog
+    of one C++ predictor crossing per stage chain (SURVEY.md §3.5, §4.2-b).
+  pure-Spark assembly                         — extracted_text is built JVM-side
+    from the spans array (transform + array_join + regexp_replace), mirroring
+    convert_info_markdown (recovery_to_markdown.py:129-187) without leaving
+    whole-stage codegen.
+  windowed stable ordering                    — output re-ordered by
+    (conv_id, turn_idx) so results are identical under any parallelism
+    (north rule: per-turn text equality under stable turn ordering).
+
+At 100 TB: the only shuffle is the salted repartition (map-side free of
+aggregation); everything downstream is narrow. Filters on payload_kind and
+column pruning reach the parquet/Iceberg scan because sniffing is exposed as a
+pure-SQL column too.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import ExtractConfig, DEFAULT_CONFIG
+from ..kernel import extract_batch
+from ..functions.sniff import sniff_kind_col
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("span_idx", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("bbox", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+_EX_TYPE = T.StructType(
+    [
+        T.StructField("payload_kind", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("n_dropped", T.IntegerType()),
+    ]
+)
+
+
+def make_extract_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Iterator-of-batches scalar pandas UDF (SURVEY.md §2.11): per-partition
+    setup (compiled regexes) is amortized, Arrow moves the batches."""
+
+    @F.pandas_udf(_EX_TYPE)
+    def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            kinds, span_lists, _extracted, _n, dropped = extract_batch(texts, cfg)
+            yield pd.DataFrame(
+                {
+                    "payload_kind": kinds,
+                    "spans": [
+                        [
+                            {
+                                "span_idx": i,
+                                "kind": k,
+                                "text": t,
+                                "score": s,
+                                "bbox": b,
+                            }
+                            for (i, k, t, s, b) in spans
+                        ]
+                        for spans in span_lists
+                    ],
+                    "n_dropped": pd.array(dropped, dtype="int32"),
+                }
+            )
+
+    return extract_udf
+
+
+def extract(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    salt: bool = True,
+    num_partitions: int | None = None,
+    sort_by_len: bool = True,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) →
+    + payload_kind, spans, extracted_text, n_spans, n_dropped.
+
+    ``salt=True`` repartitions on (conv_id, pmod(hash(turn_idx), S)) so a
+    single million-turn conversation spreads across S partitions (SURVEY.md §7
+    hard-part #2). ``sort_by_len`` sorts within partitions by payload length —
+    the aspect-ratio-sorted batching analog
+    (/root/reference/tools/infer/predict_rec.py:582-612) so each Arrow batch
+    holds similar-size payloads.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    if salt:
+        df = df.repartition(
+            n, F.col("conv_id"), F.pmod(F.hash("turn_idx"), F.lit(cfg.salt_buckets))
+        )
+    if sort_by_len:
+        df = df.sortWithinPartitions(F.length(F.col("text")).asc_nulls_first())
+
+    extract_udf = make_extract_udf(cfg)
+    out = df.withColumn("_ex", extract_udf(F.col("text"))).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.col("_ex.payload_kind").alias("payload_kind"),
+        F.col("_ex.spans").alias("spans"),
+        F.col("_ex.n_dropped").alias("n_dropped"),
+    )
+    # assembly: JVM-side, codegen'd (convert_info_markdown analog)
+    out = (
+        out.withColumn(
+            "extracted_text",
+            F.regexp_replace(
+                F.array_join(F.transform("spans", lambda s: s["text"]), cfg.para_sep),
+                r"\n{3,}",
+                "\n\n",
+            ),
+        )
+        .withColumn("n_spans", F.size("spans"))
+    )
+    return out
+
+
+def with_payload_kind(df: DataFrame) -> DataFrame:
+    """Pure-SQL payload sniff column (classifier analog) — lets Catalyst prune
+    whole payload kinds before the Arrow crossing when a job only wants one
+    path (e.g. ``WHERE payload_kind = 'html'`` pushes to the scan)."""
+    return df.withColumn("payload_kind", sniff_kind_col(F.col("text")))
+
+
+def ordered_output(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Stable (conv_id, turn_idx) global ordering for writes/goldens: range
+    partition + in-partition sort — no single-point sort bottleneck."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, "conv_id", "turn_idx").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )

@@ -1,0 +1,317 @@
+"""Pure-Python single-threaded golden oracle (FIXTURES.md §3).
+
+A second, independent implementation of the extraction SPEC (docs/SPEC.md):
+same rules, deliberately different control flow from ``kernel.py`` — this is
+the analog of the reference's golden-output regression files
+(/root/reference/test_tipc/compare_results.py:10-16,58-80): tests assert the
+Spark engine's per-turn output equals this oracle's, byte for byte.
+
+The three token regexes are the *payload format spec* (shared literals, not
+shared code); everything around them — segmentation state, scoring, ordering,
+assembly — is re-derived from the SPEC independently.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from .config import ExtractConfig, DEFAULT_CONFIG
+
+# --- payload format spec (identical literals to the engine, by definition) ---
+TOKEN_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
+CLASS_RE = re.compile(r"""class\s*=\s*["']([^"']*)""", re.IGNORECASE)
+HTML_SNIFF_RE = re.compile(
+    r"<\s*(?:!doctype|html|head|body|div|p|br|nav|article|main|section|header"
+    r"|footer|aside|table|ul|ol|li|h[1-6]|span|a|b|i|em|strong|pre|code|title)\b",
+    re.IGNORECASE,
+)
+
+_BLOCK = set(
+    "p div h1 h2 h3 h4 h5 h6 li tr pre blockquote article section main nav "
+    "header footer aside ul ol table title br hr td th".split()
+)
+_VOID = set("br hr img input meta link source wbr area base col embed".split())
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _decode(s: str) -> str:
+    return _html.unescape(s).replace("\xa0", " ")
+
+
+def oracle_sniff(text) -> str:
+    if text is None:
+        return "plain"
+    if text.lstrip().startswith("PDFLIKE v1"):
+        return "pdf"
+    return "html" if HTML_SNIFF_RE.search(text[:4096]) else "plain"
+
+
+def _oracle_html(text: str, cfg: ExtractConfig):
+    tokens = list(TOKEN_RE.finditer(text))
+    # context state: stack of (name, flags-dict) + clamped depth counters (SPEC §2.2)
+    stack = []
+    depth = {"boiler": 0, "a": 0, "heading": 0, "pre": 0, "li": 0}
+    in_script = 0
+    candidates = []  # dict: kind, pieces, link, boiler_hit
+    blk = {"kind": None, "pieces": [], "link": 0, "boiler_hit": False}
+    tbl = None  # {'depth', 'rows', 'cell', 'link', 'boiler'}
+
+    def ctx_kind():
+        if depth["heading"] > 0:
+            return "title"
+        if depth["pre"] > 0:
+            return "code"
+        if depth["li"] > 0:
+            return "list"
+        return "para"
+
+    def end_block():
+        joined = _norm("".join(blk["pieces"]))
+        if joined:
+            link = min(blk["link"], len(joined))
+            candidates.append(
+                {
+                    "kind": blk["kind"] or "para",
+                    "text": joined,
+                    "total": len(joined),
+                    "link": link,
+                    "boiler": blk["boiler_hit"],
+                }
+            )
+        blk["kind"] = None
+        blk["pieces"] = []
+        blk["link"] = 0
+        blk["boiler_hit"] = False
+
+    def end_table():
+        rows = [" | ".join(r) for r in tbl["rows"] if r]
+        joined = "\n".join(rows)
+        if joined.strip():
+            candidates.append(
+                {
+                    "kind": "table",
+                    "text": joined,
+                    "total": sum(len(c) for r in tbl["rows"] for c in r),
+                    "link": tbl["link"],
+                    "boiler": tbl["boiler"],
+                }
+            )
+
+    for m in tokens:
+        tok = m.group(0)
+        if tok.startswith("<!--"):
+            continue
+        if tok[0] == "<":
+            nm = TAG_NAME_RE.match(tok)
+            if nm is None:
+                continue
+            closing, name = nm.group(1) == "/", nm.group(2).lower()
+            selfclose = tok.rstrip().endswith("/>")
+
+            if not closing and name in ("script", "style") and not selfclose:
+                in_script += 1
+                end_block()
+                continue
+            if closing and name in ("script", "style"):
+                in_script = max(0, in_script - 1)
+                end_block()
+                continue
+            if in_script:
+                continue
+
+            if tbl is not None:
+                # inside a table only table/tr/td/th/a tags matter; 'a' is
+                # tracked by counter only (no stack push) per SPEC §2.3
+                if not closing:
+                    if name == "table":
+                        tbl["depth"] += 1
+                    elif name == "tr":
+                        tbl["rows"].append([])
+                    elif name in ("td", "th") and not selfclose:
+                        tbl["cell"] = []
+                        if not tbl["rows"]:
+                            tbl["rows"].append([])
+                    elif name == "a":
+                        depth["a"] += 1
+                else:
+                    if name == "table":
+                        tbl["depth"] -= 1
+                        if tbl["depth"] == 0:
+                            end_table()
+                            tbl = None
+                    elif name in ("td", "th") and tbl["cell"] is not None:
+                        tbl["rows"][-1].append(_norm("".join(tbl["cell"])))
+                        tbl["cell"] = None
+                    elif name == "a" and depth["a"] > 0:
+                        depth["a"] -= 1
+                continue
+
+            if not closing and name == "table" and not selfclose:
+                end_block()
+                tbl = {
+                    "depth": 1,
+                    "rows": [],
+                    "cell": None,
+                    "link": 0,
+                    "boiler": depth["boiler"] > 0,
+                }
+                continue
+
+            if name in _BLOCK:
+                end_block()
+
+            if not closing:
+                if name in _VOID or selfclose:
+                    continue
+                cm = CLASS_RE.search(tok)
+                flags = {
+                    "boiler": name in cfg.boiler_tags
+                    or bool(cm and cfg.boiler_class in cm.group(1).split()),
+                    "a": name == "a",
+                    "heading": name in _HEADINGS,
+                    "pre": name in ("pre", "code"),
+                    "li": name == "li",
+                }
+                stack.append((name, flags))
+                for k, v in flags.items():
+                    depth[k] += int(v)
+            else:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i][0] == name:
+                        for _, fl in stack[i:]:
+                            for k, v in fl.items():
+                                if v:
+                                    depth[k] = max(0, depth[k] - 1)
+                        del stack[i:]
+                        break
+            continue
+
+        # text token
+        if in_script:
+            continue
+        piece = _decode(tok)
+        if tbl is not None:
+            if tbl["cell"] is not None:
+                tbl["cell"].append(piece)
+                if depth["a"] > 0:
+                    tbl["link"] += len(_norm(piece))
+            continue
+        if blk["kind"] is None and piece.strip():
+            blk["kind"] = ctx_kind()
+        blk["pieces"].append(piece)
+        if depth["a"] > 0:
+            blk["link"] += len(_norm(piece))
+        if depth["boiler"] > 0 and piece.strip():
+            blk["boiler_hit"] = True
+
+    end_block()
+    if tbl is not None:
+        end_table()
+
+    spans, dropped = [], 0
+    for c in candidates[: cfg.max_candidates]:
+        if c["boiler"] or c["total"] < cfg.min_chars or 2 * c["link"] > c["total"]:
+            dropped += 1
+            continue
+        spans.append((c["kind"], c["text"], 1.0 - c["link"] / c["total"], None))
+    return spans, dropped
+
+
+def _oracle_xycut(boxes, cfg: ExtractConfig):
+    """Sequential re-derivation of XY-cut (table_ops.py:35-138 semantics)."""
+    if len(boxes) <= 1:
+        return list(boxes)
+    for lo, hi in ((0, 2), (1, 3)):  # x first (columns), then y (rows)
+        srt = sorted(boxes, key=lambda b: (b[lo], b[hi], b[4]))
+        groups, cur, reach = [], [], None
+        for b in srt:
+            if reach is not None and b[lo] >= reach + cfg.xy_min_gap:
+                groups.append(cur)
+                cur = []
+                reach = None
+            cur.append(b)
+            reach = b[hi] if reach is None else max(reach, b[hi])
+        groups.append(cur)
+        if len(groups) > 1:
+            out = []
+            for grp in groups:
+                out.extend(_oracle_xycut(grp, cfg))
+            return out
+    return sorted(boxes, key=lambda b: (b[1] // cfg.y_band, b[0], b[4]))
+
+
+def _oracle_pdf(text: str, cfg: ExtractConfig):
+    pages, dropped = {}, 0
+    for i, line in enumerate(text.split("\n")[1:]):
+        if not line.strip():
+            continue
+        bits = line.split("|", 2)
+        if len(bits) != 3:
+            continue
+        try:
+            page = int(bits[0].strip())
+            xy = [int(v.strip()) for v in bits[1].split(",")]
+        except ValueError:
+            continue
+        if len(xy) != 4:
+            continue
+        x0, y0, x1, y1 = xy
+        if y1 <= cfg.header_y or y0 >= cfg.footer_y:
+            dropped += 1
+            continue
+        pages.setdefault(page, []).append((x0, y0, x1, y1, i, bits[2]))
+
+    spans = []
+    for p in sorted(pages):
+        for x0, y0, x1, y1, i, t in _oracle_xycut(pages[p], cfg):
+            clean = _norm(t)
+            if len(clean) < cfg.min_chars:
+                if clean:
+                    dropped += 1
+                continue
+            spans.append(("para", clean, 1.0, [x0, y0, x1, y1]))
+    return spans, dropped
+
+
+def _oracle_plain(text: str, cfg: ExtractConfig):
+    spans, dropped = [], 0
+    for para in re.split(r"\n\s*\n", text):
+        clean = _norm(para)
+        if not clean:
+            continue
+        if len(clean) < cfg.min_chars:
+            dropped += 1
+            continue
+        spans.append(("para", clean, 1.0, None))
+    return spans, dropped
+
+
+def oracle_extract(text, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """One payload → dict(kind, spans, extracted_text, n_spans, n_dropped).
+
+    spans entries: (span_idx, kind, text, score, bbox|None).
+    """
+    kind = oracle_sniff(text)
+    if text is None:
+        raw, dropped = [], 0
+    elif kind == "pdf":
+        raw, dropped = _oracle_pdf(text, cfg)
+    elif kind == "html":
+        raw, dropped = _oracle_html(text, cfg)
+    else:
+        raw, dropped = _oracle_plain(text, cfg)
+    spans = [(i, k, t, s, b) for i, (k, t, s, b) in enumerate(raw)]
+    extracted = re.sub(r"\n{3,}", "\n\n", cfg.para_sep.join(s[2] for s in spans))
+    return {
+        "kind": kind,
+        "spans": spans,
+        "extracted_text": extracted,
+        "n_spans": len(spans),
+        "n_dropped": dropped,
+    }

@@ -1,0 +1,124 @@
+"""Pure-function unit tests with exact expected outputs.
+
+Mirrors the reference's exact-expectation style
+(/root/reference/tests/test_french_accents.py:28-60)."""
+
+from paddleocr_spark.kernel import extract_payload, assemble_text, plain_spans
+from paddleocr_spark.functions.sniff import sniff_kind
+from paddleocr_spark.functions.htmltok import html_blocks
+from paddleocr_spark.functions.pdflike import parse_pdflike, pdflike_spans, xy_cut
+from paddleocr_spark.functions.textnorm import strq2b, squeeze_newlines, scrub_style_tags
+from paddleocr_spark.config import DEFAULT_CONFIG as CFG
+
+
+def test_sniff():
+    assert sniff_kind(None) == "plain"
+    assert sniff_kind("PDFLIKE v1\n0|1,2,3,4|x") == "pdf"
+    assert sniff_kind("  PDFLIKE v1") == "pdf"
+    assert sniff_kind("<html><body>x</body></html>") == "html"
+    assert sniff_kind("<p>hello</p>") == "html"
+    assert sniff_kind("3 < 5 and no tags") == "plain"
+    assert sniff_kind("plain text") == "plain"
+
+
+def test_html_main_vs_boilerplate():
+    html = (
+        "<nav><a href=a>home</a> <a href=b>docs</a></nav>"
+        "<article><p>The real main content sentence.</p></article>"
+        "<footer><p>site footer text</p></footer>"
+    )
+    spans, dropped = html_blocks(html)
+    assert [(k, t) for k, t, _ in spans] == [("para", "The real main content sentence.")]
+    assert dropped == 2  # nav block (boiler+links) and footer block
+
+
+def test_html_link_density():
+    # exactly half link chars → kept (2*link <= total)
+    spans, dropped = html_blocks("<p>abcde<a href=x>fghij</a></p>")
+    assert len(spans) == 1 and spans[0][2] == 0.5
+    # majority link chars → dropped
+    spans, dropped = html_blocks("<p>abc<a href=x>defghij</a></p>")
+    assert spans == [] and dropped == 1
+
+
+def test_html_entities_and_styles():
+    spans, _ = html_blocks("<p>caf&#233; &amp; <b>bold</b>&nbsp;x</p>")
+    assert spans == [("para", "café & bold x", 1.0)]
+
+
+def test_html_kinds():
+    html = (
+        "<h2>A Heading</h2><ul><li>item one</li></ul>"
+        "<pre>code here</pre><p>body text</p>"
+    )
+    spans, _ = html_blocks(html)
+    assert [k for k, _, _ in spans] == ["title", "list", "code", "para"]
+
+
+def test_html_table():
+    spans, _ = html_blocks("<table><tr><td>a1</td><td>b1</td></tr><tr><td>a2</td></tr></table>")
+    assert spans == [("table", "a1 | b1\na2", 1.0)]
+
+
+def test_html_malformed_never_raises():
+    for payload in ["<p>trunc", "<", "<<div>>weird", "<p>a<table><tr><td>x", "<!doctype html><p>ok fine</p>"]:
+        spans, dropped = html_blocks(payload)
+        assert isinstance(spans, list)
+
+
+def test_html_min_chars_and_cap():
+    spans, dropped = html_blocks("<p>ab</p><p>long enough</p>")
+    assert [t for _, t, _ in spans] == ["long enough"] and dropped == 1
+    many = "".join(f"<p>block number {i}</p>" for i in range(1200))
+    spans, dropped = html_blocks(many)
+    assert len(spans) == CFG.max_candidates
+
+
+def test_pdflike_parse_and_bands():
+    p = "PDFLIKE v1\n0|50,10,750,40|header\n0|50,100,750,130|kept line\n0|50,960,750,990|footer\nbad line\n0|x,y|bad"
+    spans, dropped = pdflike_spans(p)
+    assert [(t, b) for _, t, _, b in spans] == [("kept line", [50, 100, 750, 130])]
+    assert dropped == 2  # header + footer; malformed lines are ignored
+
+
+def test_xycut_two_columns():
+    # two columns; left column read fully before right
+    blocks = [
+        (420, 100, 750, 130, 0, "R1"),
+        (50, 100, 380, 130, 1, "L1"),
+        (50, 160, 380, 190, 2, "L2"),
+        (420, 160, 750, 190, 3, "R2"),
+    ]
+    assert [b[5] for b in xy_cut(blocks)] == ["L1", "L2", "R1", "R2"]
+
+
+def test_xycut_y_jitter_band():
+    # same visual row, y jitter within the 10px band → left-to-right order
+    blocks = [
+        (400, 96, 750, 126, 0, "right"),
+        (50, 104, 380, 134, 1, "left"),
+    ]
+    assert [b[5] for b in xy_cut(blocks)] == ["left", "right"]
+
+
+def test_pdflike_multipage_order():
+    p = "PDFLIKE v1\n1|50,100,750,130|page one\n0|50,100,750,130|page zero"
+    spans, _ = pdflike_spans(p)
+    assert [t for _, t, _, _ in spans] == ["page zero", "page one"]
+
+
+def test_plain_paragraphs():
+    spans, dropped = plain_spans("First  para\nwith   wrap.\n\nok\n\nSecond para.")
+    assert [t for _, t, _, _ in spans] == ["First para with wrap.", "Second para."]
+    assert dropped == 1  # 'ok' < min_chars
+
+
+def test_assemble_and_squeeze():
+    kind, spans, _ = extract_payload("A one.\n\n\n\nB two.")
+    assert assemble_text(spans) == "A one.\n\nB two."
+    assert squeeze_newlines("a\n\n\n\nb") == "a\n\nb"
+
+
+def test_scalar_norms():
+    assert strq2b("ＡＢＣ　１") == "ABC 1"
+    assert scrub_style_tags("a <b>x</b> <sub>y</sub>") == "a x y"
