@@ -1,0 +1,86 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): extracted turns/sec for the full pipeline
+(corpus read → sniff → tokenize → score → order → assemble → noop sink).
+Corpus generation is a one-time untimed setup step (written to a temp parquet)
+so the timed number is extraction, not synthesis.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input scale dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_CORPUS_DIR    where the synthesized corpus parquet is cached
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from paddleocr_spark.corpus import SKEW_FACTOR, SKEW_MOD, BASE_TURNS, transcripts_df
+from paddleocr_spark.operators.extract import extract
+from paddleocr_spark.session import get_spark
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    corpus_root = os.environ.get("BENCH_CORPUS_DIR", "/tmp/paddleocr_spark_bench")
+    corpus_path = os.path.join(corpus_root, f"corpus_sf{sf}.parquet")
+
+    spark = get_spark("bench", cores=cpus)
+
+    # -- setup (untimed): synthesize + cache the transcript corpus ----------
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        transcripts_df(spark, sf_dir).write.mode("overwrite").parquet(corpus_path)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    transcripts = spark.read.parquet(corpus_path)
+    n_turns = transcripts.count()
+
+    # headline: full extraction pipeline
+    timed("extract", lambda: _noop(extract(transcripts)))
+
+    # secondary operator benchmarks (training-data pipeline layer)
+    import __spark_entry__ as E
+
+    timed("text_stats", lambda: _noop(E.q_text_stats(spark, sf_dir)))
+    timed("dedup_minhash", lambda: _noop(E.q_dedup_minhash(spark, sf_dir)))
+    timed("ann_topk", lambda: _noop(E.q_ann_topk(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    tps = round(n_turns / timings["extract"], 1) if timings["extract"] else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "extracted turns/sec (full pipeline, noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "turns": n_turns,
+                "turns_per_sec": tps,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (the north-rule deployment unit)::
+
+    python scripts/package.py                 # builds dist/engine.zip
+    spark-submit --master local[32] --py-files dist/engine.zip job.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/extract_out
+
+Reads/synthesizes the transcript corpus, runs the checkpointed extraction job
+(resumable: rerun with the same --out skips committed buckets), prints a JSON
+summary with lineage metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from paddleocr_spark.corpus import transcripts_df
+from paddleocr_spark.sinks.checkpoint import run_extract_job
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.1",
+                   help="testdata scale dir (documents.parquet feeds the corpus)")
+    p.add_argument("--corpus", default=None,
+                   help="pre-built transcripts parquet; overrides --sf-dir synthesis")
+    p.add_argument("--out", required=True, help="checkpointed output dir")
+    p.add_argument("--reps", type=int, default=1)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--group-size", type=int, default=32)
+    args = p.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("paddleocr-spark-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.corpus:
+        transcripts = spark.read.parquet(args.corpus)
+    else:
+        transcripts = transcripts_df(spark, args.sf_dir, reps=args.reps)
+
+    summary = run_extract_job(
+        spark,
+        transcripts,
+        args.out,
+        n_buckets=args.n_buckets,
+        group_size=args.group_size,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+The similarity-search layer of the training-data pipeline (the corpus analog
+of the reference's nearest-neighbor TableMatch join, /root/reference/
+ppstructure/table/matcher.py:58-102: argmin over candidate boxes by a
+deterministic lexicographic key — here argmax cosine with doc-id tiebreak).
+
+Two paths:
+- ``cosine_topk``      — brute-force: broadcast the (small) query set against
+  the full corpus; per-pair cosine via sequential zip_with/aggregate fold so
+  the double-precision sum is bit-identical across engines (DuckDB oracle).
+- ``lsh_cosine_topk``  — scale path: random-hyperplane LSH bucketing; only
+  pairs sharing a bucket are scored, then re-ranked exactly. At 10^9 vectors
+  the bucket join replaces the cross product (same shape as dedup LSH).
+
+All arithmetic is double (float32 inputs cast exactly); ranks are broken by
+vec_id so output is a deterministic integer/string-only relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    """Sequential left-to-right double fold — IEEE-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors.
+
+    Query side is tiny → ``F.broadcast`` (no shuffle of the corpus side);
+    ranking window partitions by query only. Output:
+    (q_id, cand_id, rank_k, cos_scaled) with cos scaled to integer 1e9 units.
+    """
+    base = emb.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+    q = F.broadcast(
+        base.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    )
+    c = base.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
+    )
+    scored = q.crossJoin(c).select(
+        "q_id",
+        "cand_id",
+        (
+            _dot(F.col("qe"), F.col("ce"))
+            / (
+                F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+            )
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select(
+            "q_id",
+            "cand_id",
+            "rank_k",
+            F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
+        )
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bits
+    (seedless: a pure function of (plane_idx, component))."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / float(1 << 31)) - 1.0)  # [-1, 1)
+    return out
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign bits of ``n_planes`` projections;
+    candidates share a bucket; exact cosine re-rank within candidates.
+
+    Recall < 1 by construction (approximate); the bucket join is the 10^9-row
+    scale path. Hyperplanes are literal arrays folded into the plan (no side
+    channel, no driver state)."""
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+
+    def bucket(e):
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(v) for v in p])
+            bits.append(F.when(_dot(e, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    base = emb.select("vec_id", _to_double(F.col("embedding")).alias("e")).withColumn(
+        "bucket", bucket(F.col("e"))
+    )
+    q = F.broadcast(
+        base.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+        )
+    )
+    c = base.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"), "bucket"
+    )
+    scored = q.join(c, "bucket").select(
+        "q_id",
+        "cand_id",
+        (
+            _dot(F.col("qe"), F.col("ce"))
+            / (
+                F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+            )
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select(
+            "q_id",
+            "cand_id",
+            "rank_k",
+            F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Deduplication operators over a document corpus.
+
+Training-data-pipeline layer of the engine: the reference dedups *boxes*
+(overlap NMS, /root/reference/ppocr/postprocess/picodet_postprocess.py:19-45;
+fragment merge, tools/infer/utility.py:980-1027); the corpus analog dedups
+*documents*. Four strategies, all expressed in pure Spark SQL built-ins (no
+Python in the hot path), each with an exact DuckDB oracle in
+``__spark_entry__``:
+
+- exact dedup        — md5(normalized text) group key
+- n-gram Jaccard     — 3-token shingles, self-join on shingle, |∩|/|∪|
+- MinHash + LSH      — K=8 min-md5 signatures, B=4 bands × R=2, band-bucket
+                       self-join (portable: the "min over hashed shingles" is
+                       the min *hex string*, identical in any engine)
+- SimHash            — 16-bit sign-aggregated token-hash fingerprint
+
+Scale notes (100 TB): every strategy is shuffle-on-key only. The shingle
+self-join is the classic LSH candidate join — band hashes are short strings,
+the join is an equi-join AQE can skew-split; signatures are computed with one
+map-side-combinable groupBy. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstats import norm_text, tokens
+
+MINHASH_K = 8  # signature length
+LSH_BANDS = 4  # bands of R = K/BANDS rows each
+
+
+def shingles(col, n: int = 3):
+    """Distinct n-token shingles of the normalized text (whole text when
+    shorter than n tokens)."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    sh = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(norm_text(col)))
+    return F.array_distinct(sh)
+
+
+def with_near_dups(docs: DataFrame, id_offset: int = 100000) -> DataFrame:
+    """Test-harness helper: union the corpus with a mutated copy of itself
+    (last 5 tokens dropped, doc_id += offset) so dedup operators have known
+    positives to find. Deterministic; mirrored exactly in the DuckDB oracle."""
+    toks = tokens(F.col("text"))
+    mutated = docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def with_exact_dups(docs: DataFrame, id_offset: int = 100000) -> DataFrame:
+    """Union the corpus with verbatim copies (doc_id += offset)."""
+    copy = docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copy)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group by md5(norm text); canonical id = min(doc_id) per group.
+
+    Map-side combinable single shuffle; at 100 TB the key is 32 bytes/doc.
+    """
+    return (
+        docs.select(F.md5(norm_text(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, min_jac_micro: int = 500000) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ threshold (micro-units).
+
+    shingle-explode → self-equi-join on shingle → group pair → |∩|;
+    |∪| = |A| + |B| − |∩|. All integers → exact cross-engine equality.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jac_micro",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jac_micro") >= min_jac_micro)
+        .select("doc_a", "doc_b", "n_inter", "jac_micro")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """K min-md5 signature columns mh0..mh{K-1} per doc — ONE map-side
+    combinable groupBy (min of a hex string ≡ min of the underlying hash)."""
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ANY of the B band hashes.
+
+    Band hash = md5(mh_{rb} || '|' || mh_{rb+1}); candidates via band-bucket
+    self-join — the LSH scale path (no all-pairs comparison ever happens).
+    """
+    r = MINHASH_K // LSH_BANDS
+    sig = minhash_signatures(docs)
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("bh"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, b2 = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over distinct tokens.
+
+    Token hash = first 4 hex digits of md5 parsed as int (conv); bit b of the
+    fingerprint is 1 iff Σ_tokens (2·bit_b − 1) > 0. Integer-only → exact.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).withColumn("v", F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

@@ -1,0 +1,27 @@
+"""Build dist/engine.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    out = os.path.join(ROOT, "dist", "engine.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(ROOT, "paddleocr_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
