@@ -32,18 +32,24 @@ LSH_BANDS = 4  # bands of R = K/BANDS rows each
 
 def shingles(col, n: int = 3):
     """Distinct n-token shingles of the normalized text (whole text when
-    shorter than n tokens)."""
+    shorter than n tokens).
+
+    Built by zip_with over shifted slices of the token array — NOT by indexing
+    ``toks[i+j]`` inside a transform lambda: higher-order-function lambdas are
+    interpreted (no whole-stage codegen, no subexpression elimination), so an
+    ``element_at(tokens(col), i)`` body would re-run the regexp tokenizer per
+    element → O(tokens²) per row. The zip form tokenizes O(1) times per row.
+    """
     toks = tokens(col)
     sz = F.size(toks)
-    sh = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(norm_text(col)))
+    shifted = lambda k: F.slice(toks, k + 1, F.greatest(sz - k, F.lit(0)))
+    sh = toks
+    for k in range(1, n):
+        # zip pads the shorter side with null; concat propagates null → the
+        # trailing (n-1) incomplete shingles drop in the filter below
+        sh = F.zip_with(sh, shifted(k), lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.filter(sh, lambda x: x.isNotNull())
+    sh = F.when(sz >= n, sh).otherwise(F.array(norm_text(col)))
     return F.array_distinct(sh)
 
 
@@ -135,26 +141,39 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """
     r = MINHASH_K // LSH_BANDS
     sig = minhash_signatures(docs)
-    bands = None
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("bh"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    a, b2 = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # ONE scan: band array → posexplode (not a 4-way union re-computing sig),
+    # then bucket-local pair generation (not a self-join: signatures would be
+    # recomputed per join side, and LSH buckets are small by design — at
+    # corpus scale collect_list per (band, hash) bucket is bounded, capped
+    # here at 10k ids as a skew guard).
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+            for b in range(LSH_BANDS)
+        ]
     )
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_id", "bh"))
+    buckets = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10000).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

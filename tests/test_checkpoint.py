@@ -1,0 +1,69 @@
+"""Checkpointed-sink tests: resume idempotency, metrics lineage, crash resume.
+
+North-rule clause: "resumable from checkpoint with per-partition lineage +
+metrics". The reference has no resume story (re-running predict_system.py
+redoes everything); this sink must (a) never recompute committed buckets,
+(b) never double-count metrics, (c) produce exactly one output row per
+(conv_id, turn_idx) after any interleaving of runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from paddleocr_spark.corpus import generate_rows
+from paddleocr_spark.sinks.checkpoint import CheckpointWriter, run_extract_job
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = list(generate_rows([(i, " ".join(WORDS)) for i in range(30)]))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_resume_skips_committed(spark, transcripts, tmp_path):
+    out = str(tmp_path / "ckpt")
+    s1 = run_extract_job(spark, transcripts, out, n_buckets=8, group_size=4)
+    assert s1["groups_run"] == 2 and s1["turns"] == transcripts.count()
+    s2 = run_extract_job(spark, transcripts, out, n_buckets=8, group_size=4)
+    assert s2["groups_run"] == 0 and s2["turns"] == 0
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == transcripts.count()
+    assert data.select("conv_id", "turn_idx").distinct().count() == transcripts.count()
+
+
+def test_partial_manifest_resume(spark, transcripts, tmp_path):
+    """Simulate a crash after the first group: drop its manifest sibling's
+    future groups, rerun, and require exactly-once output."""
+    out = str(tmp_path / "ckpt2")
+    run_extract_job(spark, transcripts, out, n_buckets=8, group_size=4)
+    w = CheckpointWriter(out, 8)
+    manifests = sorted(os.listdir(w.manifest_dir))
+    assert len(manifests) == 2
+    # "crash": second group's manifest never landed
+    os.remove(os.path.join(w.manifest_dir, manifests[1]))
+    s = run_extract_job(spark, transcripts, out, n_buckets=8, group_size=4)
+    assert s["groups_run"] == 1  # only the uncommitted half reruns
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == transcripts.count()  # overwrite, not duplicate
+    assert data.select("conv_id", "turn_idx").distinct().count() == transcripts.count()
+
+
+def test_metrics_lineage_totals(spark, transcripts, tmp_path):
+    out = str(tmp_path / "ckpt3")
+    s = run_extract_job(spark, transcripts, out, n_buckets=4, group_size=2)
+    w = CheckpointWriter(out, 4)
+    entries = w.metrics()
+    assert sum(e["turns"] for e in entries) == transcripts.count()
+    assert all(e["run_id"] == s["run_id"] for e in entries)
+    assert all(set(e) >= {"buckets", "wall_s", "spans", "bytes", "failures"} for e in entries)
+    # manifest files are valid JSON on disk (atomic rename, no .tmp left)
+    assert not [f for f in os.listdir(w.manifest_dir) if f.endswith(".tmp")]
+    for name in os.listdir(w.manifest_dir):
+        with open(os.path.join(w.manifest_dir, name)) as f:
+            json.load(f)

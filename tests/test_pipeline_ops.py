@@ -1,0 +1,144 @@
+"""Unit tests for the training-data-pipeline operators (dedup / ANN / text
+stats) with hand-computable expected outputs — mirroring the reference's
+exact-expected-output unit style (/root/reference/tests/test_french_accents.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.functions import textstats as TS
+from paddleocr_spark.operators import ann as ANN
+from paddleocr_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "THE   cat  sat on the mat"),      # same after normalization
+        (2, "der hund und die katze und der"),  # de markers dominate
+        (3, "completely different words here entirely"),
+        (4, ""),                                # empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_norm_and_fingerprint(docs):
+    out = {
+        r.doc_id: (r.n, r.fp)
+        for r in docs.select(
+            "doc_id",
+            TS.norm_text(F.col("text")).alias("n"),
+            TS.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[0][0] == "the cat sat on the mat"
+    assert out[1][0] == "the cat sat on the mat"
+    assert out[0][1] == out[1][1] == hashlib.md5(b"the cat sat on the mat").hexdigest()
+    assert out[4][0] == ""
+
+
+def test_token_count_and_stops(docs):
+    r = {
+        x.doc_id: (x.n_tokens, x.stop_micro, x.lang_id)
+        for x in docs.select(
+            "doc_id",
+            TS.token_count(F.col("text")).alias("n_tokens"),
+            TS.stop_ratio_micro(F.col("text")).alias("stop_micro"),
+            TS.lang_guess(F.col("text")).alias("lang_id"),
+        ).collect()
+    }
+    assert r[0][0] == 6
+    # stopword hits in doc 0: 'the' x2 → floor(1e6*2/6) = 333333
+    assert r[0][1] == 333333
+    assert r[0][2] == "en"
+    assert r[2][2] == "de"
+    assert r[3][2] == "unknown"
+    # empty text → tokens == [''] → count 1, zero hits
+    assert r[4][0] == 1 and r[4][1] == 0
+
+
+def test_exact_dedup(docs):
+    out = DD.exact_dedup(docs).collect()
+    assert len(out) == 1
+    assert out[0].canonical_id == 0 and out[0].n_dups == 2
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(0, "one two")], ["doc_id", "text"])
+    sh = df.select(DD.shingles(F.col("text")).alias("s")).collect()[0].s
+    assert sh == ["one two"]  # whole text fallback below 3 tokens
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),
+            (1, "a b c d e f g"),   # identical → jaccard 1.0
+            (2, "p q r s t u v"),   # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jac_micro for r in DD.ngram_jaccard_pairs(df).collect()}
+    assert pairs == {(0, 1): 1000000}
+
+
+def test_minhash_lsh_finds_identical(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i j"), (2, "z y x w v u t")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in DD.minhash_lsh_pairs(df).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha  beta   gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    s = {r.doc_id: r.simhash for r in DD.simhash16(df).collect()}
+    assert s[0] == s[1]
+    assert 0 <= s[0] < (1 << 16)
+    assert s[0] != s[2]
+
+
+def _mk_emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>",
+    )
+
+
+def test_cosine_topk_exact(spark):
+    # query 0 = e0; candidates: 5 (=e0 scaled → cos 1), 6 (orthogonal), 7 (opposite)
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    vecs = [e0, e1, e1, e1, e1, [2.0] + [0.0] * (dim - 1), e1, [-1.0] + [0.0] * (dim - 1)]
+    out = ANN.cosine_topk(_mk_emb(spark, vecs), n_queries=1, k=7).collect()
+    got = [(r.cand_id, r.rank_k, r.cos_scaled) for r in sorted(out, key=lambda r: r.rank_k)]
+    assert got[0] == (5, 1, 1000000000)
+    assert got[1] == (1, 2, 0)  # orthogonal ties broken by cand_id
+    assert got[-1] == (7, 7, -1000000000)
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    approx = ANN.lsh_cosine_topk(_mk_emb(spark, vecs), n_queries=2, k=5, n_planes=2).collect()
+    # every approx pair's score must equal the exact cosine for that pair
+    base = {
+        (r.q_id, r.cand_id): r.cos_scaled
+        for r in ANN.cosine_topk(_mk_emb(spark, vecs), n_queries=2, k=1000).collect()
+    }
+    for r in approx:
+        assert base[(r.q_id, r.cand_id)] == r.cos_scaled
+    assert len(approx) > 0
