@@ -161,6 +161,84 @@ def q_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _line_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer boxes derived from events (shared with oracle)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        F.col("event_id").alias("box_id"),
+        (F.col("user_id") % 20).alias("page_id"),
+        ((F.col("event_id") * 37) % 700).alias("x0"),
+        ((F.col("event_id") * 53) % 900).alias("y0"),
+        ((F.col("event_id") * 37) % 700 + 40 + F.col("event_id") % 60).alias("x1"),
+        ((F.col("event_id") * 53) % 900 + 20).alias("y1"),
+    )
+
+
+def _region_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    return e.select(
+        F.col("event_id").alias("box_id"),
+        (F.col("user_id") % 20).alias("page_id"),
+        ((F.col("event_id") * 29) % 600).alias("x0"),
+        ((F.col("event_id") * 41) % 800).alias("y0"),
+        ((F.col("event_id") * 29) % 600 + 150).alias("x1"),
+        ((F.col("event_id") * 41) % 800 + 120).alias("y1"),
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-overlap theta semi-join (the _filter_text_res analog,
+    /root/reference/ppstructure/predict_system.py:255-271)."""
+    from paddleocr_spark.operators.spatial import spatial_semi_join
+
+    lines = _line_boxes(spark, sf_dir)
+    regions = _region_boxes(spark, sf_dir)
+    return spatial_semi_join(lines, regions, keys=["page_id"]).select(
+        "box_id", "page_id"
+    )
+
+
+def q_det_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IoU≥0.5 one-to-one box matching (DetectionIoUEvaluator analog,
+    /root/reference/ppocr/metrics/eval_det_iou.py)."""
+    from paddleocr_spark.operators.spatial import det_match_pairs
+
+    gt = _region_boxes(spark, sf_dir)
+    # predictions: gt boxes shifted by a small deterministic jitter
+    pred = gt.select(
+        "box_id",
+        "page_id",
+        (F.col("x0") + F.col("box_id") % 7 - 3).alias("x0"),
+        (F.col("y0") + F.col("box_id") % 5 - 2).alias("y0"),
+        (F.col("x1") + F.col("box_id") % 7 - 3).alias("x1"),
+        (F.col("y1") + F.col("box_id") % 5 - 2).alias("y1"),
+    )
+    return det_match_pairs(gt, pred).select(
+        "page_id", "gt_id", "pred_id", "iou_micro"
+    )
+
+
+def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match + normalized edit distance (RecMetric analog,
+    /root/reference/ppocr/metrics/rec_metric.py:39-78) via built-in
+    ``F.levenshtein``."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pred = F.regexp_replace(F.col("p_name"), "a", "o")
+    lev = F.levenshtein(F.col("p_name"), pred)
+    return p.select(
+        "p_partkey",
+        lev.cast("long").alias("lev"),
+        (lev == 0).cast("long").alias("exact"),
+        F.floor(
+            F.lit(1000000.0)
+            * lev
+            / F.greatest(F.length("p_name"), F.length(pred), F.lit(1))
+        )
+        .cast("long")
+        .alias("norm_ed_micro"),
+    )
+
+
 def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline (pandas-UDF kernel) — rows-only check here;
     golden equality is enforced in tests/ against the pure-Python oracle."""
@@ -218,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order_band": q_reading_order_band,
         "metrics_rollup": q_metrics_rollup,
         "textnorm": q_textnorm,
+        "spatial_join": q_spatial_join,
+        "det_match": q_det_match,
+        "rec_metric": q_rec_metric,
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -410,6 +491,78 @@ FROM b
 SELECT event_type, count(*) AS n,
   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
 FROM events GROUP BY event_type
+"""
+
+    _LINES = """
+lines AS (
+  SELECT event_id AS box_id, user_id % 20 AS page_id,
+         (event_id * 37) % 700 AS x0, (event_id * 53) % 900 AS y0,
+         (event_id * 37) % 700 + 40 + event_id % 60 AS x1,
+         (event_id * 53) % 900 + 20 AS y1
+  FROM events
+)"""
+    _REGIONS = """
+regions AS (
+  SELECT event_id AS box_id, user_id % 20 AS page_id,
+         (event_id * 29) % 600 AS x0, (event_id * 41) % 800 AS y0,
+         (event_id * 29) % 600 + 150 AS x1, (event_id * 41) % 800 + 120 AS y1
+  FROM events WHERE event_type = 'click'
+)"""
+
+    sql["spatial_join"] = f"""
+WITH {_LINES}, {_REGIONS}
+SELECT l.box_id, l.page_id
+FROM lines l
+WHERE EXISTS (
+  SELECT 1 FROM regions r
+  WHERE r.page_id = l.page_id
+    AND l.x0 < r.x1 AND l.x1 > r.x0 AND l.y0 < r.y1 AND l.y1 > r.y0
+)
+"""
+
+    sql["det_match"] = f"""
+WITH {_REGIONS},
+gt AS (SELECT box_id AS gt_id, page_id, x0, y0, x1, y1 FROM regions),
+pred AS (
+  SELECT box_id AS pred_id, page_id,
+         x0 + box_id % 7 - 3 AS x0, y0 + box_id % 5 - 2 AS y0,
+         x1 + box_id % 7 - 3 AS x1, y1 + box_id % 5 - 2 AS y1
+  FROM regions
+),
+scored AS (
+  SELECT g.page_id, g.gt_id, p.pred_id,
+    CAST(floor(1000000.0 *
+      (greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+       * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))
+      / ((g.x1 - g.x0) * (g.y1 - g.y0) + (p.x1 - p.x0) * (p.y1 - p.y0)
+         - greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+           * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))) AS BIGINT) AS iou_micro
+  FROM gt g JOIN pred p USING (page_id)
+),
+thresholded AS (SELECT * FROM scored WHERE iou_micro >= 500000),
+best_for_gt AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, gt_id
+                                 ORDER BY iou_micro DESC, pred_id ASC) AS rk
+    FROM thresholded) WHERE rk = 1
+)
+SELECT page_id, gt_id, pred_id, iou_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY page_id, pred_id
+                               ORDER BY gt_id ASC) AS rk2
+  FROM best_for_gt) WHERE rk2 = 1
+"""
+
+    sql["rec_metric"] = """
+WITH p AS (
+  SELECT p_partkey, p_name, regexp_replace(p_name, 'a', 'o', 'g') AS pred
+  FROM part
+)
+SELECT p_partkey,
+  levenshtein(p_name, pred)::BIGINT AS lev,
+  CAST(levenshtein(p_name, pred) = 0 AS BIGINT) AS exact,
+  CAST(floor(1000000.0 * levenshtein(p_name, pred)
+       / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
+FROM p
 """
 
     sql["textnorm"] = r"""

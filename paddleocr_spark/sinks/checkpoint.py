@@ -106,6 +106,7 @@ def run_extract_job(
     groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
 
     totals = {"turns": 0, "spans": 0, "bytes": 0, "failures": 0}
+    job_t0 = time.time()
     seq0 = len(done)  # stable-ish sequence numbering across reruns
     for gi, buckets in enumerate(groups):
         t0 = time.time()
@@ -121,8 +122,15 @@ def run_extract_job(
             F.sum(F.length("extracted_text")).alias("bytes"),
             F.sum((F.col("n_spans") == 0).cast("long")).alias("failures"),
         )
+        # hash-distribute by bucket before the partitioned write (the Iceberg
+        # write.distribution-mode=hash shape): one task per bucket → one file
+        # per bucket dir. Without this, every map partition writes into every
+        # bucket dir — n_part × n_buckets small files and a driver-side
+        # dynamic-overwrite commit that dominates wall time (measured 20.8s
+        # vs 1.8s at sf0.1×3 on 32 cores).
         (
-            out.write.mode("overwrite")
+            out.repartition(len(buckets), "bucket")
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(w.data_dir)
         )
@@ -146,5 +154,6 @@ def run_extract_job(
         "run_id": run_id,
         "groups_run": len(groups),
         "buckets_done": len(done) + len(todo),
+        "wall_s": round(time.time() - job_t0, 3),
         **totals,
     }

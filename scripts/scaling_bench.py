@@ -1,0 +1,128 @@
+"""Scaling-efficiency evidence (north rule: eff ≥ 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the two "cluster sizes" are two
+parallelism levels of the SAME spark-submit job on IDENTICAL input:
+local[N] and local[4N] (default N=8). The job is the real deployment unit —
+``spark-submit --py-files dist/engine.zip job.py`` running the checkpointed
+extraction pipeline end-to-end (read parquet corpus → extract → parquet sink
++ manifest) into a fresh output dir per run.
+
+eff = throughput(4N) / (4 · throughput(N)) = wall(N) / (4 · wall(4N))
+
+Usage: python scripts/scaling_bench.py [--sf-dir DIR] [--reps R] [--n N]
+Writes BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(cores: int, corpus: str, out: str) -> dict:
+    shutil.rmtree(out, ignore_errors=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--conf", "spark.driver.memory=48g",
+        "--conf", "spark.sql.shuffle.partitions=%d" % max(cores, 8),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
+        os.path.join(ROOT, "job.py"),
+        "--corpus", corpus,
+        "--out", out,
+        "--group-size", "64",
+    ]
+    t0 = time.time()
+    p = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    wall_total = time.time() - t0
+    if p.returncode != 0:
+        print(p.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"run at local[{cores}] failed")
+    summary = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+    summary["cores"] = cores
+    summary["wall_total_s"] = round(wall_total, 2)  # incl. JVM/session startup
+    summary["turns_per_sec"] = round(summary["turns"] / summary["wall_s"], 1)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism N (big = 4N)")
+    args = ap.parse_args()
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    corpus = f"/tmp/paddleocr_spark_bench/corpus_sf{sf}_r{args.reps}.parquet"
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "scripts", "package.py")], check=True)
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, %r);"
+            "from paddleocr_spark.session import get_spark;"
+            "from paddleocr_spark.corpus import transcripts_df;"
+            "spark = get_spark('gen', cores=32);"
+            "transcripts_df(spark, %r, reps=%d).write.mode('overwrite').parquet(%r)"
+            % (ROOT, args.sf_dir, args.reps, corpus)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=ROOT)
+
+    small = run_one(args.n, corpus, "/tmp/scale_out_small")
+    big = run_one(args.n * 4, corpus, "/tmp/scale_out_big")
+    eff = round(small["wall_s"] / (4.0 * big["wall_s"]), 3)
+
+    result = {
+        "metric": "scaling efficiency N -> 4N (extraction job wall time)",
+        "n_cores": args.n,
+        "turns": small["turns"],
+        "wall_n_s": small["wall_s"],
+        "wall_4n_s": big["wall_s"],
+        "tps_n": small["turns_per_sec"],
+        "tps_4n": big["turns_per_sec"],
+        "efficiency": eff,
+        "sf": float(sf),
+        "reps": args.reps,
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
+        f.write(
+            f"""# BENCH — throughput & scaling efficiency
+
+Job: `spark-submit --master local[N] --py-files dist/engine.zip job.py
+--corpus {corpus} --out ...` — the full checkpointed extraction pipeline
+(parquet corpus scan → salted repartition → fused Arrow extraction kernel →
+stable ordering → parquet sink + bucket manifest with lineage/metrics).
+
+Input: {small['turns']:,} turns (sf{sf} documents, reps={args.reps}),
+identical for both runs. Wall times are the job's internal extract+write time
+(`wall_s`, excludes JVM startup); `wall_total` includes spark-submit startup.
+
+| parallelism | wall_s | wall_total_s | turns/sec |
+|---|---|---|---|
+| local[{args.n}]  (N)  | {small['wall_s']} | {small['wall_total_s']} | {small['turns_per_sec']:,} |
+| local[{args.n * 4}] (4N) | {big['wall_s']} | {big['wall_total_s']} | {big['turns_per_sec']:,} |
+
+**Scaling efficiency eff = T(N) / (4 · T(4N)) = {eff}** (north-rule target ≥ 0.8).
+
+The sandbox has no multi-node cluster; per the driver instruction the two
+"cluster sizes" are two parallelism levels of the same job on the same input.
+The job's partitioning (salted repartition over (conv_id, hash(turn_idx)%S),
+{small.get('buckets_done', 64)} output buckets) is data-independent, so the
+same plan shape holds at 1000 executors.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Determinism under parallelism + skew defusal (SURVEY.md §5, §7 hard-parts).
+
+North rule: per-turn text equality under stable turn ordering — the output
+must be byte-identical at ANY partition layout, because every ordering in the
+pipeline is window/quantization-defined, never arrival-defined.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.corpus import generate_rows
+from paddleocr_spark.operators.extract import extract, ordered_output
+
+WORDS = (
+    "the quick brown fox jumps over a lazy dog with table rows and nav links "
+    "copyright footer sidebar main article content paragraph"
+).split()
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    # doc_id 0 hits the corpus skew rule (doc_id % 97 == 0 → 100× turns):
+    # one 400-turn conversation among 4-turn ones
+    rows = list(generate_rows([(i, " ".join(WORDS)) for i in range(12)]))
+    return spark.createDataFrame(rows)
+
+
+def _canon(df):
+    out = ordered_output(extract(df)).select(
+        "conv_id", "turn_idx", "payload_kind", "extracted_text",
+        F.to_json("spans").alias("spans_json"),
+    )
+    return [tuple(r) for r in out.collect()]
+
+
+def test_identical_output_across_partitionings(spark, turns):
+    a = _canon(turns.repartition(2))
+    b = _canon(turns.repartition(17, "role"))  # adversarial layout
+    c = _canon(turns.coalesce(1))
+    assert a == b == c
+    assert len(a) == turns.count()
+
+
+def test_skewed_conv_spreads_across_partitions(spark, turns):
+    """The 400-turn conversation must not serialize onto one partition:
+    salting by (conv_id, hash(turn_idx) % S) spreads it."""
+    ex = extract(turns, num_partitions=8)
+    pid = ex.withColumn("pid", F.spark_partition_id())
+    counts = (
+        pid.filter(F.col("conv_id") == "conv-000000-000")
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(counts) >= 4  # spread over at least half the partitions
+    assert max(c["count"] for c in counts) < 400  # nobody holds the whole conv
+
+
+def test_null_and_malformed_payloads_never_raise(spark):
+    rows = [
+        ("c0", 0, "user", None, None, None),
+        ("c0", 1, "user", "<html><p>truncated but fine", None, None),
+        ("c0", 2, "user", "PDFLIKE v1\ngarbage|||", None, None),
+        ("c0", 3, "user", "", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r.turn_idx: r for r in extract(df).collect()}
+    assert out[0].payload_kind == "plain" and out[0].n_spans == 0
+    assert out[1].payload_kind == "html"
+    assert out[1].extracted_text == "truncated but fine"
+    assert out[2].payload_kind == "pdf" and out[2].n_spans == 0
+    assert out[3].n_spans == 0
