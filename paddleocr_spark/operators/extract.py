@@ -93,7 +93,7 @@ def extract(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     salt: bool = True,
     num_partitions: int | None = None,
-    sort_by_len: bool = True,
+    sort_by_len: bool = False,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) →
     + payload_kind, spans, extracted_text, n_spans, n_dropped.
@@ -102,8 +102,11 @@ def extract(
     single million-turn conversation spreads across S partitions (SURVEY.md §7
     hard-part #2). ``sort_by_len`` sorts within partitions by payload length —
     the aspect-ratio-sorted batching analog
-    (/root/reference/tools/infer/predict_rec.py:582-612) so each Arrow batch
-    holds similar-size payloads.
+    (/root/reference/tools/infer/predict_rec.py:582-612). It is OFF by
+    default: unlike the reference's fixed-width tensor batches, this kernel
+    has no padding cost, and the extra in-partition sort of fat string rows
+    measurably destabilized throughput (68→100 s drift across reps at 32
+    cores vs a stable 42 s without it; see docs/PLAN.md).
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2

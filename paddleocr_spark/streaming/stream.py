@@ -1,0 +1,103 @@
+"""Structured Streaming mode for the extraction pipeline.
+
+The reference is strictly batch (SURVEY.md §2.10 — no watermarks, no state);
+its closest analogs are PDF page streaming (/root/reference/ppocr/utils/
+utility.py:137-151) and the lazy ``predict_iter`` generator
+(/root/reference/paddleocr/_pipelines/ocr.py:169-196). This module is the
+forward bridge noted there: the SAME stateless stage functions wrapped as a
+streaming job, because every turn is independent — extraction needs no
+cross-batch state, watermark, or ordering guarantee beyond keys in the row.
+
+Two modes:
+
+- ``extract_stream``     — direct: readStream → extract (salted repartition +
+  fused Arrow kernel; in-partition length sort is disabled — sorting an
+  unbounded stream is undefined) → writeStream parquet, exactly-once via the
+  streaming checkpoint.
+- ``extract_foreach_batch`` — per-micro-batch delegation to the checkpointed
+  batch sink, giving streaming ingestion the same bucket manifest / lineage
+  metrics as the batch job (the Iceberg MERGE shape).
+
+Global (conv_id, turn_idx) output ordering is a BATCH concept; a streaming
+consumer re-orders per conversation at read time (the spans within each turn
+are already internally ordered by the kernel — per-turn equality holds
+row-by-row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import ExtractConfig, DEFAULT_CONFIG
+from ..operators.extract import extract
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def extract_stream(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+):
+    """Streaming extraction → parquet sink. Returns the started query."""
+    out = extract(stream_df, cfg=cfg, sort_by_len=False)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def extract_foreach_batch(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Streaming ingestion through the checkpointed batch sink (manifest +
+    lineage metrics per micro-batch)."""
+    from ..sinks.checkpoint import run_extract_job
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one sub-table per micro-batch: bucket manifests are per-batch, so a
+        # later batch never collides with (or skips because of) an earlier
+        # batch's committed buckets; on Iceberg this is a plain MERGE instead
+        run_extract_job(
+            batch_df.sparkSession,
+            batch_df,
+            f"{out_dir}/batch={batch_id}",
+            cfg=cfg,
+            n_buckets=n_buckets,
+            group_size=n_buckets,
+            run_id=f"stream-{batch_id}",
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

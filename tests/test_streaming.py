@@ -1,0 +1,77 @@
+"""Structured Streaming mode tests: streaming output ≡ batch output."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.corpus import generate_rows
+from paddleocr_spark.operators.extract import extract
+from paddleocr_spark.streaming.stream import (
+    extract_foreach_batch,
+    extract_stream,
+    read_transcript_stream,
+)
+
+WORDS = "stream alpha beta gamma delta nav footer main content link".split()
+
+
+@pytest.fixture(scope="module")
+def staged_input(spark, tmp_path_factory):
+    """Transcripts written as multiple parquet files (a file-stream source)."""
+    root = str(tmp_path_factory.mktemp("stream_in"))
+    from paddleocr_spark.streaming.stream import TRANSCRIPT_DDL
+
+    rows = list(generate_rows([(i, " ".join(WORDS)) for i in range(1, 9)]))
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], TRANSCRIPT_DDL
+    )
+    df.repartition(4).write.mode("overwrite").parquet(root)
+    return root, df
+
+
+def _collect_sorted(df):
+    return [
+        tuple(r)
+        for r in df.select("conv_id", "turn_idx", "payload_kind", "extracted_text")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+
+
+def test_stream_matches_batch(spark, staged_input, tmp_path):
+    root, df = staged_input
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = extract_stream(
+        read_transcript_stream(spark, root, max_files_per_trigger=2), out, ck
+    )
+    q.awaitTermination(120)
+    got = _collect_sorted(spark.read.parquet(out))
+    want = _collect_sorted(extract(df))
+    assert got == want
+
+
+def test_foreach_batch_sink(spark, staged_input, tmp_path):
+    root, df = staged_input
+    out = str(tmp_path / "out_fb")
+    ck = str(tmp_path / "ck_fb")
+    q = extract_foreach_batch(
+        read_transcript_stream(spark, root, max_files_per_trigger=2),
+        out,
+        ck,
+        n_buckets=4,
+    )
+    q.awaitTermination(180)
+    batches = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert batches  # at least one micro-batch committed
+    from functools import reduce
+
+    data = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(os.path.join(out, b, "data")) for b in batches],
+    )
+    assert data.count() == df.count()
+    assert data.select("conv_id", "turn_idx").distinct().count() == df.count()
