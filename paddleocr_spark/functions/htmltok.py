@@ -33,7 +33,6 @@ kind='table', text = rows joined by newline, cells joined by ' | '
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 from typing import List, Optional
 
 from ..config import ExtractConfig, DEFAULT_CONFIG
@@ -52,20 +51,6 @@ BLOCK_TAGS = frozenset(
 # void tags: never pushed on the open-tag stack
 VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
-
-
-@dataclass
-class Block:
-    """A candidate text block (the 'box' of the detect analog)."""
-
-    kind: str = "para"
-    pieces: List[str] = field(default_factory=list)
-    link_chars: int = 0
-    boiler: bool = False
-    kind_set: bool = False
-
-    def text(self) -> str:
-        return collapse_ws("".join(self.pieces))
 
 
 def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
@@ -100,7 +85,12 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     table_boiler = False
 
     candidates: List[tuple] = []  # (kind, text, total, link, boiler)
-    cur = Block()
+    # current block as plain locals (a Block() per flush measurably costs;
+    # see docs/PLAN.md kernel notes)
+    cur_kind: Optional[str] = None
+    cur_pieces: List[str] = []
+    cur_link = 0
+    cur_boiler = False
 
     def current_kind() -> str:
         if heading_depth > 0:
@@ -112,11 +102,17 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         return "para"
 
     def flush():
-        nonlocal cur
-        t = cur.text()
-        if t:
-            candidates.append((cur.kind, t, len(t), min(cur.link_chars, len(t)), cur.boiler))
-        cur = Block()
+        nonlocal cur_kind, cur_pieces, cur_link, cur_boiler
+        if cur_pieces:
+            t = collapse_ws("".join(cur_pieces))
+            if t:
+                candidates.append(
+                    (cur_kind or "para", t, len(t), min(cur_link, len(t)), cur_boiler)
+                )
+            cur_pieces = []
+        cur_kind = None
+        cur_link = 0
+        cur_boiler = False
 
     def flush_table():
         nonlocal table_rows, table_link_chars, table_boiler
@@ -131,17 +127,37 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         table_link_chars = 0
         table_boiler = False
 
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
+    for tok in _TOKEN_RE.findall(text):
+        if tok[0] != "<":
+            # --- text token (fast path: the most common token kind) ---
+            if skip_depth > 0:
+                continue
+            piece = (
+                decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
+            )
+            if table_depth > 0:
+                if cell_pieces is not None:
+                    cell_pieces.append(piece)
+                    if link_depth > 0:
+                        table_link_chars += len(collapse_ws(piece))
+                continue
+            if cur_kind is None and not piece.isspace():
+                cur_kind = current_kind()
+            cur_pieces.append(piece)
+            if link_depth > 0:
+                cur_link += len(collapse_ws(piece))
+            if boiler_depth > 0 and not cur_boiler and not piece.isspace():
+                cur_boiler = True
+            continue
         if tok.startswith("<!--"):
             continue
-        if tok.startswith("<"):
+        else:  # --- tag token ---
             tm = _TAG_NAME_RE.match(tok)
             if tm is None:
                 continue  # declaration / malformed tag → ignored
             closing = tm.group(1) == "/"
             name = tm.group(2).lower()
-            self_closing = tok.rstrip().endswith("/>")
+            self_closing = tok.endswith("/>")
 
             if not closing and name in ("script", "style") and not self_closing:
                 skip_depth += 1
@@ -222,25 +238,6 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                         li_depth = max(0, li_depth - l2)
                     del stack[idx:]
             continue
-
-        # --- text token ---
-        if skip_depth > 0:
-            continue
-        piece = decode_entities(tok)
-        if table_depth > 0:
-            if cell_pieces is not None:
-                cell_pieces.append(piece)
-                if link_depth > 0:
-                    table_link_chars += len(collapse_ws(piece))
-            continue
-        if not cur.kind_set and piece.strip():
-            cur.kind = current_kind()
-            cur.kind_set = True
-        cur.pieces.append(piece)
-        if link_depth > 0:
-            cur.link_chars += len(collapse_ws(piece))
-        if boiler_depth > 0 and piece.strip():
-            cur.boiler = True
 
     flush()
     if table_depth > 0:  # truncated payload inside a table
