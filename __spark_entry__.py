@@ -239,6 +239,30 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTL unit re-ordering (pred_reverse analog,
+    /root/reference/ppocr/postprocess/rec_postprocess.py:82-96) — built-ins
+    only; exact DuckDB mirror."""
+    from paddleocr_spark.functions.words import pred_reverse_col
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        "p_partkey",
+        pred_reverse_col(F.concat(F.col("p_name"), F.lit(" #"), F.col("p_brand"))).alias(
+            "reversed"
+        ),
+    )
+
+
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown document assembly over extracted spans (convert_info_markdown
+    analog) — rows-only check (depends on the UDF extraction)."""
+    from paddleocr_spark.operators.markdown import render_markdown
+
+    out = flagship(spark, sf_dir, ordered=False)
+    return render_markdown(out).select("conv_id", "turn_idx", "markdown")
+
+
 def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline (pandas-UDF kernel) — rows-only check here;
     golden equality is enforced in tests/ against the pure-Python oracle."""
@@ -299,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "det_match": q_det_match,
         "rec_metric": q_rec_metric,
+        "rtl_reverse": q_rtl_reverse,
+        "extract_markdown": q_extract_markdown,
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -563,6 +589,13 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["rtl_reverse"] = r"""
+SELECT p_partkey,
+  array_to_string(list_reverse(
+    regexp_extract_all(p_name || ' #' || p_brand, '([a-zA-Z0-9]+|\S)')), ' ') AS reversed
+FROM part
 """
 
     sql["textnorm"] = r"""

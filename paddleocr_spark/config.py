@@ -42,6 +42,10 @@ class ExtractConfig:
     footer_y: int = 950             # blocks fully below this line are footer → drop
     y_band: int = 10                # banded reading-order quantum (10px tolerance)
     xy_min_gap: int = 1             # minimum projection gap that splits a region
+    merge_fragments: bool = False   # fixpoint merge of adjacent fragments
+                                    # (merge_fragmented analog,
+                                    # tools/infer/utility.py:980-1027); off by
+                                    # default to keep golden fixtures stable
 
     # -- assembly --
     para_sep: str = "\n\n"

@@ -74,3 +74,15 @@ def collapse_ws_col(col):
     from pyspark.sql import functions as F
 
     return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+_Q2B_FROM = "　" + "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+_Q2B_TO = " " + "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+
+
+def strq2b_col(col):
+    """Full-width → half-width as a single built-in ``translate`` call
+    (eval_end2end.py:26-35 semantics, JVM-side)."""
+    from pyspark.sql import functions as F
+
+    return F.translate(col, _Q2B_FROM, _Q2B_TO)

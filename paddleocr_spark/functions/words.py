@@ -1,0 +1,66 @@
+"""Word-level scalar functions: segmentation, RTL reorder.
+
+Reference parity (SURVEY.md §2.7):
+
+- ``word_segments``  ← the ``get_word_info`` grouping state machine
+  (/root/reference/ppocr/postprocess/rec_postprocess.py:101-170): classify
+  each char as cjk / en-num / splitter, group maximal runs, where a splitter
+  char (space & punctuation) closes the current word. Apostrophes, hyphens
+  and decimal points BETWEEN en-num chars keep the word together (the French
+  contraction / "l'été" cases covered by
+  /root/reference/tests/test_french_accents.py:28-60).
+- ``pred_reverse`` ← RTL re-ordering (rec_postprocess.py:82-96): latin/digit
+  runs stay intact as units, everything else splits; unit order reverses.
+  Exists as pure Python and as a built-ins-only Column form.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+_EN_NUM = re.compile(r"[a-zA-Z0-9À-ɏ]")  # latin incl. accented
+_CJK = re.compile(r"[一-鿿㐀-䶿]")
+_JOINERS = set("'’-.")
+
+RTL_UNIT = r"[a-zA-Z0-9]+|\S"
+
+
+def word_segments(text: str) -> List[Tuple[str, int, int]]:
+    """→ [(word, start, end)] with character offsets, get_word_info-style.
+
+    A joiner (' ’ - .) glues two en-num chars into one word; CJK chars are
+    one word each; any other char is a splitter."""
+    words: List[Tuple[str, int, int]] = []
+    start = None
+    n = len(text)
+    for i, ch in enumerate(text):
+        if _EN_NUM.match(ch):
+            if start is None:
+                start = i
+            continue
+        if ch in _JOINERS and start is not None and i + 1 < n and _EN_NUM.match(text[i + 1]):
+            continue  # internal joiner: l'été, state-of-the-art, 3.14
+        if start is not None:
+            words.append((text[start:i], start, i))
+            start = None
+        if _CJK.match(ch):
+            words.append((ch, i, i + 1))
+    if start is not None:
+        words.append((text[start:], start, n))
+    return words
+
+
+def pred_reverse(pred: str) -> str:
+    """RTL re-order: reverse the unit sequence, units joined by single space
+    (rec_postprocess.py:82-96 semantics)."""
+    return " ".join(reversed(re.findall(RTL_UNIT, pred)))
+
+
+def pred_reverse_col(col):
+    """Column form — built-ins only (regexp_extract_all + reverse)."""
+    from pyspark.sql import functions as F
+
+    return F.array_join(
+        F.reverse(F.regexp_extract_all(col, F.lit(f"({RTL_UNIT})"))), " "
+    )

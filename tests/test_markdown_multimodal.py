@@ -1,0 +1,89 @@
+"""Tests: markdown assembly, fragment merge, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.config import ExtractConfig
+from paddleocr_spark.functions.pdflike import merge_fragments, pdflike_spans
+from paddleocr_spark.operators.markdown import render_markdown
+from paddleocr_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample,
+    resize_plan,
+    synth_media,
+)
+
+
+def test_render_markdown_kinds(spark):
+    spans = [
+        {"span_idx": 0, "kind": "title", "text": "My Title", "score": 1.0, "bbox": None},
+        {"span_idx": 1, "kind": "para", "text": "hello *world*", "score": 1.0, "bbox": None},
+        {"span_idx": 2, "kind": "list", "text": "item one", "score": 1.0, "bbox": None},
+        {"span_idx": 3, "kind": "table", "text": "a | b\nc | d", "score": 1.0, "bbox": None},
+        {"span_idx": 4, "kind": "code", "text": "x = 1", "score": 1.0, "bbox": None},
+    ]
+    df = spark.createDataFrame(
+        [(1, spans)],
+        "id long, spans array<struct<span_idx:int,kind:string,text:string,score:double,bbox:array<int>>>",
+    )
+    md = render_markdown(df).collect()[0].markdown
+    assert "# My Title" in md
+    assert r"hello \*world\*" in md
+    assert "- item one" in md
+    assert "| a | b |" in md and "| c | d |" in md
+    assert "```\nx = 1\n```" in md
+
+
+def test_merge_fragments_fixpoint():
+    # three fragments on one visual row (within y-tol, x-gaps <= 10) + one far
+    boxes = [
+        (50, 100, 200, 130, 0, "alpha"),
+        (205, 102, 380, 131, 1, "beta"),
+        (388, 99, 500, 129, 2, "gamma"),
+        (50, 300, 200, 330, 3, "other"),
+    ]
+    out = merge_fragments(boxes, y_tol=10, x_gap=10)
+    assert len(out) == 2
+    merged = [b for b in out if b[1] < 200][0]
+    assert merged[5] == "alpha beta gamma"
+    assert merged[0] == 50 and merged[2] == 500 and merged[4] == 0
+
+
+def test_merge_fragments_in_pdf_path():
+    payload = "PDFLIKE v1\n0|50,100,200,130|alpha\n0|205,102,380,131|beta"
+    base = ExtractConfig()
+    merged_cfg = ExtractConfig(merge_fragments=True)
+    spans_plain, _ = pdflike_spans(payload, base)
+    spans_merged, _ = pdflike_spans(payload, merged_cfg)
+    assert [s[1] for s in spans_plain] == ["alpha", "beta"]
+    assert [s[1] for s in spans_merged] == ["alpha beta"]
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media.repartition(4)).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    assert all(r.decoder == "fake" for r in feats)
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r.features)
+    # deterministic across partitionings
+    feats2 = {r.media_id: r.features for r in extract_features(media.coalesce(1)).collect()}
+    assert {k: v.features for k, v in by_id.items()} == feats2
+
+
+def test_resize_plan_and_frame_sample(spark):
+    media = synth_media(spark, 30)
+    plan = resize_plan(media.filter(F.col("kind") == "image"), max_side=736)
+    for r in plan.collect():
+        assert r.resize_w % 32 == 0 and r.resize_h % 32 == 0
+        assert max(r.resize_w, r.resize_h) <= 736 + 16  # rounding headroom
+    frames = frame_sample(media, every_n=10)
+    rows = frames.groupBy("media_id").count().collect()
+    metas = {r.media_id: r.meta.n_frames for r in media.filter("kind='video'").collect()}
+    for r in rows:
+        expect = (metas[r.media_id] - 1) // 10 + 1
+        assert r["count"] == expect

@@ -1,0 +1,64 @@
+"""Word segmentation / RTL / full-width tests — the test_french_accents.py
+style of the reference (/root/reference/tests/test_french_accents.py:28-60):
+hand-written inputs with exact expected outputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from paddleocr_spark.functions.textnorm import strq2b, strq2b_col
+from paddleocr_spark.functions.words import (
+    pred_reverse,
+    pred_reverse_col,
+    word_segments,
+)
+
+
+def words_of(text):
+    return [w for w, _, _ in word_segments(text)]
+
+
+def test_word_segments_basic():
+    assert words_of("hello world") == ["hello", "world"]
+    assert words_of("  spaced   out ") == ["spaced", "out"]
+
+
+def test_word_segments_french_contractions():
+    assert words_of("l'été est là") == ["l'été", "est", "là"]
+    assert words_of("aujourd'hui") == ["aujourd'hui"]
+    assert words_of("café!") == ["café"]
+
+
+def test_word_segments_joiners():
+    assert words_of("state-of-the-art") == ["state-of-the-art"]
+    assert words_of("pi is 3.14.") == ["pi", "is", "3.14"]
+    assert words_of("end-") == ["end"]  # trailing joiner splits
+
+
+def test_word_segments_offsets():
+    segs = word_segments("ab cd")
+    assert segs == [("ab", 0, 2), ("cd", 3, 5)]
+
+
+def test_word_segments_cjk():
+    assert words_of("中文 mixed 字") == ["中", "文", "mixed", "字"]
+
+
+def test_pred_reverse():
+    assert pred_reverse("abc def") == "def abc"
+    assert pred_reverse("a1 ! b2") == "b2 ! a1"
+    assert pred_reverse("") == ""
+
+
+def test_pred_reverse_col_matches_python(spark):
+    rows = [("abc def!",), ("x 42 , y",), ("",)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r.r for r in df.select(pred_reverse_col(F.col("t")).alias("r")).collect()]
+    assert got == [pred_reverse(t) for (t,) in rows]
+
+
+def test_strq2b_python_and_col(spark):
+    s = "ＡＢＣ　１２３！"
+    assert strq2b(s) == "ABC 123!"
+    df = spark.createDataFrame([(s,)], ["t"])
+    assert df.select(strq2b_col(F.col("t")).alias("r")).collect()[0].r == "ABC 123!"
