@@ -239,6 +239,47 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization stats (letter runs / digit runs / single
+    symbols) — the sub-word analog of whitespace token counting."""
+    from paddleocr_spark.functions.textstats import norm_text
+
+    toks = F.regexp_extract_all(norm_text(F.col("text")), F.lit(_BPE_PAT))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.35; the 10^9-row
+    scale path is the hyperplane-LSH bucketing in ann_lsh)."""
+    from paddleocr_spark.operators.ann import _dot, _to_double
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
+        )
+    )
+
+
 def q_rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RTL unit re-ordering (pred_reverse analog,
     /root/reference/ppocr/postprocess/rec_postprocess.py:82-96) — built-ins
@@ -324,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_match": q_det_match,
         "rec_metric": q_rec_metric,
         "rtl_reverse": q_rtl_reverse,
+        "token_bpe": q_token_bpe,
+        "dedup_embedding": q_dedup_embedding,
         "extract_markdown": q_extract_markdown,
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
@@ -515,7 +558,7 @@ FROM b
 
     sql["metrics_rollup"] = """
 SELECT event_type, count(*) AS n,
-  sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """
 
@@ -589,6 +632,29 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["token_bpe"] = rf"""
+WITH {_TD},
+tk AS (SELECT doc_id, regexp_extract_all(norm, '{_BPE_PAT}') AS toks2 FROM td)
+SELECT doc_id, len(toks2)::BIGINT AS n_bpe_tokens,
+       len(list_distinct(toks2))::BIGINT AS n_bpe_distinct
+FROM tk
+"""
+
+    sql["dedup_embedding"] = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {dot.format(a='a.e', b='b.e')}
+      / (sqrt({dot.format(a='a.e', b='a.e')}) * sqrt({dot.format(a='b.e', b='b.e')})) AS cos
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 1e9) AS BIGINT) AS cos_scaled
+FROM p WHERE cos >= 0.35
 """
 
     sql["rtl_reverse"] = r"""
