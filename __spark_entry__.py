@@ -93,6 +93,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN (probe-limited exact re-rank) — rows-only
+    check (approximate recall by construction; scored pairs are exact and
+    tested against brute force in tests/test_pipeline_ops.py)."""
+    return ANN.ivf_cosine_topk(_emb(spark, sf_dir)).withColumn(
+        "rank_k", F.col("rank_k").cast("long")
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path (hyperplane LSH) — rows-only check (bucketing uses
     md5-seeded planes, not reasonably SQL-expressible)."""
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "turn_ordering": q_turn_ordering,
         "reading_order_band": q_reading_order_band,

@@ -50,6 +50,12 @@ class ExtractConfig:
     # -- assembly --
     para_sep: str = "\n\n"
 
+    # -- row-level skew guard (SURVEY.md §7 hard-part #2) --
+    # one turn with a giant payload can stall an Arrow batch; payloads are
+    # truncated to this many chars before parsing — the analog of the
+    # reference slicing extreme-aspect inputs (predict_det.py:307-408)
+    max_payload_chars: int = 1 << 22
+
     # -- Spark execution knobs (plan-construction decisions, SURVEY.md §4.2) --
     salt_buckets: int = 64          # pmod(hash(turn_idx), S) salt for conv skew
     arrow_max_records: int = 2048   # spark.sql.execution.arrow.maxRecordsPerBatch

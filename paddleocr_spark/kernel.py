@@ -51,6 +51,8 @@ def extract_payload(text, cfg: ExtractConfig = DEFAULT_CONFIG):
     kind = sniff_kind(text)
     if text is None:
         return kind, [], 0
+    if len(text) > cfg.max_payload_chars:  # row-level skew guard
+        text = text[: cfg.max_payload_chars]
     if kind == "pdf":
         raw, n_dropped = pdflike_spans(text, cfg)
     elif kind == "html":

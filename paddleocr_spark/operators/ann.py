@@ -88,6 +88,80 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization + probe-limited exact re-rank.
+
+    Centroids are the first ``n_centroids`` corpus vectors (deterministic
+    stand-in for a k-means codebook — at production scale the codebook is
+    trained offline and broadcast, exactly as here). Every vector is assigned
+    to its nearest centroid (one broadcast join, no shuffle of the corpus);
+    a query probes its ``n_probe`` nearest centroid cells and exact-scores
+    only vectors in those cells. Recall < 1 by construction; scored pairs are
+    exact cosine. At 10^9 vectors the cell equi-join replaces the cross
+    product — same shape as the LSH path but with tunable probe/recall."""
+    base = emb.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+
+    def nearest(df, vec_col, out_col, rank_cap):
+        scored = df.join(cents, how="cross").withColumn(
+            "_sim",
+            _dot(F.col(vec_col), F.col("ce"))
+            / (
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+                * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+            ),
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= rank_cap)
+            .select(*df.columns, F.col("cent_id").alias(out_col))
+        )
+
+    assigned = nearest(base, "e", "cell", 1)  # corpus → 1 cell each
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    probes = nearest(q, "qe", "cell", n_probe)  # query → n_probe cells
+    c = assigned.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce2"), "cell"
+    )
+    scored = probes.join(c, "cell").select(
+        "q_id",
+        "cand_id",
+        (
+            _dot(F.col("qe"), F.col("ce2"))
+            / (
+                F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("ce2"), F.col("ce2")))
+            )
+        ).alias("cos"),
+    ).dropDuplicates(["q_id", "cand_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select(
+            "q_id",
+            "cand_id",
+            "rank_k",
+            F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
+        )
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     n_queries: int = 5,

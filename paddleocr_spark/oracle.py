@@ -298,6 +298,8 @@ def oracle_extract(text, cfg: ExtractConfig = DEFAULT_CONFIG):
     spans entries: (span_idx, kind, text, score, bbox|None).
     """
     kind = oracle_sniff(text)
+    if text is not None and len(text) > cfg.max_payload_chars:
+        text = text[: cfg.max_payload_chars]  # row-level skew guard (SPEC)
     if text is None:
         raw, dropped = [], 0
     elif kind == "pdf":

@@ -66,6 +66,39 @@ def extract_stream(
     return writer.start()
 
 
+def conversation_progress(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-conversation running progress
+    via ``applyInPandasWithState`` (the engine's only cross-batch state; the
+    reference has no streaming at all — SURVEY.md §2.10 — this is the
+    ``applyInPandasWithState`` capability demonstrator for conversation-level
+    aggregation over an unbounded transcript stream).
+
+    Emits one update row per conversation per micro-batch:
+    (conv_id, turns_seen, max_turn_idx) with state carried across batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_type = "conv_id string, turns_seen bigint, max_turn_idx int"
+    state_type = "turns_seen bigint, max_turn_idx int"
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        turns, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            turns += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((turns, mx))
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "turns_seen": turns, "max_turn_idx": mx}]
+        )
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def extract_foreach_batch(
     stream_df: DataFrame,
     out_dir: str,

@@ -122,3 +122,18 @@ def test_assemble_and_squeeze():
 def test_scalar_norms():
     assert strq2b("ＡＢＣ　１") == "ABC 1"
     assert scrub_style_tags("a <b>x</b> <sub>y</sub>") == "a x y"
+
+
+def test_payload_cap_guard():
+    """Row-level skew guard: giant payloads truncate identically in kernel
+    and oracle (SURVEY.md §7 hard-part #2)."""
+    from paddleocr_spark.config import ExtractConfig
+    from paddleocr_spark.kernel import extract_payload
+    from paddleocr_spark.oracle import oracle_extract
+
+    cfg = ExtractConfig(max_payload_chars=100)
+    big = "<html>" + "<p>word here</p>" * 50
+    k, spans, nd = extract_payload(big, cfg)
+    o = oracle_extract(big, cfg)
+    assert spans == o["spans"] and nd == o["n_dropped"]
+    assert len(spans) <= 8  # truncated: far fewer than 50 paragraphs

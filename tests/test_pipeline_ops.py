@@ -142,3 +142,25 @@ def test_lsh_topk_subset_of_exact(spark):
     for r in approx:
         assert base[(r.q_id, r.cand_id)] == r.cos_scaled
     assert len(approx) > 0
+
+
+def test_ivf_topk_scores_are_exact_cosines(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(60)]
+    emb = _mk_emb(spark, vecs)
+    base = {
+        (r.q_id, r.cand_id): r.cos_scaled
+        for r in ANN.cosine_topk(emb, n_queries=2, k=1000).collect()
+    }
+    ivf = ANN.ivf_cosine_topk(emb, n_queries=2, k=5, n_centroids=8, n_probe=3).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert base[(r.q_id, r.cand_id)] == r.cos_scaled
+    # probing ALL cells ≡ exact brute force top-k
+    full = ANN.ivf_cosine_topk(emb, n_queries=2, k=5, n_centroids=8, n_probe=8).collect()
+    exact5 = ANN.cosine_topk(emb, n_queries=2, k=5).collect()
+    assert {(r.q_id, r.cand_id, r.rank_k) for r in full} == {
+        (r.q_id, r.cand_id, r.rank_k) for r in exact5
+    }

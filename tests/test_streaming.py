@@ -75,3 +75,45 @@ def test_foreach_batch_sink(spark, staged_input, tmp_path):
     )
     assert data.count() == df.count()
     assert data.select("conv_id", "turn_idx").distinct().count() == df.count()
+
+
+def test_conversation_progress_stateful(spark, staged_input, tmp_path):
+    """State carries across micro-batches: final update per conversation
+    equals its total turn count."""
+    from paddleocr_spark.streaming.stream import conversation_progress
+
+    root, df = staged_input
+    out = str(tmp_path / "prog")
+    ck = str(tmp_path / "ck_prog")
+    prog = conversation_progress(
+        read_transcript_stream(spark, root, max_files_per_trigger=1)
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        prog.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    updates = spark.read.parquet(out)
+    assert updates.select("batch_id").distinct().count() > 1  # state crossed batches
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("batch_id").desc())
+    final = (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("conv_id", "turns_seen", "max_turn_idx")
+    )
+    want = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("turns_seen"),
+        F.max("turn_idx").alias("max_turn_idx"),
+    )
+    assert final.exceptAll(want).count() == 0 and want.exceptAll(final).count() == 0
