@@ -64,3 +64,39 @@ def pred_reverse_col(col):
     return F.array_join(
         F.reverse(F.regexp_extract_all(col, F.lit(f"({RTL_UNIT})"))), " "
     )
+
+
+def word_boxes(
+    text: str, bbox: Tuple[int, int, int, int]
+) -> List[Tuple[str, int, int, int, int]]:
+    """Distribute word boxes across a line box proportionally to character
+    offsets — the ``cal_ocr_word_box`` analog (/root/reference/ppstructure/
+    utility.py:243-293: word x-extents from CTC column indices scaled into
+    the line box; here the "columns" are character offsets).
+
+    → [(word, x0, y0, x1, y1)], y from the line box, x linear in offsets."""
+    x0, y0, x1, y1 = bbox
+    n = len(text)
+    if n == 0:
+        return []
+    w = x1 - x0
+    out = []
+    for word, s, e in word_segments(text):
+        wx0 = x0 + (s * w) // n
+        wx1 = x0 + (e * w + n - 1) // n  # ceil: boxes cover the full extent
+        out.append((word, wx0, y0, wx1, y1))
+    return out
+
+
+def unclip_box(
+    box: Tuple[int, int, int, int], ratio: float = 1.5
+) -> Tuple[int, int, int, int]:
+    """Pad a box outward by ``area·ratio/perimeter`` — the DB ``unclip``
+    polygon dilation (/root/reference/ppocr/postprocess/db_postprocess.py:
+    160-166: pyclipper offset by A·r/L) specialized to axis-aligned boxes."""
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0, y1 - y0
+    if w <= 0 or h <= 0:
+        return box
+    d = int(round(w * h * ratio / (2 * (w + h))))
+    return (x0 - d, y0 - d, x1 + d, y1 + d)

@@ -62,3 +62,23 @@ def test_strq2b_python_and_col(spark):
     assert strq2b(s) == "ABC 123!"
     df = spark.createDataFrame([(s,)], ["t"])
     assert df.select(strq2b_col(F.col("t")).alias("r")).collect()[0].r == "ABC 123!"
+
+
+def test_word_boxes_proportional():
+    from paddleocr_spark.functions.words import word_boxes
+
+    boxes = word_boxes("ab cd", (100, 10, 200, 40))
+    assert [b[0] for b in boxes] == ["ab", "cd"]
+    (w1, x0a, y0a, x1a, y1a), (w2, x0b, _, x1b, _) = boxes
+    assert (y0a, y1a) == (10, 40)
+    assert x0a == 100 and x1a == 140   # chars 0..2 of 5 over width 100
+    assert x0b == 160 and x1b == 200   # chars 3..5
+    assert word_boxes("", (0, 0, 10, 10)) == []
+
+
+def test_unclip_box():
+    from paddleocr_spark.functions.words import unclip_box
+
+    # 100x20 box: d = round(2000*1.5/240) = round(12.5) = 12 (banker's)
+    assert unclip_box((0, 0, 100, 20)) == (-12, -12, 112, 32)
+    assert unclip_box((5, 5, 5, 9)) == (5, 5, 5, 9)  # degenerate unchanged
