@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    if os.path.isdir("/dev/shm"):
+        # shuffle/spill on tmpfs: the sandbox's single shared disk is not the
+        # per-executor local storage a real cluster has (see BENCH.md)
+        b = b.config("spark.local.dir", "/dev/shm/spark_local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

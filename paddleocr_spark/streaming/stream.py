@@ -66,6 +66,33 @@ def extract_stream(
     return writer.start()
 
 
+def windowed_turn_counts(
+    stream_df: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window turn counts with a watermark for late data.
+
+    The standard Structured Streaming shape (watermark + window + agg) over
+    the transcript stream's ``ts`` column: counts turns per (window, role),
+    tolerating ``watermark`` of lateness before state for a window is
+    finalized and dropped. Append-mode compatible (emits only closed
+    windows)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
 def conversation_progress(stream_df: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-conversation running progress
     via ``applyInPandasWithState`` (the engine's only cross-batch state; the

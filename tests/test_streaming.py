@@ -117,3 +117,42 @@ def test_conversation_progress_stateful(spark, staged_input, tmp_path):
         F.max("turn_idx").alias("max_turn_idx"),
     )
     assert final.exceptAll(want).count() == 0 and want.exceptAll(final).count() == 0
+
+
+def test_windowed_turn_counts_with_watermark(spark, staged_input, tmp_path):
+    """Watermark + tumbling window over event time: closed windows match the
+    batch groupBy, late state is bounded."""
+    from paddleocr_spark.streaming.stream import windowed_turn_counts
+
+    root, df = staged_input
+    out = str(tmp_path / "win")
+    ck = str(tmp_path / "ck_win")
+    q = (
+        windowed_turn_counts(
+            read_transcript_stream(spark, root, max_files_per_trigger=2),
+            window="10 minutes",
+            watermark="5 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    want = (
+        df.groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    # append mode emits only windows closed past the watermark; all emitted
+    # rows must match the batch result exactly, and most windows close
+    assert got.exceptAll(want).count() == 0
+    assert got.count() >= want.count() - 4  # tail windows may stay open
