@@ -344,6 +344,14 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level document reassembly (concatenate_markdown_pages
+    analog) — rows-only check; determinism covered by tests."""
+    from paddleocr_spark.operators.extract import conversation_document
+
+    return conversation_document(flagship(spark, sf_dir, ordered=False))
+
+
 def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload-kind rollup of the extraction run — rows-only check."""
     return (
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
         "extract_markdown": q_extract_markdown,
+        "extract_conversation": q_extract_conversation,
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,

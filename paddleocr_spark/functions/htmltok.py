@@ -54,6 +54,8 @@ HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
 def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
+    if "=" not in tag_token:  # a class attr requires '='; skip the regex
+        return False
     m = _CLASS_RE.search(tag_token)
     if not m:
         return False
@@ -149,15 +151,17 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             if boiler_depth > 0 and not cur_boiler and not piece.isspace():
                 cur_boiler = True
             continue
-        if tok.startswith("<!--"):
+        if tok[1] == "!":  # comment or declaration (<!-- / <!DOCTYPE) → ignored
             continue
         else:  # --- tag token ---
             tm = _TAG_NAME_RE.match(tok)
             if tm is None:
-                continue  # declaration / malformed tag → ignored
-            closing = tm.group(1) == "/"
-            name = tm.group(2).lower()
-            self_closing = tok.endswith("/>")
+                continue  # malformed tag → ignored
+            slash, name = tm.groups()
+            closing = slash == "/"
+            name = name.lower()
+            # only open tags can be self-closing; skip the endswith for closes
+            self_closing = not closing and tok.endswith("/>")
 
             if not closing and name in ("script", "style") and not self_closing:
                 skip_depth += 1
@@ -230,12 +234,21 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                         idx = i
                         break
                 if idx is not None:
+                    # clamped decrements (table-mode <a> handling can consume
+                    # link_depth without a stack pop — the oracle clamps the
+                    # same way); flag-guarded so the common all-false entry
+                    # costs five bool checks, no max() calls
                     for _, b2, a2, h2, p2, l2 in stack[idx:]:
-                        boiler_depth = max(0, boiler_depth - b2)
-                        link_depth = max(0, link_depth - a2)
-                        heading_depth = max(0, heading_depth - h2)
-                        pre_depth = max(0, pre_depth - p2)
-                        li_depth = max(0, li_depth - l2)
+                        if b2:
+                            boiler_depth = max(0, boiler_depth - 1)
+                        if a2:
+                            link_depth = max(0, link_depth - 1)
+                        if h2:
+                            heading_depth = max(0, heading_depth - 1)
+                        if p2:
+                            pre_depth = max(0, pre_depth - 1)
+                        if l2:
+                            li_depth = max(0, li_depth - 1)
                     del stack[idx:]
             continue
 

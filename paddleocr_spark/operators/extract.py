@@ -150,6 +150,35 @@ def with_payload_kind(df: DataFrame) -> DataFrame:
     return df.withColumn("payload_kind", sniff_kind_col(F.col("text")))
 
 
+def conversation_document(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """Per-conversation document reassembly — the page-sequence concat analog
+    (/root/reference/paddleocr/_pipelines/pp_structurev3.py:287-288
+    ``concatenate_markdown_pages``; page list keyed by img_idx →
+    here turns keyed by turn_idx).
+
+    One map-side-combinable groupBy; ordering is established by sorting the
+    collected (turn_idx, text) structs INSIDE each group (sort_array on the
+    struct sorts by turn_idx first) — no window, no second shuffle, correct
+    at any parallelism."""
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n\n",
+            ).alias("document"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+    )
+
+
 def ordered_output(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Stable (conv_id, turn_idx) global ordering for writes/goldens: range
     partition + in-partition sort — no single-point sort bottleneck."""

@@ -74,3 +74,30 @@ def test_null_and_malformed_payloads_never_raise(spark):
     assert out[1].extracted_text == "truncated but fine"
     assert out[2].payload_kind == "pdf" and out[2].n_spans == 0
     assert out[3].n_spans == 0
+
+
+def test_conversation_document_reassembly(spark, turns):
+    """Per-conversation concat equals the turn-ordered join at any layout."""
+    from paddleocr_spark.operators.extract import conversation_document
+
+    ex = extract(turns)
+    doc = {r.conv_id: r for r in conversation_document(ex).collect()}
+    rows = sorted(
+        ex.select("conv_id", "turn_idx", "extracted_text").collect(),
+        key=lambda r: (r.conv_id, r.turn_idx),
+    )
+    want = {}
+    for r in rows:
+        want.setdefault(r.conv_id, []).append(r.extracted_text)
+    assert set(doc) == set(want)
+    for cid, texts in want.items():
+        assert doc[cid].document == "\n\n".join(texts)
+        assert doc[cid].n_turns == len(texts)
+    # skewed conversation reassembles completely
+    assert doc["conv-000000-000"].n_turns == 400
+    # identical at an adversarial partition layout
+    doc2 = {
+        r.conv_id: r.document
+        for r in conversation_document(extract(turns.repartition(13, "role"))).collect()
+    }
+    assert {k: v.document for k, v in doc.items()} == doc2
