@@ -15,6 +15,11 @@
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -251,6 +256,24 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + rollup (the engine's structured-metadata
+    path; json.dumps result parity, /root/reference/tools/infer/
+    predict_system.py:246-257)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization stats (letter runs / digit runs / single
     symbols) — the sub-word analog of whitespace token counting."""
@@ -383,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_match": q_det_match,
         "rec_metric": q_rec_metric,
         "rtl_reverse": q_rtl_reverse,
+        "json_props": q_json_props,
         "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
         "extract_markdown": q_extract_markdown,
@@ -651,6 +675,14 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["json_props"] = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
 """
 
     sql["token_bpe"] = rf"""

@@ -67,3 +67,26 @@ def test_metrics_lineage_totals(spark, transcripts, tmp_path):
     for name in os.listdir(w.manifest_dir):
         with open(os.path.join(w.manifest_dir, name)) as f:
             json.load(f)
+
+
+def test_system_results_txt_sink(spark, transcripts, tmp_path):
+    """Golden-format lines: key \t JSON, parseable, ordered, complete."""
+    import json
+
+    from paddleocr_spark.operators.extract import extract
+    from paddleocr_spark.sinks.results_txt import write_system_results
+
+    out = str(tmp_path / "results_txt")
+    ex = extract(transcripts)
+    write_system_results(ex, out)
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert len(lines) == transcripts.count()
+    keys = set()
+    for line in lines:
+        key, payload = line.split("\t", 1)
+        conv_id, turn_idx = key.rsplit(":", 1)
+        obj = json.loads(payload)
+        assert set(obj) <= {"payload_kind", "spans", "extracted_text"}
+        keys.add((conv_id, int(turn_idx)))
+    want = {(r.conv_id, r.turn_idx) for r in transcripts.select("conv_id", "turn_idx").collect()}
+    assert keys == want
