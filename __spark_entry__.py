@@ -530,13 +530,23 @@ SELECT doc_a, doc_b, n_inter, jac_micro FROM scored WHERE jac_micro >= 500000
         )
         for b in range(DD.LSH_BANDS)
     )
+    # bucket ids are sorted and capped at 10k exactly like the Spark side
+    # (operators/dedup.py minhash_lsh_pairs skew guard) — the mirror must
+    # truncate identically or parity breaks on corpora with mega-buckets
     sql["dedup_minhash"] = f"""
 WITH {_TD2_NEAR}, {_SHINGLES2},
 mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+bands AS ({band_selects}),
+buckets AS (
+  SELECT band_id, bh, (list_sort(list(doc_id)))[1:10000] AS ids
+  FROM bands GROUP BY band_id, bh
+),
+members AS (
+  SELECT band_id, bh, unnest(ids) AS d FROM buckets WHERE len(ids) >= 2
+)
+SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
+FROM members a JOIN members b
+  ON a.band_id = b.band_id AND a.bh = b.bh AND a.d < b.d
 """
 
     hexval = (
@@ -560,8 +570,10 @@ s AS (SELECT doc_id, {s_cols} FROM tv GROUP BY doc_id)
 SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM s
 """
 
+    # dimension taken from the array itself (no hardcoded 64): stays in
+    # lockstep with Spark's zip_with over whatever length the data has
     dot = (
-        "list_reduce(list_transform(generate_series(1, 64),"
+        "list_reduce(list_transform(generate_series(1, len({a})),"
         " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
     )
     sql["ann_topk"] = f"""

@@ -31,22 +31,49 @@ def corpus_df(
     each `queries()` entry separately) skip the generation pass. Written to a
     temp dir then atomically renamed; falls back to direct generation if the
     cache dir is unusable."""
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{reps}:{base_turns}".encode()).hexdigest()[:16]
-    path = os.path.join(_CACHE_ROOT, f"corpus_{tag}.parquet")
+    return _cached(
+        spark,
+        f"corpus_{_tag(sf_dir, reps, base_turns)}",
+        lambda: transcripts_df(spark, sf_dir, reps=reps, base_turns=base_turns),
+    )
+
+
+def _tag(sf_dir: str, reps: int, base_turns: int, extra: str = "") -> str:
+    """Cache key: path + params + a content fingerprint (size/mtime of
+    documents.parquet) so a swapped source file invalidates the cache."""
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "missing"
+    key = f"{os.path.abspath(sf_dir)}:{reps}:{base_turns}:{stamp}:{extra}"
+    return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def _cached(spark: SparkSession, name: str, build) -> DataFrame:
+    path = os.path.join(_CACHE_ROOT, f"{name}.parquet")
     try:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             os.makedirs(_CACHE_ROOT, exist_ok=True)
             tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-            transcripts_df(spark, sf_dir, reps=reps, base_turns=base_turns).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            build().write.mode("overwrite").parquet(tmp)
             try:
                 os.rename(tmp, path)
             except OSError:  # lost a (non-driver) race: another run landed it
                 shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(path)
     except Exception:
-        return transcripts_df(spark, sf_dir, reps=reps, base_turns=base_turns)
+        return build()
+
+
+def _cfg_digest(cfg: ExtractConfig) -> str:
+    import dataclasses
+    import json
+
+    d = dataclasses.asdict(cfg)
+    d["boiler_tags"] = sorted(d["boiler_tags"])
+    return hashlib.md5(json.dumps(d, sort_keys=True).encode()).hexdigest()[:12]
 
 
 def flagship(
@@ -56,7 +83,22 @@ def flagship(
     reps: int = 1,
     base_turns: int = 4,
     ordered: bool = True,
+    cache_extraction: bool = True,
 ) -> DataFrame:
-    df = corpus_df(spark, sf_dir, reps=reps, base_turns=base_turns)
-    out = extract(df, cfg=cfg)
+    """Full pipeline; with ``cache_extraction`` the extraction OUTPUT is also
+    cached (keyed by corpus tag + cfg digest, deterministic), so the several
+    flagship-derived driver queries pay the pandas-UDF pass once."""
+    if cache_extraction:
+        tag = _tag(sf_dir, reps, base_turns, extra=_cfg_digest(cfg))
+        out = _cached(
+            spark,
+            f"extract_{tag}",
+            lambda: extract(
+                corpus_df(spark, sf_dir, reps=reps, base_turns=base_turns), cfg=cfg
+            ),
+        )
+    else:
+        out = extract(
+            corpus_df(spark, sf_dir, reps=reps, base_turns=base_turns), cfg=cfg
+        )
     return ordered_output(out) if ordered else out
