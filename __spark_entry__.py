@@ -256,6 +256,27 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 
 
+def q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicit broadcast of the small dimensions
+    (SURVEY.md §2.3: the reference has no relational joins; the engine still
+    needs broadcast joins for tiny dict/config tables — this demonstrates the
+    shape: fact table never shuffles for the dim joins)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = F.broadcast(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    nation = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + rollup (the engine's structured-metadata
     path; json.dumps result parity, /root/reference/tools/infer/
@@ -407,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_metric": q_rec_metric,
         "rtl_reverse": q_rtl_reverse,
         "json_props": q_json_props,
+        "broadcast_rollup": q_broadcast_rollup,
         "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
         "extract_markdown": q_extract_markdown,
@@ -687,6 +709,15 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["broadcast_rollup"] = """
+SELECT n_name, count(*) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
 """
 
     sql["json_props"] = """
