@@ -101,3 +101,25 @@ def test_conversation_document_reassembly(spark, turns):
         for r in conversation_document(extract(turns.repartition(13, "role"))).collect()
     }
     assert {k: v.document for k, v in doc.items()} == doc2
+
+
+def test_single_mega_conversation_completes_and_spreads(spark):
+    """Extreme conv-level skew: one 10,000-turn conversation; the salted
+    repartition must spread it wide and the output must be complete with
+    stable per-turn ordering."""
+    payload = "<html><article><p>alpha beta gamma delta epsilon zeta</p></article>"
+    rows = [("mega", t, "user", payload, None, None) for t in range(10_000)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ex = extract(df, num_partitions=16).withColumn("pid", F.spark_partition_id())
+    agg = ex.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("pid").alias("n_parts"),
+        F.countDistinct("turn_idx").alias("n_turns"),
+        F.max((F.col("extracted_text") != "alpha beta gamma delta epsilon zeta").cast("int")).alias("any_bad"),
+    ).collect()[0]
+    assert agg.n == 10_000 and agg.n_turns == 10_000
+    assert agg.n_parts >= 8   # spread over at least half the partitions
+    assert agg.any_bad == 0
