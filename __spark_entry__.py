@@ -396,6 +396,24 @@ def q_extract_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_document(flagship(spark, sf_dir, ordered=False))
 
 
+def q_extract_tool_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call span rollup — the loose KIE analog (SURVEY.md §2.9:
+    role/tool columns carry the structured entities SER/RE would extract;
+    /root/reference/ppstructure/kie/predict_kie_token_ser_re.py:40-62).
+    Rows-only check (runs on the synthesized corpus)."""
+    from paddleocr_spark.plans.flagship import corpus_df
+
+    t = corpus_df(spark, sf_dir)
+    return (
+        t.groupBy("role", "tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(F.length("text")).cast("long").alias("payload_chars"),
+        )
+    )
+
+
 def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload-kind rollup of the extraction run — rows-only check."""
     return (
@@ -433,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "extract_markdown": q_extract_markdown,
         "extract_conversation": q_extract_conversation,
+        "extract_tool_spans": q_extract_tool_spans,
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,

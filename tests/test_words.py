@@ -82,3 +82,30 @@ def test_unclip_box():
     # 100x20 box: d = round(2000*1.5/240) = round(12.5) = 12 (banker's)
     assert unclip_box((0, 0, 100, 20)) == (-12, -12, 112, 32)
     assert unclip_box((5, 5, 5, 9)) == (5, 5, 5, 9)  # degenerate unchanged
+
+
+def test_table_similarity_micro():
+    from paddleocr_spark.functions.tablesim import table_similarity_micro as sim
+
+    t = "a | b\nc | d"
+    assert sim(t, t) == 1000000
+    # one relabeled cell of 5 tokens (4 cells + 1 row sep) → 1 - 1/5
+    assert sim(t, "a | b\nc | X") == 800000
+    # a dropped row costs its cells + the row separator
+    assert sim(t, "a | b") < 800000
+    assert sim("", "") == 1000000
+    # structure matters: same cells, different row split → not identical
+    assert sim("a | b\nc | d", "a | b | c | d") < 1000000
+
+
+def test_table_similarity_udf(spark):
+    from paddleocr_spark.functions.tablesim import (
+        table_similarity_micro,
+        table_similarity_udf,
+    )
+
+    rows = [("a | b\nc | d", "a | b\nc | d"), ("a | b", "x | y"), ("", "a")]
+    df = spark.createDataFrame(rows, ["pred", "gt"])
+    udf = table_similarity_udf()
+    got = [r.s for r in df.select(udf("pred", "gt").alias("s")).collect()]
+    assert got == [table_similarity_micro(p, g) for p, g in rows]
