@@ -54,6 +54,11 @@ def main() -> None:
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()
 
+    # untimed warmup (the reference benchmarks after a warmup pass too —
+    # /root/reference/tools/infer/predict_system.py:201-205): spins up the
+    # Python UDF workers and JIT so the timed region is steady-state
+    _noop(extract(transcripts.limit(2048)))
+
     # headline: full extraction pipeline
     timed("extract", lambda: _noop(extract(transcripts)))
 
