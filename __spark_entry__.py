@@ -256,6 +256,78 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus quality gate: keep documents inside token-count,
+    stopword-ratio and punctuation bands; emit the survivors with their
+    signals (the training-data filtering stage, composed from textstats)."""
+    t = F.col("text")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        TS.token_count(t).cast("long").alias("n_tokens"),
+        TS.stop_ratio_micro(t).alias("stop_micro"),
+        TS.punct_count(t).alias("n_punct"),
+        F.length(TS.norm_text(t)).cast("long").alias("n_chars"),
+    )
+    return d.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("stop_micro") >= 20000)
+        & (F.col("stop_micro") <= 100000)
+        & (F.col("n_punct") * 10 <= F.col("n_chars"))
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: 50-char buckets over normalized length."""
+    # explicit floor: DuckDB's CAST(double AS BIGINT) rounds, Spark truncates
+    bucket = F.floor(F.length(TS.norm_text(F.col("text"))) / 50).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup OUTPUT: the corpus (with injected exact copies) after
+    removing non-canonical duplicates — one row per surviving doc_id (the
+    remove stage that follows pair identification)."""
+    d = DD.with_exact_dups(_docs(spark, sf_dir))
+    from paddleocr_spark.functions.textstats import fingerprint
+
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return canon.select("doc_id", "fp")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream: a new session starts
+    when a user is idle > 30 minutes; session_seq = cumulative count of
+    session starts per user (lag + window running sum)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap: timezone-free (works on NTZ) and identical in
+    # DuckDB's date_diff('microsecond', ...) — no truncation ambiguity
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("is_new", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .select("event_id", "user_id", F.col("is_new").cast("long").alias("is_new"), "session_seq")
+    )
+
+
 def q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup with explicit broadcast of the small dimensions
     (SURVEY.md §2.3: the reference has no relational joins; the engine still
@@ -447,6 +519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtl_reverse": q_rtl_reverse,
         "json_props": q_json_props,
         "broadcast_rollup": q_broadcast_rollup,
+        "quality_filter": q_quality_filter,
+        "length_histogram": q_length_histogram,
+        "dedup_canonical": q_dedup_canonical,
+        "sessionize": q_sessionize,
         "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
         "extract_markdown": q_extract_markdown,
@@ -728,6 +804,61 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["quality_filter"] = f"""
+WITH {_TD},
+sig AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CAST(floor(1000000.0 * len(list_filter(toks, t -> list_contains([{_STOP_LIST}], t)))
+         / len(toks)) AS BIGINT) AS stop_micro,
+    (length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')))::BIGINT AS n_punct,
+    length(norm)::BIGINT AS n_chars
+  FROM td
+)
+SELECT doc_id, n_tokens, stop_micro, n_punct, n_chars
+FROM sig
+WHERE n_tokens >= 20 AND n_tokens <= 1000
+  AND stop_micro >= 20000 AND stop_micro <= 100000
+  AND n_punct * 10 <= n_chars
+"""
+
+    sql["length_histogram"] = r"""
+WITH nd AS (
+  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents
+)
+SELECT CAST(floor(length(norm) / 50.0) AS BIGINT) AS bucket, count(*) AS n_docs
+FROM nd GROUP BY 1
+"""
+
+    sql["dedup_canonical"] = f"""
+WITH {_TD},
+docs2 AS (
+  SELECT doc_id, norm FROM td
+  UNION ALL
+  SELECT doc_id + 100000, norm FROM td
+)
+SELECT min(doc_id) AS doc_id, md5(norm) AS fp
+FROM docs2 GROUP BY md5(norm)
+"""
+
+    sql["sessionize"] = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+    date_diff('microsecond',
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM g
+)
+SELECT event_id, user_id, is_new::BIGINT AS is_new,
+  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM s
 """
 
     sql["broadcast_rollup"] = """
