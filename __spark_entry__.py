@@ -256,6 +256,22 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod sampling — the portable form of the reference's
+    seeded ratio sampling (SimpleDataSet ratio_list,
+    /root/reference/ppocr/data/simple_dataset.py:58-70): keep ~20% of docs by
+    md5(doc_id) bucket. Unlike rand(seed), identical in any engine."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("h", bucket)
+        .filter(F.col("h") % 5 == 0)
+        .select("doc_id", "h")
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus quality gate: keep documents inside token-count,
     stopword-ratio and punctuation bands; emit the survivors with their
@@ -519,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtl_reverse": q_rtl_reverse,
         "json_props": q_json_props,
         "broadcast_rollup": q_broadcast_rollup,
+        "sample_hash": q_sample_hash,
         "quality_filter": q_quality_filter,
         "length_histogram": q_length_histogram,
         "dedup_canonical": q_dedup_canonical,
@@ -804,6 +821,17 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["sample_hash"] = """
+WITH h AS (
+  SELECT doc_id,
+    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+       AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, h FROM h WHERE h % 5 = 0
 """
 
     sql["quality_filter"] = f"""

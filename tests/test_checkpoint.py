@@ -90,3 +90,19 @@ def test_system_results_txt_sink(spark, transcripts, tmp_path):
         keys.add((conv_id, int(turn_idx)))
     want = {(r.conv_id, r.turn_idx) for r in transcripts.select("conv_id", "turn_idx").collect()}
     assert keys == want
+
+
+def test_checkpoint_values_match_direct_extraction(spark, transcripts, tmp_path):
+    """Sink contents equal a direct extraction run value-for-value."""
+    out = str(tmp_path / "ckpt_vals")
+    run_extract_job(spark, transcripts, out, n_buckets=4, group_size=4)
+    from paddleocr_spark.operators.extract import extract
+
+    written = spark.read.parquet(os.path.join(out, "data")).select(
+        "conv_id", "turn_idx", "payload_kind", "extracted_text", "n_spans"
+    )
+    direct = extract(transcripts).select(
+        "conv_id", "turn_idx", "payload_kind", "extracted_text", "n_spans"
+    )
+    assert written.exceptAll(direct).count() == 0
+    assert direct.exceptAll(written).count() == 0
