@@ -256,6 +256,15 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 
 
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling fingerprint over the token stream (exact-integer
+    fold — the incremental/content-defined complement to the md5 whole-doc
+    fingerprint in text_stats)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.rolling_fingerprint(F.col("text")).alias("roll_fp")
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-mod sampling — the portable form of the reference's
     seeded ratio sampling (SimpleDataSet ratio_list,
@@ -535,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtl_reverse": q_rtl_reverse,
         "json_props": q_json_props,
         "broadcast_rollup": q_broadcast_rollup,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "sample_hash": q_sample_hash,
         "quality_filter": q_quality_filter,
         "length_histogram": q_length_histogram,
@@ -821,6 +831,20 @@ SELECT p_partkey,
   CAST(floor(1000000.0 * levenshtein(p_name, pred)
        / greatest(length(p_name), length(pred), 1)) AS BIGINT) AS norm_ed_micro
 FROM p
+"""
+
+    sql["fingerprint_rolling"] = f"""
+WITH {_TD}
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, t ->
+        CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT))),
+    (acc, v) -> (acc * 257 + v) % 2147483647) AS roll_fp
+FROM td
 """
 
     sql["sample_hash"] = """

@@ -50,6 +50,24 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm_text(col))
 
 
+ROLL_BASE = 257
+ROLL_MOD = 2147483647  # 2^31 - 1: acc*257 + 65535 < 2^40, no 64-bit overflow
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over the token stream (Rabin-Karp style):
+    h = Σ tokhash(tᵢ)·B^(n−i) mod M, folded left-to-right; tokhash = first 4
+    hex digits of md5 (engine-portable). Exact integer arithmetic → identical
+    in any engine; unlike the whole-doc md5 it composes incrementally, the
+    shape used for content-defined chunking at corpus scale."""
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + tok_h(t)) % ROLL_MOD,
+    )
+
+
 def stop_hits(col: Column) -> Column:
     """Number of tokens that are corpus stopwords."""
     arr = F.array(*[F.lit(w) for w in STOPWORDS])
