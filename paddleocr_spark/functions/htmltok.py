@@ -62,6 +62,41 @@ def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
     return boiler_class in m.group(1).split()
 
 
+# Parsed-tag cache: token string → (closing, name, self_closing, class_tokens).
+# Tag tokens repeat heavily within and across payloads (<p>, </p>, <b>, …), so
+# one dict probe replaces regex match + groups + lower + endswith + class
+# sniff.  Content-keyed (the full token IS the key) → deterministic at any
+# parallelism; size-capped so adversarial payloads with unbounded distinct
+# tags cannot grow executor memory.
+_TAG_CACHE: dict = {}
+_TAG_CACHE_MAX = 1 << 16
+
+
+def _parse_tag(tok: str):
+    info = _TAG_CACHE.get(tok)
+    if info is None:
+        tm = _TAG_NAME_RE.match(tok)
+        if tm is None:
+            info = (False, None, False, None)
+        else:
+            slash, name = tm.groups()
+            closing = slash == "/"
+            class_tokens = None
+            if not closing and "=" in tok:
+                m = _CLASS_RE.search(tok)
+                if m:
+                    class_tokens = tuple(m.group(1).split())
+            info = (
+                closing,
+                name.lower(),
+                not closing and tok.endswith("/>"),
+                class_tokens,
+            )
+        if len(_TAG_CACHE) < _TAG_CACHE_MAX:
+            _TAG_CACHE[tok] = info
+    return info
+
+
 def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Scan *text* → (candidate blocks, n_dropped) in document order.
 
@@ -154,23 +189,20 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if tok[1] == "!":  # comment or declaration (<!-- / <!DOCTYPE) → ignored
             continue
         else:  # --- tag token ---
-            tm = _TAG_NAME_RE.match(tok)
-            if tm is None:
+            closing, name, self_closing, class_tokens = _parse_tag(tok)
+            if name is None:
                 continue  # malformed tag → ignored
-            slash, name = tm.groups()
-            closing = slash == "/"
-            name = name.lower()
-            # only open tags can be self-closing; skip the endswith for closes
-            self_closing = not closing and tok.endswith("/>")
 
             if not closing and name in ("script", "style") and not self_closing:
                 skip_depth += 1
-                flush()
+                if cur_pieces:
+                    flush()
                 continue
             if closing and name in ("script", "style"):
                 if skip_depth > 0:
                     skip_depth -= 1
-                flush()
+                if cur_pieces:
+                    flush()
                 continue
             if skip_depth > 0:
                 continue
@@ -203,19 +235,21 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 continue
 
             if not closing and name == "table" and not self_closing:
-                flush()
+                if cur_pieces:
+                    flush()
                 table_depth = 1
                 table_boiler = boiler_depth > 0
                 continue
 
-            is_block = name in BLOCK_TAGS
-            if is_block:
+            if name in BLOCK_TAGS and cur_pieces:
                 flush()
 
             if not closing:
                 if name in VOID_TAGS or self_closing:
                     continue
-                boiler = name in cfg.boiler_tags or _is_sidebar(tok, cfg.boiler_class)
+                boiler = name in cfg.boiler_tags or (
+                    class_tokens is not None and cfg.boiler_class in class_tokens
+                )
                 is_a = name == "a"
                 is_h = name in HEADING_TAGS
                 is_pre = name in ("pre", "code")
