@@ -430,6 +430,96 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source dataset concat with per-source sampling ratios — the
+    SimpleDataSet ratio_list analog (/root/reference/ppocr/data/
+    simple_dataset.py:58-70; SURVEY.md §2.1/§2.6): each source list gets its
+    own keep ratio, results combined with unionByName. Ratios use the same
+    deterministic md5 hash-mod convention as sample_hash: primary sources
+    (src0-src9) keep ~1/2, secondary (src10-src19) keep ~1/5."""
+    d = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    primary = (
+        d.filter(src_num < 10)
+        .withColumn("h", h)
+        .filter(F.col("h") % 2 == 0)
+        .select("doc_id", "source", "h", F.lit("primary").alias("origin"))
+    )
+    secondary = (
+        d.filter(src_num >= 10)
+        .withColumn("h", h)
+        .filter(F.col("h") % 5 == 0)
+        .select("doc_id", "source", "h", F.lit("secondary").alias("origin"))
+    )
+    return primary.unionByName(secondary)
+
+
+def q_word_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_word_info word-grouping state machine
+    (/root/reference/ppocr/postprocess/rec_postprocess.py:101-170) over the
+    documents table: per-doc word counts from the joiner-aware segmentation
+    (apostrophe/hyphen/decimal-point BETWEEN alnum chars keeps one word —
+    the French-contraction cases of
+    /root/reference/tests/test_french_accents.py:28-60). The Spark side runs
+    the REAL per-char state machine in an Arrow batch; the DuckDB mirror is
+    the provably-equivalent regex closed form (equivalence fuzz-verified in
+    tests/test_words.py)."""
+    from paddleocr_spark.functions.words import word_segments_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("ws", word_segments_udf()(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.aggregate(
+                F.col("ws"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            ).alias("word_chars"),
+            F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_words"),
+        )
+    )
+
+
+def q_table_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEDS table-structure similarity (/root/reference/ppstructure/table/
+    table_metric/table_metric.py:109-186): the engine's flat pipe-format
+    tables reduce tree-edit distance to sequence-edit distance over the cell
+    stream with row-boundary tokens (functions/tablesim.py). Constructed
+    pred/gt pairs per doc — gt = first 12 normalized tokens as a 3x4 table;
+    pred drops the last cell (doc_id%3==0), relabels cell 5 (%3==1), or is
+    identical (%3==2). The Spark side runs the GENERAL edit-distance UDF;
+    the oracle states the closed-form distance of the construction —
+    a strong cross-check of algorithm vs analytic expectation."""
+    from paddleocr_spark.functions.tablesim import table_similarity_udf
+
+    toks = F.split(TS.norm_text(F.col("text")), " ")
+    d = _docs(spark, sf_dir).withColumn("toks", toks).filter(F.size("toks") >= 12)
+
+    def row_of(start: int, n: int):
+        return F.concat_ws(" | ", F.slice(F.col("toks"), start, n))
+
+    gt = F.concat_ws("\n", row_of(1, 4), row_of(5, 4), row_of(9, 4))
+    mutated_r2 = F.concat_ws(
+        " | ",
+        F.concat(F.element_at(F.col("toks"), 5), F.lit("_x")),
+        F.concat_ws(" | ", F.slice(F.col("toks"), 6, 3)),
+    )
+    pred = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("\n", row_of(1, 4), row_of(5, 4), row_of(9, 3)))
+        .when(F.col("doc_id") % 3 == 1, F.concat_ws("\n", row_of(1, 4), mutated_r2, row_of(9, 4)))
+        .otherwise(gt)
+    )
+    sim = table_similarity_udf()
+    return d.select(
+        "doc_id", sim(pred, gt).alias("teds_micro")
+    )
+
+
 def q_rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RTL unit re-ordering (pred_reverse analog,
     /root/reference/ppocr/postprocess/rec_postprocess.py:82-96) — built-ins
@@ -552,6 +642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
+        "multisource_union": q_multisource_union,
+        "word_segments": q_word_segments,
+        "table_teds": q_table_teds,
         "extract_markdown": q_extract_markdown,
         "extract_conversation": q_extract_conversation,
         "extract_tool_spans": q_extract_tool_spans,
@@ -958,6 +1051,47 @@ SELECT p_partkey,
   array_to_string(list_reverse(
     regexp_extract_all(p_name || ' #' || p_brand, '([a-zA-Z0-9]+|\S)')), ' ') AS reversed
 FROM part
+"""
+
+    sql["multisource_union"] = """
+WITH h AS (
+  SELECT doc_id, source,
+    CAST(REGEXP_EXTRACT(source, '(\\d+)$', 1) AS INTEGER) AS src_num,
+    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+       AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, source, h, 'primary' AS origin FROM h WHERE src_num < 10 AND h % 2 = 0
+UNION ALL
+SELECT doc_id, source, h, 'secondary' AS origin FROM h WHERE src_num >= 10 AND h % 5 = 0
+"""
+
+    # regex closed form of the word_segments state machine (equivalence
+    # fuzz-verified in tests/test_words.py): maximal alnum runs glued by a
+    # single internal joiner ' ’ - . when followed by another alnum char
+    sql["word_segments"] = r"""
+WITH ws AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '[a-zA-Z0-9À-ɏ]+(?:[''’\-.][a-zA-Z0-9À-ɏ]+)*') AS w
+  FROM documents
+)
+SELECT doc_id,
+  len(w)::BIGINT AS n_words,
+  COALESCE(list_sum(list_transform(w, x -> length(x))), 0)::BIGINT AS word_chars,
+  len(list_distinct(w))::BIGINT AS n_distinct_words
+FROM ws
+"""
+
+    # closed-form TEDS of the constructed pred/gt pairs: gt has 12 cells + 2
+    # row separators = 14 stream tokens; one deletion or one substitution →
+    # edit distance exactly 1 → floor(1e6 · 13/14); identical → 1e6
+    sql["table_teds"] = f"""
+WITH {_TD}
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 1000000
+       ELSE (1000000 * 13) // 14 END AS BIGINT) AS teds_micro
+FROM td WHERE len(toks) >= 12
 """
 
     sql["textnorm"] = r"""

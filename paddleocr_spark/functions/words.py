@@ -19,6 +19,8 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 _EN_NUM = re.compile(r"[a-zA-Z0-9À-ɏ]")  # latin incl. accented
 _CJK = re.compile(r"[一-鿿㐀-䶿]")
 _JOINERS = set("'’-.")
@@ -100,3 +102,15 @@ def unclip_box(
         return box
     d = int(round(w * h * ratio / (2 * (w + h))))
     return (x0 - d, y0 - d, x1 + d, y1 + d)
+
+
+def word_segments_udf():
+    """Arrow-batched pandas UDF: text column → array<string> of words from
+    the get_word_info state machine (module-level so pandas-UDF type hints
+    resolve — same pattern as tablesim.table_similarity_udf)."""
+    from pyspark.sql import functions as F, types as T
+
+    def _seg(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: [w for w, _, _ in word_segments(t or "")])
+
+    return F.pandas_udf(_seg, T.ArrayType(T.StringType()))

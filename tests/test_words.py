@@ -109,3 +109,37 @@ def test_table_similarity_udf(spark):
     udf = table_similarity_udf()
     got = [r.s for r in df.select(udf("pred", "gt").alias("s")).collect()]
     assert got == [table_similarity_micro(p, g) for p, g in rows]
+
+
+def test_word_segments_equals_regex_closed_form():
+    """The get_word_info state machine (word_segments) must equal the regex
+    closed form used by the word_segments DuckDB oracle in __spark_entry__
+    (maximal alnum runs glued by one internal joiner followed by alnum)."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from paddleocr_spark.functions.words import word_segments
+
+    RX = re.compile(r"[a-zA-Z0-9À-ɏ]+(?:['’\-.][a-zA-Z0-9À-ɏ]+)*")
+
+    def regex_words(t):
+        return RX.findall(t)
+
+    for s in [
+        "l'été café", "state-of-the-art", "3.14 end.", "a..b", "don't-stop.",
+        "x'", "-a", "a- b", "naïve fiancée №5", "a.b.c..d", "", "  ", "...",
+    ]:
+        assert [w for w, _, _ in word_segments(s)] == regex_words(s), s
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.sampled_from(list("ab1 '’-.,;é!\t\n")),
+            max_size=60,
+        )
+    )
+    def fuzz(s):
+        assert [w for w, _, _ in word_segments(s)] == regex_words(s)
+
+    fuzz()
