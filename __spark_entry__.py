@@ -601,6 +601,25 @@ def q_extract_tool_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with paragraph recovery ON (check_merge_method /
+    convert_text_space_head/tail analog, /root/reference/ppstructure/
+    recovery/recovery_to_markdown.py:23-126; opt-in like the reference's
+    --recovery flag): PDF-like line spans are folded into paragraphs by the
+    indent/trailing-space rules. Rows-only check (UDF kernel); kernel ≡
+    golden oracle with this cfg is asserted in tests/test_kernel_units.py."""
+    from paddleocr_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(merge_paragraphs=True)
+    return flagship(spark, sf_dir, cfg=cfg).select(
+        "conv_id",
+        "turn_idx",
+        "payload_kind",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "extracted_text",
+    )
+
+
 def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload-kind rollup of the extraction run — rows-only check."""
     return (
@@ -650,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tool_spans": q_extract_tool_spans,
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
+        "extract_paragraphs": q_extract_paragraphs,
         "extract_kind_stats": q_extract_kind_stats,
     }
 

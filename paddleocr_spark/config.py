@@ -47,6 +47,18 @@ class ExtractConfig:
                                     # tools/infer/utility.py:980-1027); off by
                                     # default to keep golden fixtures stable
 
+    # -- paragraph merge (check_merge_method / convert_text_space_head/tail
+    #    analog, ppstructure/recovery/recovery_to_markdown.py:23-126).
+    #    Off by default: recovery is opt-in in the reference too
+    #    (--recovery, ppstructure/predict_system.py:371-394).
+    merge_paragraphs: bool = False
+    para_gap: int = 50              # max y-gap between lines of one paragraph
+    indent_tol: int = 20            # x-indent beyond this starts a paragraph
+                                    # (the indent-style head rule)
+    trail_tol: int = 30             # prev line ending this far short of the
+                                    # next line's right edge ends a paragraph
+                                    # (the trailing-space tail rule)
+
     # -- assembly --
     para_sep: str = "\n\n"
 

@@ -149,6 +149,64 @@ def merge_fragments(
     return cur
 
 
+def merge_paragraph_lines(ordered: List[Box], cfg: ExtractConfig = DEFAULT_CONFIG) -> List[Box]:
+    """Group consecutive ordered lines into paragraphs — the
+    ``check_merge_method`` / ``convert_text_space_head`` / ``_tail`` analog
+    (/root/reference/ppstructure/recovery/recovery_to_markdown.py:23-126):
+    the reference decides paragraph boundaries from first-line indentation
+    and from lines that end short of the row width; re-expressed as a
+    deterministic local rule over the XY-cut-ordered line sequence.
+
+    Line ``b`` joins the current paragraph (first line ``f``, last line
+    ``a``, union box ``U``) iff ALL of:
+
+      1. x-overlap with U      — same column (column jumps break y-adjacency
+                                 anyway, so paragraphs never span columns)
+      2. 0 <= b.y0 - a.y1 <= cfg.para_gap      — reads strictly downward
+      3. b.x0 - f.x0 <= cfg.indent_tol         — indent starts a paragraph
+                                                 (head rule)
+      4. a.x1 >= b.x1 - cfg.trail_tol          — a short previous line ends
+                                                 the paragraph (tail rule)
+
+    Merged text joins left→right with a single space; the box is the union;
+    line_idx is the first line's (stable tie-break, same convention as
+    merge_fragments)."""
+    out: List[Box] = []
+    cur: List[Box] = []
+    for b in ordered:
+        if cur:
+            f, a = cur[0], cur[-1]
+            ux0 = min(c[0] for c in cur)
+            ux1 = max(c[2] for c in cur)
+            if (
+                max(ux0, b[0]) < min(ux1, b[2])
+                and 0 <= b[1] - a[3] <= cfg.para_gap
+                and b[0] - f[0] <= cfg.indent_tol
+                and a[2] >= b[2] - cfg.trail_tol
+            ):
+                cur.append(b)
+                continue
+            out.append(_fold_para(cur))
+            cur = []
+        cur.append(b)
+    if cur:
+        out.append(_fold_para(cur))
+    return out
+
+
+def _fold_para(lines: List[Box]) -> Box:
+    if len(lines) == 1:
+        return lines[0]
+    return (
+        min(c[0] for c in lines),
+        min(c[1] for c in lines),
+        max(c[2] for c in lines),
+        max(c[3] for c in lines),
+        lines[0][4],
+        " ".join(c[5] for c in lines),
+    )
+
+
 def pdflike_spans(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Full PDF-like path → (spans, n_dropped).
 
@@ -170,7 +228,10 @@ def pdflike_spans(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         page_boxes = by_page[page]
         if cfg.merge_fragments:
             page_boxes = merge_fragments(page_boxes, y_tol=cfg.y_band, x_gap=cfg.y_band)
-        for x0, y0, x1, y1, i, t in xy_cut(page_boxes, cfg):
+        ordered = xy_cut(page_boxes, cfg)
+        if cfg.merge_paragraphs:
+            ordered = merge_paragraph_lines(ordered, cfg)
+        for x0, y0, x1, y1, i, t in ordered:
             clean = collapse_ws(t)
             if len(clean) < cfg.min_chars:
                 if clean:

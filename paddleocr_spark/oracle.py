@@ -269,7 +269,10 @@ def _oracle_pdf(text: str, cfg: ExtractConfig):
 
     spans = []
     for p in sorted(pages):
-        for x0, y0, x1, y1, i, t in _oracle_xycut(pages[p], cfg):
+        ordered = _oracle_xycut(pages[p], cfg)
+        if cfg.merge_paragraphs:
+            ordered = _oracle_para_merge(ordered, cfg)
+        for x0, y0, x1, y1, i, t in ordered:
             clean = _norm(t)
             if len(clean) < cfg.min_chars:
                 if clean:
@@ -277,6 +280,48 @@ def _oracle_pdf(text: str, cfg: ExtractConfig):
                 continue
             spans.append(("para", clean, 1.0, [x0, y0, x1, y1]))
     return spans, dropped
+
+
+def _oracle_para_merge(ordered, cfg: ExtractConfig):
+    """Paragraph grouping (SPEC: merge_paragraphs) — independent re-derivation:
+    compute a per-line break flag, then fold groups. A line breaks (starts a
+    new paragraph) unless it x-overlaps the running union, sits 0..para_gap
+    below the previous line, is not indented beyond indent_tol relative to
+    the group's first line, and the previous line is no more than trail_tol
+    short of its right edge."""
+    groups = []
+    for line in ordered:
+        joins = False
+        if groups:
+            g = groups[-1]
+            first, prev = g[0], g[-1]
+            u0, u1 = min(b[0] for b in g), max(b[2] for b in g)
+            joins = (
+                max(u0, line[0]) < min(u1, line[2])
+                and 0 <= line[1] - prev[3] <= cfg.para_gap
+                and line[0] - first[0] <= cfg.indent_tol
+                and prev[2] >= line[2] - cfg.trail_tol
+            )
+        if joins:
+            groups[-1].append(line)
+        else:
+            groups.append([line])
+    out = []
+    for g in groups:
+        if len(g) == 1:
+            out.append(g[0])
+        else:
+            out.append(
+                (
+                    min(b[0] for b in g),
+                    min(b[1] for b in g),
+                    max(b[2] for b in g),
+                    max(b[3] for b in g),
+                    g[0][4],
+                    " ".join(b[5] for b in g),
+                )
+            )
+    return out
 
 
 def _oracle_plain(text: str, cfg: ExtractConfig):

@@ -137,3 +137,80 @@ def test_payload_cap_guard():
     o = oracle_extract(big, cfg)
     assert spans == o["spans"] and nd == o["n_dropped"]
     assert len(spans) <= 8  # truncated: far fewer than 50 paragraphs
+
+
+class TestParagraphMerge:
+    """check_merge_method / convert_text_space_head/tail analog
+    (recovery_to_markdown.py:23-126) — SPEC merge_paragraphs rules."""
+
+    def _cfg(self, **kw):
+        from paddleocr_spark.config import ExtractConfig
+
+        return ExtractConfig(merge_paragraphs=True, **kw)
+
+    def test_adjacent_lines_merge(self):
+        from paddleocr_spark.functions.pdflike import merge_paragraph_lines
+
+        lines = [
+            (50, 100, 750, 130, 0, "first line"),
+            (50, 160, 750, 190, 1, "second line"),
+        ]
+        out = merge_paragraph_lines(lines, self._cfg())
+        assert out == [(50, 100, 750, 190, 0, "first line second line")]
+
+    def test_gap_breaks_paragraph(self):
+        from paddleocr_spark.functions.pdflike import merge_paragraph_lines
+
+        lines = [
+            (50, 100, 750, 130, 0, "a"),
+            (50, 300, 750, 330, 1, "b"),  # 170 > para_gap
+        ]
+        assert len(merge_paragraph_lines(lines, self._cfg())) == 2
+
+    def test_indent_starts_new_paragraph(self):
+        from paddleocr_spark.functions.pdflike import merge_paragraph_lines
+
+        lines = [
+            (50, 100, 750, 130, 0, "a"),
+            (100, 160, 750, 190, 1, "indented"),  # 50 > indent_tol
+        ]
+        assert len(merge_paragraph_lines(lines, self._cfg())) == 2
+
+    def test_short_previous_line_ends_paragraph(self):
+        from paddleocr_spark.functions.pdflike import merge_paragraph_lines
+
+        lines = [
+            (50, 100, 400, 130, 0, "short ending"),  # ends 350 short of 750
+            (50, 160, 750, 190, 1, "next para"),
+        ]
+        assert len(merge_paragraph_lines(lines, self._cfg())) == 2
+
+    def test_column_jump_never_merges(self):
+        from paddleocr_spark.functions.pdflike import merge_paragraph_lines
+
+        # reading order: left column fully, then right column — the jump
+        # back up makes the y-gap negative
+        lines = [
+            (50, 100, 380, 130, 0, "L1"),
+            (50, 160, 380, 190, 1, "L2"),
+            (420, 100, 750, 130, 2, "R1"),
+            (420, 160, 750, 190, 3, "R2"),
+        ]
+        out = merge_paragraph_lines(lines, self._cfg())
+        assert [b[5] for b in out] == ["L1 L2", "R1 R2"]
+
+    def test_kernel_equals_oracle_with_merge_on(self, doc_items):
+        from paddleocr_spark import corpus
+        from paddleocr_spark.kernel import extract_payload, assemble_text
+        from paddleocr_spark.oracle import oracle_extract
+
+        cfg = self._cfg()
+        n = 0
+        for row in corpus.generate_rows(doc_items[:60]):
+            t = row["text"]
+            kind, spans, nd = extract_payload(t, cfg)
+            o = oracle_extract(t, cfg)
+            assert (kind, spans, nd) == (o["kind"], o["spans"], o["n_dropped"])
+            assert assemble_text(spans, cfg) == o["extracted_text"]
+            n += 1
+        assert n > 200
