@@ -30,16 +30,28 @@ from paddleocr_spark.operators import dedup as DD
 from paddleocr_spark.plans.flagship import flagship
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a tiny scan across cores. The testdata tables are single
+    parquet files with one row group → one scan task, which serializes the
+    regex/aggregation-heavy queries behind one core. At production scale the
+    table is many files and this is a no-op (the guard keeps the repartition
+    from ever touching a well-partitioned scan)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, n // 2):
+        return df.repartition(n)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _par(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _par(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _par(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -160,18 +172,24 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Style-tag scrub + whitespace collapse as pure SQL (the reference's
-    style-token scrub, /root/reference/ppstructure/predict_system.py:210-231)."""
+    """Style-tag scrub + whitespace collapse + full-width→half-width
+    normalization as pure SQL (style-token scrub,
+    /root/reference/ppstructure/predict_system.py:210-231; strQ2B,
+    /root/reference/tools/end2end/eval_end2end.py:26-35)."""
     from paddleocr_spark.functions.textnorm import (
         collapse_ws_col,
         scrub_style_tags_col,
+        strq2b_col,
     )
 
     payload = F.concat(
         F.lit("<b>"), F.col("text"), F.lit("</b>  x <i>y</i>\n<sub>z</sub>")
     )
+    wide = F.concat(F.lit("Ａｂｃ　１２３！？～ "), F.col("text"))
     return _docs(spark, sf_dir).select(
-        "doc_id", collapse_ws_col(scrub_style_tags_col(payload)).alias("scrubbed")
+        "doc_id",
+        collapse_ws_col(scrub_style_tags_col(payload)).alias("scrubbed"),
+        strq2b_col(wide).alias("q2b"),
     )
 
 
@@ -430,6 +448,37 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cal_ocr_word_box analog (/root/reference/ppstructure/utility.py:
+    243-293): distribute word boxes across a line box proportionally to
+    character offsets. The line is the first 8 purely-alnum normalized
+    tokens of each document in a (0,0,777,20) box — 777 is deliberately not
+    a multiple of the text length so the floor/ceil endpoint math is
+    exercised. The Spark side runs the REAL word_segments + box arithmetic
+    in an Arrow batch; the oracle recomputes offsets analytically from
+    cumulative token lengths."""
+    from paddleocr_spark.functions.words import word_boxes_udf
+
+    boxes_udf = word_boxes_udf(line_box=(0, 0, 777, 20))
+    toks = F.split(TS.norm_text(F.col("text")), " ")
+    alnum = F.filter(toks, lambda t: t.rlike("^[a-z0-9]+$"))
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("w8", F.slice(alnum, 1, 8))
+        .filter(F.size("w8") >= 8)
+        .withColumn("line", F.concat_ws(" ", F.col("w8")))
+    )
+    return d.select(
+        "doc_id", F.posexplode(boxes_udf(F.col("line"))).alias("word_idx", "wb")
+    ).select(
+        "doc_id",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.col("wb.word").alias("word"),
+        F.col("wb.wx0").alias("wx0"),
+        F.col("wb.wx1").alias("wx1"),
+    )
+
+
 def q_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source dataset concat with per-source sampling ratios — the
     SimpleDataSet ratio_list analog (/root/reference/ppocr/data/
@@ -663,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "multisource_union": q_multisource_union,
         "word_segments": q_word_segments,
+        "word_boxes": q_word_boxes,
         "table_teds": q_table_teds,
         "extract_markdown": q_extract_markdown,
         "extract_conversation": q_extract_conversation,
@@ -1114,13 +1164,45 @@ SELECT doc_id,
 FROM td WHERE len(toks) >= 12
 """
 
-    sql["textnorm"] = r"""
+    from paddleocr_spark.functions.textnorm import _Q2B_FROM, _Q2B_TO
+
+    q2b_from = _Q2B_FROM.replace("'", "''")
+    q2b_to = _Q2B_TO.replace("'", "''")
+    sql["textnorm"] = rf"""
 SELECT doc_id,
   trim(regexp_replace(
     regexp_replace('<b>' || text || '</b>  x <i>y</i>' || chr(10) || '<sub>z</sub>',
                    '</?(?:b|i|em|strong|sub|sup|u)\s*/?>', '', 'g'),
-    '\s+', ' ', 'g')) AS scrubbed
+    '\s+', ' ', 'g')) AS scrubbed,
+  translate('Ａｂｃ　１２３！？～ ' || text, '{q2b_from}', '{q2b_to}') AS q2b
 FROM documents
+"""
+
+    # analytic offsets mirror of word_boxes: token k of the 8-token line
+    # starts at (sum of previous token lengths) + (k-1) spaces; endpoints
+    # floor for x0 and ceil for x1, same integer math as the kernel
+    sql["word_boxes"] = f"""
+WITH {_TD},
+l AS (
+  SELECT doc_id,
+    (list_filter(toks, t -> regexp_matches(t, '^[a-z0-9]+$')))[1:8] AS w8
+  FROM td
+),
+ln AS (
+  SELECT doc_id, w8, length(array_to_string(w8, ' ')) AS n
+  FROM l WHERE len(w8) >= 8
+),
+ks AS (SELECT doc_id, w8, n, unnest(generate_series(1, 8)) AS k FROM ln),
+words AS (
+  SELECT doc_id, n, k, w8[k] AS word,
+    (COALESCE(list_sum(list_transform(w8[1:k-1], x -> length(x))), 0)
+      + (k - 1))::BIGINT AS s
+  FROM ks
+)
+SELECT doc_id, (k - 1)::BIGINT AS word_idx, word,
+  ((s * 777) // n)::BIGINT AS wx0,
+  (((s + length(word)) * 777 + n - 1) // n)::BIGINT AS wx1
+FROM words
 """
 
     # extraction pipeline + hyperplane-LSH: non-SQL-expressible (pandas-UDF

@@ -104,6 +104,33 @@ def unclip_box(
     return (x0 - d, y0 - d, x1 + d, y1 + d)
 
 
+def word_boxes_udf(line_box: Tuple[int, int, int, int] = (0, 0, 777, 20)):
+    """Arrow-batched pandas UDF: line-text column → array of
+    (word, wx0, wx1) structs from ``word_boxes`` (cal_ocr_word_box analog);
+    y-extents are the line box's and therefore omitted."""
+    from pyspark.sql import functions as F, types as T
+
+    rt = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("word", T.StringType()),
+                T.StructField("wx0", T.LongType()),
+                T.StructField("wx1", T.LongType()),
+            ]
+        )
+    )
+
+    def _boxes(line: pd.Series) -> pd.Series:
+        return line.map(
+            lambda t: [
+                {"word": w, "wx0": x0, "wx1": x1}
+                for (w, x0, _y0, x1, _y1) in word_boxes(t or "", line_box)
+            ]
+        )
+
+    return F.pandas_udf(_boxes, rt)
+
+
 def word_segments_udf():
     """Arrow-batched pandas UDF: text column → array<string> of words from
     the get_word_info state machine (module-level so pandas-UDF type hints
