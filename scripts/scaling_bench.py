@@ -31,7 +31,10 @@ def run_one(cores: int, corpus: str, out: str) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--conf", "spark.driver.memory=48g",
+        # small heap on purpose: this VM faults fresh anonymous pages at
+        # ~20 us each, so a big G1 heap cycling through new regions is
+        # 10-30x slower than a small resident one (see session.py)
+        "--conf", "spark.driver.memory=%s" % os.environ.get("SPARK_DRIVER_MEM", "8g"),
         "--conf", "spark.sql.shuffle.partitions=%d" % max(cores, 8),
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
