@@ -250,6 +250,59 @@ def q_det_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMatch.match_result nearest-neighbor join
+    (/root/reference/ppstructure/table/matcher.py:58-102): each OCR box →
+    argmin cell box by the lexicographic key (1−IoU, L1-ish distance), ties
+    broken by first (lowest) cell index — expressed as
+    ROW_NUMBER() OVER (PARTITION BY ocr ORDER BY iou DESC, dist, cell_id)=1
+    on the within-page cross product. distance = corner L1 sum + min(corner
+    L1s) (matcher.py:20-26); IoU per matcher.py:29-55."""
+    from pyspark.sql import Window
+
+    a = _line_boxes(spark, sf_dir).select(
+        F.col("box_id").alias("ocr_id"),
+        "page_id",
+        F.col("x0").alias("ax0"),
+        F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"),
+        F.col("y1").alias("ay1"),
+    )
+    b = _region_boxes(spark, sf_dir).select(
+        F.col("box_id").alias("cell_id"),
+        "page_id",
+        F.col("x0").alias("bx0"),
+        F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"),
+        F.col("y1").alias("by1"),
+    )
+    j = a.join(b, "page_id")
+    iw = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    ih = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    inter = F.when((iw > 0) & (ih > 0), iw * ih).otherwise(F.lit(0))
+    s1 = (F.col("ax1") - F.col("ax0")) * (F.col("ay1") - F.col("ay0"))
+    s2 = (F.col("bx1") - F.col("bx0")) * (F.col("by1") - F.col("by0"))
+    union = s1 + s2 - inter
+    iou = inter.cast("double") / union.cast("double")
+    d2 = F.abs(F.col("bx0") - F.col("ax0")) + F.abs(F.col("by0") - F.col("ay0"))
+    d3 = F.abs(F.col("bx1") - F.col("ax1")) + F.abs(F.col("by1") - F.col("ay1"))
+    dist = d2 + d3 + F.least(d2, d3)
+    j = j.withColumn("iou", iou).withColumn("dist", dist.cast("long"))
+    w = Window.partitionBy("ocr_id").orderBy(
+        F.col("iou").desc(), F.col("dist").asc(), F.col("cell_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "ocr_id",
+            "cell_id",
+            "dist",
+            F.floor(F.col("iou") * 1e6).cast("long").alias("iou_micro"),
+        )
+    )
+
+
 def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-match + normalized edit distance (RecMetric analog,
     /root/reference/ppocr/metrics/rec_metric.py:39-78) via built-in
@@ -584,6 +637,48 @@ def q_rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_MEDIA = 300
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (DecodeImage analog,
+    /root/reference/ppocr/data/imaug/operators.py:30-68): binary payload
+    column → feature vector via a mapInPandas Arrow crossing. The codec is a
+    clearly-marked deterministic STUB (md5-derived features — the real
+    libraries are not in this container); the schema/batching/partitioning
+    is the real contract. Oracle recomputes the md5 chain in SQL."""
+    from paddleocr_spark.operators.multimodal import extract_features, synth_media
+
+    out = extract_features(synth_media(spark, _N_MEDIA).repartition(8))
+    cols = [
+        F.floor(F.col("features")[k] * 1e6).cast("long").alias(f"f{k}")
+        for k in range(4)
+    ]
+    return out.select("media_id", "kind", "decoder", *cols)
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning, pure SQL — the DetResizeForTest
+    limit-side math (/root/reference/ppocr/data/imaug/operators.py:268-305:
+    long side ≤ 736, round each side to a multiple of 32)."""
+    from paddleocr_spark.operators.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(spark, _N_MEDIA)).select(
+        "media_id", "kind", "resize_w", "resize_h"
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per every-10th frame index, pure SQL —
+    the PDF page-explode shape (check_and_read,
+    /root/reference/ppocr/utils/utility.py:119-152)."""
+    from paddleocr_spark.operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, _N_MEDIA)).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown document assembly over extracted spans (convert_info_markdown
     analog) — rows-only check (depends on the UDF extraction)."""
@@ -698,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textnorm": q_textnorm,
         "spatial_join": q_spatial_join,
         "det_match": q_det_match,
+        "table_match": q_table_match,
         "rec_metric": q_rec_metric,
         "rtl_reverse": q_rtl_reverse,
         "json_props": q_json_props,
@@ -710,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
+        "media_features": q_media_features,
+        "media_resize_plan": q_media_resize_plan,
+        "media_frame_sample": q_media_frame_sample,
         "multisource_union": q_multisource_union,
         "word_segments": q_word_segments,
         "word_boxes": q_word_boxes,
@@ -951,6 +1050,37 @@ WHERE EXISTS (
 )
 """
 
+    # TableMatch.match_result mirror: iou DESC (≡ 1−iou ASC), then the
+    # corner-L1 distance, then lowest cell index — matcher.py:58-102
+    sql["table_match"] = f"""
+WITH {_LINES}, {_REGIONS},
+pairs AS (
+  SELECT a.box_id AS ocr_id, b.box_id AS cell_id,
+    CASE WHEN least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+          AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+         THEN (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+            * (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+         ELSE 0 END AS inter,
+    (a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0) AS s12,
+    abs(b.x0 - a.x0) + abs(b.y0 - a.y0) AS d2,
+    abs(b.x1 - a.x1) + abs(b.y1 - a.y1) AS d3
+  FROM lines a JOIN regions b USING (page_id)
+),
+scored AS (
+  SELECT ocr_id, cell_id,
+    CAST(inter AS DOUBLE) / CAST(s12 - inter AS DOUBLE) AS iou,
+    (d2 + d3 + least(d2, d3))::BIGINT AS dist
+  FROM pairs
+),
+ranked AS (
+  SELECT ocr_id, cell_id, dist, iou,
+    row_number() OVER (PARTITION BY ocr_id ORDER BY iou DESC, dist ASC, cell_id ASC) AS rn
+  FROM scored
+)
+SELECT ocr_id, cell_id, dist, CAST(floor(iou * 1e6) AS BIGINT) AS iou_micro
+FROM ranked WHERE rn = 1
+"""
+
     sql["det_match"] = f"""
 WITH {_REGIONS},
 gt AS (SELECT box_id AS gt_id, page_id, x0, y0, x1, y1 FROM regions),
@@ -1121,6 +1251,57 @@ SELECT p_partkey,
   array_to_string(list_reverse(
     regexp_extract_all(p_name || ' #' || p_brand, '([a-zA-Z0-9]+|\S)')), ' ') AS reversed
 FROM part
+"""
+
+    # --- multimodal plumbing mirrors (synthetic media table recomputed in
+    # SQL from the same deterministic construction as synth_media) ---
+    _MEDIA_IDS = f"ids AS (SELECT unnest(range({_N_MEDIA})) AS i)"
+    _KIND = "CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    payload_hex = " || ".join(f"md5('media:' || i || ':{j}')" for j in range(8))
+
+    def _hexbyte(k: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(h, {2 * k + 1}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(h, {2 * k + 2}, 1)) - 1))"
+        )
+
+    feat_cols = ",\n  ".join(
+        f"CAST(floor(1000000 * ({_hexbyte(k)} / 255.0)) AS BIGINT) AS f{k}"
+        for k in range(4)
+    )
+    sql["media_features"] = f"""
+WITH {_MEDIA_IDS},
+p AS (SELECT i, md5({payload_hex}) AS h FROM ids)
+SELECT CAST(i AS BIGINT) AS media_id, {_KIND} AS kind, 'fake' AS decoder,
+  {feat_cols}
+FROM p
+"""
+
+    sql["media_resize_plan"] = f"""
+WITH {_MEDIA_IDS},
+m AS (
+  SELECT i, {_KIND} AS kind,
+    CASE WHEN i % 3 = 1 THEN NULL ELSE 64 + (i * 13) % 960 END AS w,
+    CASE WHEN i % 3 = 1 THEN NULL ELSE 48 + (i * 7) % 540 END AS hgt
+  FROM ids
+),
+r AS (
+  SELECT i, kind, w, hgt,
+    CASE WHEN greatest(w, hgt) > 736 THEN 736 / greatest(w, hgt) ELSE 1.0 END AS ratio
+  FROM m
+)
+SELECT CAST(i AS BIGINT) AS media_id, kind,
+  CAST(round(w * ratio / 32) * 32 AS INTEGER) AS resize_w,
+  CAST(round(hgt * ratio / 32) * 32 AS INTEGER) AS resize_h
+FROM r
+"""
+
+    sql["media_frame_sample"] = f"""
+WITH {_MEDIA_IDS},
+v AS (SELECT i, 1 + (i * 11) % 240 AS nf FROM ids WHERE i % 3 = 2)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(unnest(range(0, nf, 10)) AS BIGINT) AS frame_idx
+FROM v
 """
 
     sql["multisource_union"] = """

@@ -181,8 +181,32 @@ def conversation_document(df: DataFrame, text_col: str = "extracted_text") -> Da
 
 def ordered_output(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Stable (conv_id, turn_idx) global ordering for writes/goldens: range
-    partition + in-partition sort — no single-point sort bottleneck."""
+    partition + in-partition sort — no single-point sort bottleneck.
+
+    CAUTION: repartitionByRange runs a sampling pass that re-executes the
+    input plan. Applied directly to an uncached ``extract(...)`` output that
+    means the whole UDF extraction runs TWICE. Use ``extract_ordered`` (one
+    pass) when ordering freshly-extracted data; use this only on cached /
+    materialized inputs."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartitionByRange(n, "conv_id", "turn_idx").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def extract_ordered(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally (conv_id, turn_idx)-ordered extraction in ONE extraction
+    pass: range-partition the RAW input by the sort keys — the range sampler
+    then scans only the cheap source rows, not the UDF output — run the
+    fused kernel per partition, and sort within partitions. The range
+    partitioning also defuses conversation skew (a million-turn conversation
+    splits across ranges on turn_idx), so no salt shuffle is needed."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    pre = df.repartitionByRange(n, "conv_id", "turn_idx")
+    return extract(pre, cfg=cfg, salt=False).sortWithinPartitions(
         "conv_id", "turn_idx"
     )

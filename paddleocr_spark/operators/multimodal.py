@@ -85,10 +85,12 @@ def _try_real_decoder():
 
 def _fake_features(payload: bytes) -> list[float] | None:
     """STUB decode (clearly marked): deterministic features from the payload
-    hash. Real deployment replaces this with codec + CNN/fbank features."""
+    hash (md5 over the lowercase hex encoding — hex so the DuckDB oracle,
+    whose md5 is VARCHAR-only, can mirror it exactly). Real deployment
+    replaces this with codec + CNN/fbank features."""
     if not payload:
         return None
-    h = hashlib.md5(payload).digest()
+    h = hashlib.md5(payload.hex().encode()).digest()
     return [h[k] / 255.0 for k in range(FEATURE_DIM)]
 
 

@@ -31,10 +31,15 @@ def run_one(cores: int, corpus: str, out: str) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        # small heap on purpose: this VM faults fresh anonymous pages at
-        # ~20 us each, so a big G1 heap cycling through new regions is
-        # 10-30x slower than a small resident one (see session.py)
+        # small heap + full pretouch on purpose: this VM demand-faults fresh
+        # anonymous pages at ~20 us each THROUGH A SERIALIZED HOST PATH (the
+        # contention halves per-core efficiency at high parallelism), while
+        # bulk parallel pretouch runs at ~6 GB/s — prefaulting the whole heap
+        # at JVM start removes the fault tax from the measured region
+        # entirely (see session.py)
         "--conf", "spark.driver.memory=%s" % os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "--conf", "spark.driver.extraJavaOptions=-Xms%s -XX:+AlwaysPreTouch"
+                  % os.environ.get("SPARK_DRIVER_MEM", "8g"),
         "--conf", "spark.sql.shuffle.partitions=%d" % max(cores, 8),
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",

@@ -71,6 +71,22 @@ def test_ordered_output_is_sorted(spark, transcripts):
     assert keys == sorted(keys)
 
 
+def test_extract_ordered_single_pass_matches(spark, transcripts):
+    """extract_ordered (range-partition raw input → one UDF pass → in-
+    partition sort) must produce exactly the rows of the two-pass
+    ordered_output(extract(...)) path, fully sorted."""
+    from paddleocr_spark.operators import extract_ordered
+
+    df = extract_ordered(transcripts, num_partitions=4)
+    rows = df.select("conv_id", "turn_idx", "extracted_text").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys)
+    ref = ordered_output(extract(transcripts), num_partitions=4).select(
+        "conv_id", "turn_idx", "extracted_text"
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in ref]
+
+
 def test_payload_kind_filter_prunes(spark, transcripts):
     """payload_kind exists as a pure-SQL column so kind-filters stay JVM-side."""
     from paddleocr_spark.operators import with_payload_kind
