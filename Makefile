@@ -16,7 +16,10 @@ package:         ## build dist/engine.zip for spark-submit --py-files
 	python scripts/package.py
 
 job: package     ## resumable extraction job via spark-submit
-	spark-submit --master local[16] --py-files dist/engine.zip job.py \
+	spark-submit --master local[16] \
+		--conf spark.driver.memory=8g \
+		--conf "spark.driver.extraJavaOptions=-Xms8g -XX:+AlwaysPreTouch" \
+		--py-files dist/engine.zip job.py \
 		--sf-dir /root/testdata/sf0.1 --out /tmp/extract_out
 
 clean:

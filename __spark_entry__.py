@@ -250,6 +250,60 @@ def q_det_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DetMetric micro precision/recall/hmean
+    (/root/reference/ppocr/metrics/det_metric.py:24-71): global TP counts
+    after the one-to-one IoU≥0.5 match, with 10% of predictions dropped so
+    precision ≠ recall. hmean = 2·M/(G+P) (the closed form of
+    2PR/(P+R) with P=M/n_pred, R=M/n_gt) — all integer division, exact."""
+    from paddleocr_spark.operators.spatial import det_match_pairs
+
+    gt = _region_boxes(spark, sf_dir)
+    pred = gt.filter(F.col("box_id") % 10 != 0).select(
+        "box_id",
+        "page_id",
+        (F.col("x0") + F.col("box_id") % 7 - 3).alias("x0"),
+        (F.col("y0") + F.col("box_id") % 5 - 2).alias("y0"),
+        (F.col("x1") + F.col("box_id") % 7 - 3).alias("x1"),
+        (F.col("y1") + F.col("box_id") % 5 - 2).alias("y1"),
+    )
+    m = det_match_pairs(gt, pred).agg(F.count(F.lit(1)).alias("n_matched"))
+    g = gt.agg(F.count(F.lit(1)).alias("n_gt"))
+    p = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    return (
+        m.crossJoin(g)
+        .crossJoin(p)
+        .selectExpr(
+            "n_gt",
+            "n_pred",
+            "n_matched",
+            "1000000 * n_matched DIV n_pred AS precision_micro",
+            "1000000 * n_matched DIV n_gt AS recall_micro",
+            "2000000 * n_matched DIV (n_gt + n_pred) AS hmean_micro",
+        )
+    )
+
+
+def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single/double-column region classification — the per-box predicates of
+    sorted_layout_boxes (/root/reference/ppstructure/recovery/
+    recovery_to_doc.py:135-142: left column iff x0 < w/4 ∧ x1 < 3w/4, right
+    column iff x0 > w/4 ∧ x1 > w/2, else full-width/single; page width 800).
+    The reference's surrounding stateful walk handles interleaving and the
+    last box; the classification thresholds themselves are pure predicates
+    and are what this query mirrors. Rolled up per (page, layout)."""
+    r = _region_boxes(spark, sf_dir)
+    w = 800
+    layout = (
+        F.when((F.col("x0") < w / 4) & (F.col("x1") < 3 * w / 4), F.lit("left"))
+        .when((F.col("x0") > w / 4) & (F.col("x1") > w / 2), F.lit("right"))
+        .otherwise(F.lit("single"))
+    )
+    return r.groupBy("page_id", layout.alias("layout")).agg(
+        F.count(F.lit(1)).alias("n_regions")
+    )
+
+
 def q_table_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TableMatch.match_result nearest-neighbor join
     (/root/reference/ppstructure/table/matcher.py:58-102): each OCR box →
@@ -793,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textnorm": q_textnorm,
         "spatial_join": q_spatial_join,
         "det_match": q_det_match,
+        "det_metric": q_det_metric,
+        "layout_columns": q_layout_columns,
         "table_match": q_table_match,
         "rec_metric": q_rec_metric,
         "rtl_reverse": q_rtl_reverse,
@@ -1111,6 +1167,60 @@ SELECT page_id, gt_id, pred_id, iou_micro FROM (
   SELECT *, row_number() OVER (PARTITION BY page_id, pred_id
                                ORDER BY gt_id ASC) AS rk2
   FROM best_for_gt) WHERE rk2 = 1
+"""
+
+    sql["det_metric"] = f"""
+WITH {_REGIONS},
+gt AS (SELECT box_id AS gt_id, page_id, x0, y0, x1, y1 FROM regions),
+pred AS (
+  SELECT box_id AS pred_id, page_id,
+         x0 + box_id % 7 - 3 AS x0, y0 + box_id % 5 - 2 AS y0,
+         x1 + box_id % 7 - 3 AS x1, y1 + box_id % 5 - 2 AS y1
+  FROM regions WHERE box_id % 10 <> 0
+),
+scored AS (
+  SELECT g.page_id, g.gt_id, p.pred_id,
+    CAST(floor(1000000.0 *
+      (greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+       * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))
+      / ((g.x1 - g.x0) * (g.y1 - g.y0) + (p.x1 - p.x0) * (p.y1 - p.y0)
+         - greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+           * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))) AS BIGINT) AS iou_micro
+  FROM gt g JOIN pred p USING (page_id)
+),
+thresholded AS (SELECT * FROM scored WHERE iou_micro >= 500000),
+best_for_gt AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, gt_id
+                                 ORDER BY iou_micro DESC, pred_id ASC) AS rk
+    FROM thresholded) WHERE rk = 1
+),
+matched AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, pred_id
+                                 ORDER BY gt_id ASC) AS rk2
+    FROM best_for_gt) WHERE rk2 = 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM gt) AS n_gt,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM matched) AS n_matched
+)
+SELECT n_gt, n_pred, n_matched,
+  1000000 * n_matched // n_pred AS precision_micro,
+  1000000 * n_matched // n_gt AS recall_micro,
+  2000000 * n_matched // (n_gt + n_pred) AS hmean_micro
+FROM c
+"""
+
+    sql["layout_columns"] = f"""
+WITH {_REGIONS}
+SELECT page_id,
+  CASE WHEN x0 < 200 AND x1 < 600 THEN 'left'
+       WHEN x0 > 200 AND x1 > 400 THEN 'right'
+       ELSE 'single' END AS layout,
+  count(*) AS n_regions
+FROM regions GROUP BY 1, 2
 """
 
     sql["rec_metric"] = """
