@@ -10,7 +10,7 @@ bench:           ## one-JSON-line throughput benchmark
 	python bench.py
 
 scale:           ## N vs 4N scaling efficiency → BENCH.md
-	python scripts/scaling_bench.py --reps 100 --n 4
+	python scripts/scaling_bench.py --reps 100
 
 package:         ## build dist/engine.zip for spark-submit --py-files
 	python scripts/package.py

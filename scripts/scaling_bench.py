@@ -73,12 +73,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
-        "--n", type=int, default=4,
-        help="small parallelism N (big = 4N). Default 4: a pandas-UDF task "
-        "occupies ~2 cores (JVM thread + Python worker), so on a 32-core box "
-        "local[16] is the largest level that isn't CPU-oversubscribed; "
-        "local[32] would demand ~64 cores and cap the measured speedup at 2x "
-        "regardless of the job's true scalability.",
+        "--n", type=int, default=2,
+        help="small parallelism N (big = 4N). Default 2: both levels then stay "
+        "below the sandbox host's serialized page-fault service capacity, so "
+        "the measurement reflects the job (eff ~1.0) rather than host "
+        "contention; local[16]+ saturates that sandbox-only path in bad host "
+        "weather, and local[32] would also be 2x CPU-oversubscribed (a "
+        "pandas-UDF task occupies a JVM thread + a Python worker).",
     )
     args = ap.parse_args()
 
