@@ -129,6 +129,11 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     cur_link = 0
     cur_boiler = False
 
+    # loop-hoisted lookups (the token loop runs ~100k times per batch)
+    boiler_tags = cfg.boiler_tags
+    boiler_class = cfg.boiler_class
+    parse_tag = _parse_tag
+
     def current_kind() -> str:
         if heading_depth > 0:
             return "title"
@@ -189,7 +194,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if tok[1] == "!":  # comment or declaration (<!-- / <!DOCTYPE) → ignored
             continue
         else:  # --- tag token ---
-            closing, name, self_closing, class_tokens = _parse_tag(tok)
+            closing, name, self_closing, class_tokens = parse_tag(tok)
             if name is None:
                 continue  # malformed tag → ignored
 
@@ -247,8 +252,8 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             if not closing:
                 if name in VOID_TAGS or self_closing:
                     continue
-                boiler = name in cfg.boiler_tags or (
-                    class_tokens is not None and cfg.boiler_class in class_tokens
+                boiler = name in boiler_tags or (
+                    class_tokens is not None and boiler_class in class_tokens
                 )
                 is_a = name == "a"
                 is_h = name in HEADING_TAGS
