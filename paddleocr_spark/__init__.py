@@ -9,6 +9,7 @@ operator-by-operator mapping and docs/SPEC.md for the extraction semantics.
 from .config import ExtractConfig, DEFAULT_CONFIG
 from .kernel import extract_payload, extract_batch, assemble_text
 from .oracle import oracle_extract
+from .api import TranscriptExtractor, register_sql_functions
 
 __version__ = "0.1.0"
 
@@ -19,4 +20,6 @@ __all__ = [
     "extract_batch",
     "assemble_text",
     "oracle_extract",
+    "TranscriptExtractor",
+    "register_sql_functions",
 ]

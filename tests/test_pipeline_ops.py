@@ -164,3 +164,45 @@ def test_ivf_topk_scores_are_exact_cosines(spark):
     assert {(r.q_id, r.cand_id, r.rank_k) for r in full} == {
         (r.q_id, r.cand_id, r.rank_k) for r in exact5
     }
+
+
+def test_transcript_extractor_api(spark, sf_dir):
+    """PaddleOCR-wheel-class analog: kwargs -> config replace -> predict."""
+    import pytest
+
+    from paddleocr_spark.api import TranscriptExtractor
+    from paddleocr_spark.plans.flagship import corpus_df
+
+    with pytest.raises(TypeError):
+        TranscriptExtractor(bogus_param=1)
+
+    ex = TranscriptExtractor(min_chars=5)
+    assert ex.cfg.min_chars == 5
+    tr = corpus_df(spark, sf_dir).limit(50)
+    out = ex.predict(tr)
+    assert {"payload_kind", "spans", "extracted_text", "n_spans"} <= set(out.columns)
+    assert out.count() == 50
+    rows = ex.predict(tr, ordered=True).select("conv_id", "turn_idx").collect()
+    keys = [(r[0], r[1]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_register_sql_functions(spark, sf_dir):
+    """SQL surface: the kernel callable from spark.sql, equal to the oracle."""
+    from paddleocr_spark.api import register_sql_functions
+    from paddleocr_spark.oracle import oracle_extract
+    from paddleocr_spark.plans.flagship import corpus_df
+
+    names = register_sql_functions(spark)
+    assert names == ["ps_extract_text", "ps_payload_kind", "ps_n_spans"]
+    corpus_df(spark, sf_dir).limit(30).createOrReplaceTempView("t_sql_api")
+    got = spark.sql(
+        "SELECT text, ps_extract_text(text) AS et, ps_payload_kind(text) AS k, "
+        "ps_n_spans(text) AS n FROM t_sql_api"
+    ).collect()
+    assert len(got) == 30
+    for r in got:
+        o = oracle_extract(r["text"])
+        assert r["et"] == o["extracted_text"]
+        assert r["k"] == o["kind"]
+        assert r["n"] == o["n_spans"]
