@@ -284,6 +284,54 @@ def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end spotting evaluation (/root/reference/tools/end2end/
+    eval_end2end.py:66-170): match boxes geometrically (IoU≥0.5,
+    one-to-one), then score the TEXT of the matches by Levenshtein edit
+    distance. gt text is md5(box_id); predictions carry a deterministic
+    one-char corruption on box_id%4==0 and 10% of boxes are missing.
+    Output: match counts + summed/mean edit distance (integer micro)."""
+    from paddleocr_spark.operators.spatial import det_match_pairs
+
+    gt = _region_boxes(spark, sf_dir).withColumn(
+        "gt_text", F.md5(F.col("box_id").cast("string"))
+    )
+    pred = gt.filter(F.col("box_id") % 10 != 0).select(
+        "box_id",
+        "page_id",
+        (F.col("x0") + F.col("box_id") % 7 - 3).alias("x0"),
+        (F.col("y0") + F.col("box_id") % 5 - 2).alias("y0"),
+        (F.col("x1") + F.col("box_id") % 7 - 3).alias("x1"),
+        (F.col("y1") + F.col("box_id") % 5 - 2).alias("y1"),
+        F.when(
+            F.col("box_id") % 4 == 0,
+            F.concat(F.lit("z"), F.substring(F.col("gt_text"), 2, 31)),
+        )
+        .otherwise(F.col("gt_text"))
+        .alias("pred_text"),
+    )
+    pairs = det_match_pairs(gt, pred)
+    scored = (
+        pairs.join(
+            gt.select(F.col("box_id").alias("gt_id"), "gt_text"), "gt_id"
+        )
+        .join(
+            pred.select(F.col("box_id").alias("pred_id"), "pred_text"), "pred_id"
+        )
+        .withColumn("ed", F.levenshtein("gt_text", "pred_text").cast("long"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("ed").alias("sum_ed"),
+        F.sum((F.col("ed") == 0).cast("long")).alias("n_exact"),
+    ).selectExpr(
+        "n_matched",
+        "sum_ed",
+        "n_exact",
+        "1000000 * sum_ed DIV n_matched AS mean_ed_micro",
+    )
+
+
 def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single/double-column region classification — the per-box predicates of
     sorted_layout_boxes (/root/reference/ppstructure/recovery/
@@ -848,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "det_match": q_det_match,
         "det_metric": q_det_metric,
+        "e2e_metric": q_e2e_metric,
         "layout_columns": q_layout_columns,
         "table_match": q_table_match,
         "rec_metric": q_rec_metric,
@@ -1211,6 +1260,56 @@ SELECT n_gt, n_pred, n_matched,
   1000000 * n_matched // n_gt AS recall_micro,
   2000000 * n_matched // (n_gt + n_pred) AS hmean_micro
 FROM c
+"""
+
+    sql["e2e_metric"] = f"""
+WITH {_REGIONS},
+gt AS (
+  SELECT box_id AS gt_id, page_id, x0, y0, x1, y1,
+         md5(CAST(box_id AS VARCHAR)) AS gt_text
+  FROM regions
+),
+pred AS (
+  SELECT box_id AS pred_id, page_id,
+         x0 + box_id % 7 - 3 AS x0, y0 + box_id % 5 - 2 AS y0,
+         x1 + box_id % 7 - 3 AS x1, y1 + box_id % 5 - 2 AS y1,
+         CASE WHEN box_id % 4 = 0
+              THEN 'z' || substr(md5(CAST(box_id AS VARCHAR)), 2, 31)
+              ELSE md5(CAST(box_id AS VARCHAR)) END AS pred_text
+  FROM regions WHERE box_id % 10 <> 0
+),
+scored AS (
+  SELECT g.page_id, g.gt_id, p.pred_id, g.gt_text, p.pred_text,
+    CAST(floor(1000000.0 *
+      (greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+       * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))
+      / ((g.x1 - g.x0) * (g.y1 - g.y0) + (p.x1 - p.x0) * (p.y1 - p.y0)
+         - greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+           * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))) AS BIGINT) AS iou_micro
+  FROM gt g JOIN pred p USING (page_id)
+),
+thresholded AS (SELECT * FROM scored WHERE iou_micro >= 500000),
+best_for_gt AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, gt_id
+                                 ORDER BY iou_micro DESC, pred_id ASC) AS rk
+    FROM thresholded) WHERE rk = 1
+),
+matched AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, pred_id
+                                 ORDER BY gt_id ASC) AS rk2
+    FROM best_for_gt) WHERE rk2 = 1
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_matched,
+         CAST(sum(levenshtein(gt_text, pred_text)) AS BIGINT) AS sum_ed,
+         CAST(sum(CASE WHEN levenshtein(gt_text, pred_text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+  FROM matched
+)
+SELECT n_matched, sum_ed, n_exact,
+  1000000 * sum_ed // n_matched AS mean_ed_micro
+FROM m
 """
 
     sql["layout_columns"] = f"""
