@@ -106,3 +106,25 @@ def test_checkpoint_values_match_direct_extraction(spark, transcripts, tmp_path)
     )
     assert written.exceptAll(direct).count() == 0
     assert direct.exceptAll(written).count() == 0
+
+
+def test_uncommitted_group_dir_is_removed(spark, transcripts, tmp_path):
+    """A group dir written but never manifest-committed (crash between data
+    commit and manifest rename) must be removed at the next job start —
+    readers never observe uncommitted rows, and the recomputed buckets land
+    under a fresh dir name."""
+    out = str(tmp_path / "ckpt_orphan")
+    run_extract_job(spark, transcripts, out, n_buckets=8, group_size=8)
+    data_dir = os.path.join(out, "data")
+    committed = set(os.listdir(data_dir))
+    # fabricate an orphan: data written, no manifest entry references it
+    orphan = os.path.join(data_dir, "group=99999")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    s = run_extract_job(spark, transcripts, out, n_buckets=8, group_size=8)
+    assert s["groups_run"] == 0  # everything committed: nothing recomputed
+    assert not os.path.exists(orphan)  # orphan swept
+    assert set(os.listdir(data_dir)) == committed
+    data = spark.read.parquet(data_dir)
+    assert data.count() == transcripts.count()
