@@ -9,6 +9,11 @@ Env:
   SPARK_GRAFT_SF_DIR  input scale dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] cores (default 32)
   BENCH_CORPUS_DIR    where the synthesized corpus parquet is cached
+  BENCH_REPS          corpus multiplier for the extract headline (default
+                      10 → ~406k turns at sf0.1): at 1× the 40k-turn input
+                      is fixed-cost dominated (scheduling + warmup residue
+                      ~60% of wall) and the number measures the harness,
+                      not the pipeline
 """
 
 from __future__ import annotations
@@ -34,15 +39,18 @@ def _noop(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     corpus_root = os.environ.get("BENCH_CORPUS_DIR", "/tmp/paddleocr_spark_bench")
-    corpus_path = os.path.join(corpus_root, f"corpus_sf{sf}.parquet")
+    corpus_path = os.path.join(corpus_root, f"corpus_sf{sf}_r{reps}.parquet")
 
     spark = get_spark("bench", cores=cpus)
 
     # -- setup (untimed): synthesize + cache the transcript corpus ----------
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        transcripts_df(spark, sf_dir).write.mode("overwrite").parquet(corpus_path)
+        transcripts_df(spark, sf_dir, reps=reps).write.mode("overwrite").parquet(
+            corpus_path
+        )
 
     timings: dict[str, float] = {}
 
@@ -85,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "reps": reps,
                 "turns": n_turns,
                 "turns_per_sec": tps,
                 "cpus": cpus,
