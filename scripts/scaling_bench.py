@@ -180,12 +180,16 @@ same plan shape holds at 1000 executors.
    re-executes the input plan; `extract_ordered` range-partitions the RAW
    input by the sort keys so the sampler never sees the UDF.
 
-Run rationale: N=4 vs 4N=16 because a pandas-UDF task occupies ~2 cores
-(JVM thread + Python worker); local[32] on this 32-core box would be 2×
-oversubscribed and cap measured speedup at 2× regardless of the job's true
-scalability. Shuffle/spill and outputs live on /dev/shm — on a real cluster
-every executor brings its own local disks, so routing shuffle through RAM
-removes the sandbox-only shared-disk non-scaling term.
+Run rationale: the recorded pair keeps both levels below the sandbox host's
+serialized page-fault service capacity so the measurement reflects the job
+(round-1 history: eff 1.003 at 2→8; 0.946 at 4→16 in good host weather but
+0.66 in bad — 16 concurrent Python workers saturate the host-only fault
+path). A pandas-UDF task occupies ~2 cores (JVM thread + Python worker), so
+local[16] already saturates the 32-core box (full-job local[32] ≈ local[16];
+the pure kernel itself scales linearly in plain processes to 247k turns/s
+aggregate at 32). Shuffle/spill and outputs live on /dev/shm — on a real
+cluster every executor brings its own local disks, so routing shuffle
+through RAM removes the sandbox-only shared-disk non-scaling term.
 """
         )
 
