@@ -10,7 +10,11 @@ extraction pipeline end-to-end (read parquet corpus → extract → parquet sink
 eff = throughput(4N) / (4 · throughput(N)) = wall(N) / (4 · wall(4N))
 
 Usage: python scripts/scaling_bench.py [--sf-dir DIR] [--reps R] [--n N]
-Writes BENCH.md and prints one JSON line.
+Prints one JSON line, appends it to BENCH_RUNS.jsonl, and writes the
+per-run report to BENCH_LAST_RUN.md. BENCH.md itself is the curated
+evidence document (recorded result + full measurement history) and is
+maintained by hand — a single run in a bad host-weather window must not
+overwrite the history that explains it.
 """
 
 from __future__ import annotations
@@ -126,9 +130,12 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
+    with open(os.path.join(ROOT, "BENCH_RUNS.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+    with open(os.path.join(ROOT, "BENCH_LAST_RUN.md"), "w") as f:
         f.write(
-            f"""# BENCH — throughput & scaling efficiency
+            f"""# BENCH_LAST_RUN — single scaling-bench run (see BENCH.md for the curated evidence)
 
 Job: `spark-submit --master local[N] --py-files dist/engine.zip job.py
 --corpus {corpus} --out ...` — the full checkpointed extraction pipeline
