@@ -32,6 +32,11 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=1)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--group-size", type=int, default=32)
+    p.add_argument(
+        "--no-salt", action="store_true",
+        help="skip the pre-UDF salted repartition (the 100 TB default: scan "
+        "splits are already byte-uniform — docs/SCALE_100TB.md §2)",
+    )
     args = p.parse_args()
 
     spark = (
@@ -53,6 +58,7 @@ def main() -> None:
         args.out,
         n_buckets=args.n_buckets,
         group_size=args.group_size,
+        salt=not args.no_salt,
     )
     print(json.dumps(summary))
 

@@ -90,6 +90,7 @@ def run_extract_job(
     n_buckets: int = 64,
     group_size: int = 32,
     run_id: str | None = None,
+    salt: bool = True,
 ) -> dict:
     """Extract ``transcripts`` into a checkpointed output table, resumably.
 
@@ -124,7 +125,11 @@ def run_extract_job(
     for gi, buckets in enumerate(groups):
         t0 = time.time()
         sub = bucketed.filter(F.col("bucket").isin(buckets))
-        out = extract(sub.drop("bucket"), cfg=cfg).withColumn(
+        # salt=True locally (the shuffle is cheap and exercises the skew
+        # path); at 100 TB pass salt=False — scan splits are already
+        # byte-uniform and the pre-UDF shuffle would move the whole corpus
+        # (docs/SCALE_100TB.md §2)
+        out = extract(sub.drop("bucket"), cfg=cfg, salt=salt).withColumn(
             "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
         )
         obs = Observation(f"extract-{run_id}-{gi}")
