@@ -352,6 +352,31 @@ def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_above_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_filter_ocr_result analog (/root/reference/ppstructure/table/
+    matcher.py:196-206: drop OCR lines whose box sits fully above the table
+    region's top edge): per page, the 'table top' is the minimum region y0;
+    keep lines with y1 > that edge. A y-coordinate predicate against a
+    per-group aggregate — broadcastable at any scale (one row per page)."""
+    lines = _line_boxes(spark, sf_dir)
+    # the "table" is the topmost region in the lower page half — with the
+    # synthetic boxes the plain min(y0) is ~0 on every page and the filter
+    # would be vacuous; the conditional min keeps the aggregate shape AND a
+    # predicate that actually drops ~1/3 of the lines
+    top = (
+        _region_boxes(spark, sf_dir)
+        .groupBy("page_id")
+        .agg(
+            F.min(F.when(F.col("y0") >= 400, F.col("y0"))).alias("table_top")
+        )
+    )
+    return (
+        lines.join(F.broadcast(top), "page_id")
+        .filter(F.col("y1") > F.col("table_top"))
+        .select("page_id", "box_id", "y1", "table_top")
+    )
+
+
 def q_table_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TableMatch.match_result nearest-neighbor join
     (/root/reference/ppstructure/table/matcher.py:58-102): each OCR box →
@@ -897,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_match": q_det_match,
         "det_metric": q_det_metric,
         "e2e_metric": q_e2e_metric,
+        "filter_above_region": q_filter_above_region,
         "layout_columns": q_layout_columns,
         "table_match": q_table_match,
         "rec_metric": q_rec_metric,
@@ -1260,6 +1286,15 @@ SELECT n_gt, n_pred, n_matched,
   1000000 * n_matched // n_gt AS recall_micro,
   2000000 * n_matched // (n_gt + n_pred) AS hmean_micro
 FROM c
+"""
+
+    sql["filter_above_region"] = f"""
+WITH {_LINES}, {_REGIONS},
+top AS (SELECT page_id, min(CASE WHEN y0 >= 400 THEN y0 END) AS table_top
+        FROM regions GROUP BY page_id)
+SELECT l.page_id, l.box_id, l.y1, t.table_top
+FROM lines l JOIN top t USING (page_id)
+WHERE l.y1 > t.table_top
 """
 
     sql["e2e_metric"] = f"""
