@@ -35,9 +35,15 @@ def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
     parquet files with one row group → one scan task, which serializes the
     regex/aggregation-heavy queries behind one core. At production scale the
     table is many files and this is a no-op (the guard keeps the repartition
-    from ever touching a well-partitioned scan)."""
+    from ever touching a well-partitioned scan). The guard uses the scan's
+    file list (pure metadata) — NOT ``df.rdd.getNumPartitions()``, which
+    would materialize the RDD conversion layer per query."""
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, n // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < max(2, n // 2):
         return df.repartition(n)
     return df
 
@@ -255,8 +261,9 @@ def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/ppocr/metrics/det_metric.py:24-71): global TP counts
     after the one-to-one IoU≥0.5 match, with 10% of predictions dropped so
     precision ≠ recall. hmean = 2·M/(G+P) (the closed form of
-    2PR/(P+R) with P=M/n_pred, R=M/n_gt) — all integer division, exact."""
-    from paddleocr_spark.operators.spatial import det_match_pairs
+    2PR/(P+R) with P=M/n_pred, R=M/n_gt) — all integer division, exact.
+    Delegates to operators.spatial.det_metric (single-pass lazy aggregates)."""
+    from paddleocr_spark.operators.spatial import det_metric
 
     gt = _region_boxes(spark, sf_dir)
     pred = gt.filter(F.col("box_id") % 10 != 0).select(
@@ -267,20 +274,13 @@ def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x1") + F.col("box_id") % 7 - 3).alias("x1"),
         (F.col("y1") + F.col("box_id") % 5 - 2).alias("y1"),
     )
-    m = det_match_pairs(gt, pred).agg(F.count(F.lit(1)).alias("n_matched"))
-    g = gt.agg(F.count(F.lit(1)).alias("n_gt"))
-    p = pred.agg(F.count(F.lit(1)).alias("n_pred"))
-    return (
-        m.crossJoin(g)
-        .crossJoin(p)
-        .selectExpr(
-            "n_gt",
-            "n_pred",
-            "n_matched",
-            "1000000 * n_matched DIV n_pred AS precision_micro",
-            "1000000 * n_matched DIV n_gt AS recall_micro",
-            "2000000 * n_matched DIV (n_gt + n_pred) AS hmean_micro",
-        )
+    return det_metric(gt, pred).select(
+        "n_gt",
+        "n_pred",
+        F.col("n_match").alias("n_matched"),
+        "precision_micro",
+        "recall_micro",
+        "hmean_micro",
     )
 
 
@@ -1564,11 +1564,15 @@ SELECT doc_id, source, h, 'secondary' AS origin FROM h WHERE src_num >= 10 AND h
 
     # regex closed form of the word_segments state machine (equivalence
     # fuzz-verified in tests/test_words.py): maximal alnum runs glued by a
-    # single internal joiner ' ’ - . when followed by another alnum char
+    # single internal joiner ' ’ - . when followed by another alnum char;
+    # CJK chars are one word each (the state machine emits one word per CJK
+    # char — rec_postprocess.py:131-140 'cn' branch), so the closed form
+    # needs the single-char CJK alternation to stay equivalent on CJK input
     sql["word_segments"] = r"""
 WITH ws AS (
   SELECT doc_id,
-    regexp_extract_all(text, '[a-zA-Z0-9À-ɏ]+(?:[''’\-.][a-zA-Z0-9À-ɏ]+)*') AS w
+    regexp_extract_all(text,
+      '[a-zA-Z0-9À-ɏ]+(?:[''’\-.][a-zA-Z0-9À-ɏ]+)*|[一-鿿㐀-䶿]') AS w
   FROM documents
 )
 SELECT doc_id,

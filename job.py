@@ -27,7 +27,8 @@ def main() -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1",
                    help="testdata scale dir (documents.parquet feeds the corpus)")
     p.add_argument("--corpus", default=None,
-                   help="pre-built transcripts parquet; overrides --sf-dir synthesis")
+                   help="pre-built transcripts source (parquet path or "
+                   "catalog.db.table Iceberg name); overrides --sf-dir synthesis")
     p.add_argument("--out", required=True, help="checkpointed output dir")
     p.add_argument("--reps", type=int, default=1)
     p.add_argument("--n-buckets", type=int, default=64)
@@ -48,7 +49,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.corpus:
-        transcripts = spark.read.parquet(args.corpus)
+        from paddleocr_spark.sources import read_transcripts
+
+        transcripts = read_transcripts(spark, args.corpus)
     else:
         transcripts = transcripts_df(spark, args.sf_dir, reps=args.reps)
 

@@ -66,10 +66,14 @@ def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
 # Tag tokens repeat heavily within and across payloads (<p>, </p>, <b>, …), so
 # one dict probe replaces regex match + groups + lower + endswith + class
 # sniff.  Content-keyed (the full token IS the key) → deterministic at any
-# parallelism; size-capped so adversarial payloads with unbounded distinct
-# tags cannot grow executor memory.
+# parallelism; capped on BOTH entry count and entry length — tag tokens match
+# <[^>]*> and can be payload-sized, so without the length bound a corpus of
+# many distinct attribute-heavy tags could pin ~entry_count × token_len bytes
+# per executor Python worker. Long tags are rare and gain nothing from
+# caching (the parse is O(len) either way), so they're simply not cached.
 _TAG_CACHE: dict = {}
 _TAG_CACHE_MAX = 1 << 16
+_TAG_CACHE_MAX_TOKEN_LEN = 256
 
 
 def _parse_tag(tok: str):
@@ -92,7 +96,7 @@ def _parse_tag(tok: str):
                 not closing and tok.endswith("/>"),
                 class_tokens,
             )
-        if len(_TAG_CACHE) < _TAG_CACHE_MAX:
+        if len(tok) <= _TAG_CACHE_MAX_TOKEN_LEN and len(_TAG_CACHE) < _TAG_CACHE_MAX:
             _TAG_CACHE[tok] = info
     return info
 

@@ -113,16 +113,24 @@ def det_match_pairs(
 
 
 def det_metric(gt: DataFrame, pred: DataFrame) -> DataFrame:
-    """Micro precision/recall/hmean in floored micro-units (single row)."""
-    matches = det_match_pairs(gt, pred)
-    n_match = matches.count()
-    n_gt = gt.count()
-    n_pred = pred.count()
-    spark = gt.sparkSession
-    prec = (1000000 * n_match) // n_pred if n_pred else 0
-    rec = (1000000 * n_match) // n_gt if n_gt else 0
-    h = (2 * prec * rec) // (prec + rec) if (prec + rec) else 0
-    return spark.createDataFrame(
-        [(n_match, n_gt, n_pred, prec, rec, h)],
-        "n_match: long, n_gt: long, n_pred: long, precision_micro: long, recall_micro: long, hmean_micro: long",
+    """Micro precision/recall/hmean in floored micro-units (single row).
+
+    Fully lazy: three 1-row aggregates cross-joined (each input is scanned
+    once, counts reduce map-side) — no driver-side ``.count()`` actions, no
+    ``createDataFrame``. hmean uses the closed form 2·M/(G+P) ≡ 2PR/(P+R)
+    with P=M/n_pred, R=M/n_gt, all integer division (exact cross-engine)."""
+    m = det_match_pairs(gt, pred).agg(F.count(F.lit(1)).alias("n_match"))
+    g = gt.agg(F.count(F.lit(1)).alias("n_gt"))
+    p = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    return (
+        m.crossJoin(g)
+        .crossJoin(p)
+        .selectExpr(
+            "n_match",
+            "n_gt",
+            "n_pred",
+            "CASE WHEN n_pred = 0 THEN 0 ELSE 1000000 * n_match DIV n_pred END AS precision_micro",
+            "CASE WHEN n_gt = 0 THEN 0 ELSE 1000000 * n_match DIV n_gt END AS recall_micro",
+            "CASE WHEN n_gt + n_pred = 0 THEN 0 ELSE 2000000 * n_match DIV (n_gt + n_pred) END AS hmean_micro",
+        )
     )

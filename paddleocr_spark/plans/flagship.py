@@ -52,6 +52,13 @@ def _tag(sf_dir: str, reps: int, base_turns: int, extra: str = "") -> str:
 
 
 def _cached(spark: SparkSession, name: str, build) -> DataFrame:
+    # Driver-local /tmp only exists as a shared path in local[*] mode. On a
+    # real cluster executors can't read the driver's /tmp, so the cache would
+    # silently degrade to rebuild-per-query (or worse, fail mid-scan) —
+    # bypass it entirely there; production runs persist through the
+    # checkpoint sink (sinks/checkpoint.py) instead.
+    if not spark.sparkContext.master.startswith("local"):
+        return build()
     path = os.path.join(_CACHE_ROOT, f"{name}.parquet")
     try:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):

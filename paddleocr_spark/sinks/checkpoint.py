@@ -110,14 +110,36 @@ def run_extract_job(
 
     # crash hygiene: a group dir written but never manifest-committed is
     # garbage (its buckets are still in `todo` and will be recomputed under a
-    # new dir name) — remove it so readers never see uncommitted rows
+    # new dir name) — remove it so readers never see uncommitted rows.
+    # The sweep must either fully remove the dir or fail the job loudly: a
+    # partial removal left in place would be recomputed into a NEW group dir
+    # and readers would silently see duplicate rows.
     committed_dirs = {e.get("dir") for e in w.metrics()}
     if os.path.isdir(w.data_dir):
         import shutil
 
         for name in os.listdir(w.data_dir):
+            # pre-group layouts (bucket=NN dirs) are incompatible with the
+            # group=NNNNN layout: mixed dir names break Spark partition
+            # discovery on data_dir (conflicting partition columns), so an
+            # out_dir written by the old format must not be resumed silently
+            if name.startswith("bucket="):
+                raise RuntimeError(
+                    f"{w.data_dir} contains legacy per-bucket checkpoint dirs "
+                    f"(e.g. {name!r}); this out_dir was written by the old "
+                    "bucket=NN layout and cannot be resumed by the group=NNNNN "
+                    "writer. Use a fresh --out dir (or finish/migrate the old "
+                    "run with its original version)."
+                )
             if name.startswith("group=") and name not in committed_dirs:
-                shutil.rmtree(os.path.join(w.data_dir, name), ignore_errors=True)
+                orphan = os.path.join(w.data_dir, name)
+                shutil.rmtree(orphan)
+                if os.path.exists(orphan):
+                    raise RuntimeError(
+                        f"could not fully remove uncommitted group dir {orphan}; "
+                        "refusing to continue (a partial dir would surface "
+                        "duplicate rows after its buckets are recomputed)"
+                    )
 
     totals = {"turns": 0, "spans": 0, "bytes": 0, "failures": 0}
     job_t0 = time.time()

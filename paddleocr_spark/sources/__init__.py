@@ -1,0 +1,3 @@
+from .table import TRANSCRIPT_COLUMNS, is_table_ref, read_transcripts
+
+__all__ = ["TRANSCRIPT_COLUMNS", "is_table_ref", "read_transcripts"]

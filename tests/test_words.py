@@ -121,7 +121,9 @@ def test_word_segments_equals_regex_closed_form():
 
     from paddleocr_spark.functions.words import word_segments
 
-    RX = re.compile(r"[a-zA-Z0-9À-ɏ]+(?:['’\-.][a-zA-Z0-9À-ɏ]+)*")
+    # CJK alternation: the state machine emits one word per CJK char
+    # (rec_postprocess.py:131-140 'cn' branch) — the closed form must too
+    RX = re.compile(r"[a-zA-Z0-9À-ɏ]+(?:['’\-.][a-zA-Z0-9À-ɏ]+)*|[一-鿿㐀-䶿]")
 
     def regex_words(t):
         return RX.findall(t)
@@ -129,13 +131,14 @@ def test_word_segments_equals_regex_closed_form():
     for s in [
         "l'été café", "state-of-the-art", "3.14 end.", "a..b", "don't-stop.",
         "x'", "-a", "a- b", "naïve fiancée №5", "a.b.c..d", "", "  ", "...",
+        "中文 words 混合", "a.中", "中-b", "你好，世界 hello", "㐀㑇 mixed-字",
     ]:
         assert [w for w, _, _ in word_segments(s)] == regex_words(s), s
 
     @settings(max_examples=300, deadline=None)
     @given(
         st.text(
-            alphabet=st.sampled_from(list("ab1 '’-.,;é!\t\n")),
+            alphabet=st.sampled_from(list("ab1 '’-.,;é!\t\n中文字㐀")),
             max_size=60,
         )
     )
