@@ -135,17 +135,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantization ANN (probe-limited exact re-rank) — rows-only
-    check (approximate recall by construction; scored pairs are exact and
-    tested against brute force in tests/test_pipeline_ops.py)."""
+    """IVF coarse-quantization ANN (probe-limited exact re-rank) — exact
+    DuckDB oracle: centroid assignment, probe selection and re-rank are all
+    deterministic double arithmetic (sequential folds), so the full cascade
+    is mirrored in SQL. Recall vs brute force is measured by ann_recall."""
     return ANN.ivf_cosine_topk(_emb(spark, sf_dir)).withColumn(
         "rank_k", F.col("rank_k").cast("long")
     )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path (hyperplane LSH) — rows-only check (bucketing uses
-    md5-seeded planes, not reasonably SQL-expressible)."""
+    """Approximate path (hyperplane LSH) — exact DuckDB oracle: the
+    md5-seeded planes are pure constants, embedded as literal arrays in the
+    mirror SQL exactly as Spark folds them into the plan."""
     return ANN.lsh_cosine_topk(_emb(spark, sf_dir)).withColumn(
         "rank_k", F.col("rank_k").cast("long")
     )
@@ -622,27 +624,36 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.35; the 10^9-row
-    scale path is the hyperplane-LSH bucketing in ann_lsh)."""
-    from paddleocr_spark.operators.ann import _dot, _to_double
+    """Embedding-cosine near-dup pairs — banded hyperplane-LSH candidate
+    generation + exact cosine re-rank ≥ 0.35 (operators/ann.py
+    embedding_near_dup_pairs). No all-pairs join anywhere in the plan: the
+    candidate set is an equi-join on (band_id, bucket), the 10^9-row shape.
+    Approximate by construction (non-colliding pairs are missed); the DuckDB
+    oracle mirrors the same literal planes, so the check stays exact."""
+    from paddleocr_spark.operators.ann import embedding_near_dup_pairs
 
-    base = _emb(spark, sf_dir).select(
-        "vec_id", _to_double(F.col("embedding")).alias("e")
+    return embedding_near_dup_pairs(_emb(spark, sf_dir))
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe-limited path against exact brute force,
+    per query — the measurement that makes the approximate path's quality a
+    hard number (both sides deterministic → exact oracle): n_hit = |IVF
+    top-10 ∩ exact top-10|, recall_micro = n_hit·1e6/10."""
+    emb = _emb(spark, sf_dir)
+    ivf = ANN.ivf_cosine_topk(emb).select("q_id", "cand_id")
+    bf = ANN.cosine_topk(emb).select("q_id", "cand_id")
+    hit = (
+        bf.join(ivf, ["q_id", "cand_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.35)
-        .select(
-            "vec_a",
-            "vec_b",
-            F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
-        )
+    qs = bf.select("q_id").distinct()
+    n_hit = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return qs.join(hit, "q_id", "left").select(
+        "q_id",
+        n_hit.alias("n_hit"),
+        (n_hit * F.lit(100000)).cast("long").alias("recall_micro"),
     )
 
 
@@ -953,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
+        "ann_recall": q_ann_recall,
         "turn_ordering": q_turn_ordering,
         "reading_order_band": q_reading_order_band,
         "metrics_rollup": q_metrics_rollup,
@@ -1172,6 +1184,148 @@ r AS (
   FROM scored
 )
 SELECT q_id, cand_id, rank_k::BIGINT AS rank_k, cos_scaled FROM r WHERE rank_k <= 10
+"""
+
+    # --- approximate-ANN mirrors: every constant in the Spark plans (first-16
+    # centroid codebook, md5-derived hyperplanes) is deterministic, so the
+    # full cascades are exact SQL ---
+    def _dot_lit(e: str, lit: str) -> str:
+        """Dot of a list column with a literal array — same sequential fold."""
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({e})),"
+            f" i -> {e}[i] * ({lit})[i]), (x, y) -> x + y)"
+        )
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"{dot.format(a=a, b=b)}"
+            f" / (sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)}))"
+        )
+
+    from paddleocr_spark.operators.ann import _hyperplane
+
+    def _lit_arr(vals: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+    def _bucket_expr(e: str, plane_ids: list[int], tag: str) -> str:
+        bits = [
+            f"(CASE WHEN {_dot_lit(e, _lit_arr(_hyperplane(64, p, tag)))} >= 0"
+            " THEN '1' ELSE '0' END)"
+            for p in plane_ids
+        ]
+        return " || ".join(bits)
+
+    # shared CTE chain for the IVF cascade (used by ann_ivf and ann_recall):
+    # nearest-centroid assignment (rank 1), query probes (rank ≤ 4 of 16
+    # first-vector centroids), probe-limited exact re-rank
+    _IVF_CTES = f"""
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
+asg0 AS (
+  SELECT b.vec_id, c.cent_id,
+    row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY {_cos('b.e', 'c.ce')} DESC, c.cent_id ASC) AS rk
+  FROM base b CROSS JOIN cents c
+),
+asg AS (SELECT vec_id, cent_id AS cell FROM asg0 WHERE rk = 1),
+probes0 AS (
+  SELECT b.vec_id AS q_id, c.cent_id,
+    row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY {_cos('b.e', 'c.ce')} DESC, c.cent_id ASC) AS rk
+  FROM base b CROSS JOIN cents c WHERE b.vec_id < 5
+),
+probes AS (SELECT q_id, cent_id AS cell FROM probes0 WHERE rk <= 4),
+cand AS (
+  SELECT a.vec_id AS cand_id, b.e AS ce2, a.cell
+  FROM asg a JOIN base b ON a.vec_id = b.vec_id WHERE a.vec_id >= 5
+),
+ivf_scored AS (
+  SELECT p.q_id, c.cand_id, {_cos('qb.e', 'c.ce2')} AS cos
+  FROM probes p JOIN cand c USING (cell) JOIN base qb ON qb.vec_id = p.q_id
+),
+ivf_ranked AS (
+  SELECT q_id, cand_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id ASC) AS rank_k,
+    CAST(floor(cos * 1e9) AS BIGINT) AS cos_scaled
+  FROM ivf_scored
+)"""
+
+    sql["ann_ivf"] = f"""
+WITH {_IVF_CTES}
+SELECT q_id, cand_id, rank_k::BIGINT AS rank_k, cos_scaled
+FROM ivf_ranked WHERE rank_k <= 10
+"""
+
+    sql["ann_recall"] = f"""
+WITH {_IVF_CTES},
+bfq AS (SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id < 5),
+bfc AS (SELECT vec_id AS cand_id, e AS ce FROM base WHERE vec_id >= 5),
+bfs AS (
+  SELECT q_id, cand_id, {_cos('qe', 'ce')} AS cos FROM bfq CROSS JOIN bfc
+),
+bfr AS (
+  SELECT q_id, cand_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id ASC) AS rk
+  FROM bfs
+),
+bf AS (SELECT q_id, cand_id FROM bfr WHERE rk <= 10),
+ivf AS (SELECT q_id, cand_id FROM ivf_ranked WHERE rank_k <= 10),
+hit AS (
+  SELECT bf.q_id, count(*) AS n_hit FROM bf JOIN ivf USING (q_id, cand_id)
+  GROUP BY bf.q_id
+)
+SELECT q.q_id, COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+  (COALESCE(h.n_hit, 0) * 100000)::BIGINT AS recall_micro
+FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hit h USING (q_id)
+"""
+
+    sql["ann_lsh"] = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+bk AS (SELECT vec_id, e, {_bucket_expr('e', list(range(8)), 'plane')} AS bucket
+       FROM base),
+q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM bk WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, e AS ce, bucket FROM bk WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, cand_id, {_cos('qe', 'ce')} AS cos FROM q JOIN c USING (bucket)
+),
+r AS (
+  SELECT q_id, cand_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id ASC) AS rank_k,
+    CAST(floor(cos * 1e9) AS BIGINT) AS cos_scaled
+  FROM scored
+)
+SELECT q_id, cand_id, rank_k::BIGINT AS rank_k, cos_scaled FROM r WHERE rank_k <= 10
+"""
+
+    _band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        f"{_bucket_expr('e', [b * 4 + i for i in range(4)], 'dedup-plane')} AS bucket "
+        "FROM base"
+        for b in range(4)
+    )
+    sql["dedup_embedding"] = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+bands AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT vec_a, vec_b, {_cos('ea.e', 'eb.e')} AS cos
+  FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 1e9) AS BIGINT) AS cos_scaled
+FROM p WHERE cos >= 0.35
 """
 
     sql["turn_ordering"] = """
@@ -1512,21 +1666,6 @@ tk AS (SELECT doc_id, regexp_extract_all(norm, '{_BPE_PAT}') AS toks2 FROM td)
 SELECT doc_id, len(toks2)::BIGINT AS n_bpe_tokens,
        len(list_distinct(toks2))::BIGINT AS n_bpe_distinct
 FROM tk
-"""
-
-    sql["dedup_embedding"] = f"""
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    {dot.format(a='a.e', b='b.e')}
-      / (sqrt({dot.format(a='a.e', b='a.e')}) * sqrt({dot.format(a='b.e', b='b.e')})) AS cos
-  FROM base a JOIN base b ON a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, CAST(floor(cos * 1e9) AS BIGINT) AS cos_scaled
-FROM p WHERE cos >= 0.35
 """
 
     sql["rtl_reverse"] = r"""

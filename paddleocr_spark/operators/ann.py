@@ -76,14 +76,14 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+def _hyperplane(dim: int, plane_idx: int, tag: str = "plane") -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bits
-    (seedless: a pure function of (plane_idx, component))."""
+    (seedless: a pure function of (tag, plane_idx, component))."""
     import hashlib
 
     out = []
     for d in range(dim):
-        h = hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()
+        h = hashlib.md5(f"{tag}:{plane_idx}:{d}".encode()).hexdigest()
         out.append((int(h[:8], 16) / float(1 << 31)) - 1.0)  # [-1, 1)
     return out
 
@@ -214,6 +214,82 @@ def lsh_cosine_topk(
             "q_id",
             "cand_id",
             "rank_k",
+            F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
+        )
+    )
+
+
+def band_buckets(e, n_bands: int, band_planes: int, dim: int, tag: str):
+    """Array of per-band hyperplane sign-bucket strings for vector column
+    ``e`` — the banded (multi-table) form of the LSH bucket: a pair is a
+    candidate if it collides in ANY band, which lifts recall from p^planes to
+    1-(1-p^band_planes)^n_bands (the same band/row trade-off as MinHash LSH,
+    operators/dedup.py). Planes are literal constants folded into the plan."""
+    out = []
+    for b in range(n_bands):
+        bits = []
+        for i in range(band_planes):
+            p = _hyperplane(dim, b * band_planes + i, tag=tag)
+            arr = F.array(*[F.lit(v) for v in p])
+            bits.append(F.when(_dot(e, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        out.append(F.concat(*bits))
+    return F.array(*out)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
+    candidates + exact cosine re-rank — the 10^9-row-safe shape.
+
+    The all-pairs self-join form (O(n²)) is correct only at toy scale; here
+    candidate generation is an equi-join on (band_id, bucket): each vector
+    computes n_bands sign-buckets (posexplode), pairs colliding in any band
+    are deduped, and only those pairs pay the exact cosine. Approximate by
+    construction (a pair colliding in no band is missed — recall rises with
+    n_bands); every emitted pair's cosine is exact and ≥ threshold.
+
+    Output: (vec_a, vec_b, cos_scaled) with cos floored to 1e9 units.
+    """
+    base = emb.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    ).withColumn(
+        "bands", band_buckets(F.col("e"), n_bands, band_planes, dim, "dedup-plane")
+    )
+    keyed = base.select(
+        "vec_id", F.posexplode("bands").alias("band_id", "bucket")
+    )
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = base.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = base.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
             F.floor(F.col("cos") * F.lit(1e9)).cast("long").alias("cos_scaled"),
         )
     )
