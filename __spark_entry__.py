@@ -372,6 +372,72 @@ def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _layout_walk_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page/box construction exercising all three layout
+    classes (left / right / full-width) AND the final-box special rules of
+    sorted_layout_boxes: event_id % 4 picks a box shape, y is pseudo-random,
+    so pages interleave single and double-column regions arbitrarily."""
+    e = _events(spark, sf_dir)
+    m = F.col("event_id") % 4
+    x0 = (
+        F.when(m == 0, (F.col("event_id") * 13) % 150)
+        .when(m == 1, F.lit(420) + (F.col("event_id") * 13) % 150)
+        .when(m == 2, (F.col("event_id") * 13) % 100)
+        .otherwise((F.col("event_id") * 29) % 560)
+    )
+    x1 = (
+        F.when(m == 0, x0 + 150)
+        .when(m == 1, x0 + 150)
+        .when(m == 2, F.lit(700) + (F.col("event_id") * 7) % 100)
+        .otherwise(x0 + 180)
+    )
+    return e.select(
+        F.col("event_id").cast("long").alias("box_id"),
+        (F.col("user_id") % 20).cast("long").alias("page_id"),
+        x0.cast("long").alias("x0"),
+        ((F.col("event_id") * 53) % 900).cast("long").alias("y0"),
+        x1.cast("long").alias("x1"),
+        ((F.col("event_id") * 53) % 900 + 30).cast("long").alias("y1"),
+    )
+
+
+def q_layout_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sorted_layout_boxes reading order (/root/reference/ppstructure/
+    recovery/recovery_to_doc.py:87-155): the REAL stateful left/right
+    interleaving walk runs per page in an applyInPandas group (pages are
+    independent → embarrassingly parallel; one shuffle on page_id). The
+    DuckDB oracle enumerates the expected order ANALYTICALLY via the
+    provably-equivalent relational closed form (segment-by-singles +
+    class-rank — see functions/pdflike.py layout_walk docstring), so the
+    sequential operator is checked against an independent derivation."""
+    import pandas as pd
+
+    from paddleocr_spark.functions.pdflike import layout_walk
+
+    boxes = _layout_walk_boxes(spark, sf_dir)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        bs = [
+            (int(x0), int(y0), int(x1), int(y1), int(bid), "")
+            for bid, x0, y0, x1, y1 in zip(
+                pdf["box_id"], pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]
+            )
+        ]
+        ordered = layout_walk(bs, 800)
+        return pd.DataFrame(
+            {
+                "page_id": pdf["page_id"].iloc[0],
+                "box_id": [b[4] for b, _lay in ordered],
+                "emit_rank": range(1, len(ordered) + 1),
+                "layout": [lay for _b, lay in ordered],
+            }
+        )
+
+    return boxes.groupBy("page_id").applyInPandas(
+        walk, "page_id long, box_id long, emit_rank long, layout string"
+    )
+
+
 def q_filter_above_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_filter_ocr_result analog (/root/reference/ppstructure/table/
     matcher.py:196-206: drop OCR lines whose box sits fully above the table
@@ -447,6 +513,23 @@ def q_table_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
             F.floor(F.col("iou") * 1e6).cast("long").alias("iou_micro"),
         )
+    )
+
+
+def q_table_match_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMasterMatcher — the reference's SECOND table-match token scheme
+    (/root/reference/ppstructure/table/table_master_match.py): a three-rule
+    cascade instead of TableMatch's single argmin — (1) center-in-cell pairs
+    (many-to-many), (2) unmatched OCR boxes → argmax hull-IoU cell (the
+    TableMaster IoU divides by the CONVEX HULL area of both boxes, not the
+    union — :117-133), (3) unmatched cells → argmin center-distance among
+    unmatched OCR boxes. Expressed as windows/anti-joins over one
+    page-keyed cross-score (operators/spatial.py
+    table_master_match_pairs); exact DuckDB oracle mirrors the cascade."""
+    from paddleocr_spark.operators.spatial import table_master_match_pairs
+
+    return table_master_match_pairs(
+        _line_boxes(spark, sf_dir), _region_boxes(spark, sf_dir)
     )
 
 
@@ -975,7 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_metric": q_e2e_metric,
         "filter_above_region": q_filter_above_region,
         "layout_columns": q_layout_columns,
+        "layout_order": q_layout_order,
         "table_match": q_table_match,
+        "table_match_master": q_table_match_master,
         "rec_metric": q_rec_metric,
         "rtl_reverse": q_rtl_reverse,
         "json_props": q_json_props,
@@ -1405,6 +1490,70 @@ SELECT ocr_id, cell_id, dist, CAST(floor(iou * 1e6) AS BIGINT) AS iou_micro
 FROM ranked WHERE rn = 1
 """
 
+    # TableMasterMatcher cascade mirror (q_table_match_master): hull2 is 2×
+    # the convex-hull area of the two boxes via the corner-triangle closed
+    # form; iou = 2.0·inter/hull2 (identical double arithmetic both engines)
+    sql["table_match_master"] = f"""
+WITH {_LINES}, {_REGIONS},
+feat AS (
+  SELECT l.page_id, l.box_id AS ocr_id, r.box_id AS cell_id,
+    l.x0 AS ox0, l.y0 AS oy0, l.x1 AS ox1, l.y1 AS oy1,
+    r.x0 AS cx0, r.y0 AS cy0, r.x1 AS cx1, r.y1 AS cy1,
+    CASE WHEN least(l.x1, r.x1) - greatest(l.x0, r.x0) > 0
+          AND least(l.y1, r.y1) - greatest(l.y0, r.y0) > 0
+         THEN (least(l.x1, r.x1) - greatest(l.x0, r.x0))
+            * (least(l.y1, r.y1) - greatest(l.y0, r.y0))
+         ELSE 0 END AS inter,
+    2 * (greatest(l.x1, r.x1) - least(l.x0, r.x0))
+      * (greatest(l.y1, r.y1) - least(l.y0, r.y0))
+    - (CASE WHEN (l.x0 - r.x0) * (l.y0 - r.y0) < 0
+            THEN abs(l.x0 - r.x0) * abs(l.y0 - r.y0) ELSE 0 END
+     + CASE WHEN (l.x1 - r.x1) * (l.y0 - r.y0) > 0
+            THEN abs(l.x1 - r.x1) * abs(l.y0 - r.y0) ELSE 0 END
+     + CASE WHEN (l.x0 - r.x0) * (l.y1 - r.y1) > 0
+            THEN abs(l.x0 - r.x0) * abs(l.y1 - r.y1) ELSE 0 END
+     + CASE WHEN (l.x1 - r.x1) * (l.y1 - r.y1) < 0
+            THEN abs(l.x1 - r.x1) * abs(l.y1 - r.y1) ELSE 0 END) AS hull2,
+    (l.x0 + l.x1 - r.x0 - r.x1) * (l.x0 + l.x1 - r.x0 - r.x1)
+    + (l.y0 + l.y1 - r.y0 - r.y1) * (l.y0 + l.y1 - r.y0 - r.y1) AS dist2
+  FROM lines l JOIN regions r USING (page_id)
+),
+scored AS (
+  SELECT *, CASE WHEN hull2 > 0 THEN 2.0 * inter / hull2 ELSE 0.0 END AS iou
+  FROM feat
+),
+r1 AS (
+  SELECT page_id, ocr_id, cell_id, 'center' AS rule FROM scored
+  WHERE ox0 + ox1 BETWEEN 2 * cx0 AND 2 * cx1
+    AND oy0 + oy1 BETWEEN 2 * cy0 AND 2 * cy1
+),
+r2 AS (
+  SELECT page_id, ocr_id, cell_id, 'iou' AS rule FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY s.page_id, s.ocr_id
+                                   ORDER BY s.iou DESC, s.cell_id ASC) AS rn
+    FROM scored s
+    WHERE s.inter > 0 AND NOT EXISTS (
+      SELECT 1 FROM r1 WHERE r1.page_id = s.page_id AND r1.ocr_id = s.ocr_id)
+  ) WHERE rn = 1
+),
+m12 AS (
+  SELECT page_id, ocr_id, cell_id FROM r1
+  UNION SELECT page_id, ocr_id, cell_id FROM r2
+),
+r3 AS (
+  SELECT page_id, ocr_id, cell_id, 'distance' AS rule FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY s.page_id, s.cell_id
+                                   ORDER BY s.dist2 ASC, s.ocr_id ASC) AS rn
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM m12
+                      WHERE m12.page_id = s.page_id AND m12.cell_id = s.cell_id)
+      AND NOT EXISTS (SELECT 1 FROM m12
+                      WHERE m12.page_id = s.page_id AND m12.ocr_id = s.ocr_id)
+  ) WHERE rn = 1
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+"""
+
     sql["det_match"] = f"""
 WITH {_REGIONS},
 gt AS (SELECT box_id AS gt_id, page_id, x0, y0, x1, y1 FROM regions),
@@ -1548,6 +1697,61 @@ SELECT page_id,
        ELSE 'single' END AS layout,
   count(*) AS n_regions
 FROM regions GROUP BY 1, 2
+"""
+
+    # sorted_layout_boxes closed form (see q_layout_order): classify in
+    # (y0, x0, box_id) scan order — final box under its own rules — then
+    # ORDER BY (#singles strictly before, left<right<single, scan rank)
+    sql["layout_order"] = """
+WITH boxes AS (
+  SELECT event_id AS box_id, user_id % 20 AS page_id,
+    CASE event_id % 4
+      WHEN 0 THEN (event_id * 13) % 150
+      WHEN 1 THEN 420 + (event_id * 13) % 150
+      WHEN 2 THEN (event_id * 13) % 100
+      ELSE (event_id * 29) % 560 END AS x0,
+    (event_id * 53) % 900 AS y0,
+    CASE event_id % 4
+      WHEN 0 THEN (event_id * 13) % 150 + 150
+      WHEN 1 THEN 420 + (event_id * 13) % 150 + 150
+      WHEN 2 THEN 700 + (event_id * 7) % 100
+      ELSE (event_id * 29) % 560 + 180 END AS x1,
+    (event_id * 53) % 900 + 30 AS y1
+  FROM events
+),
+s AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY page_id ORDER BY y0, x0, box_id) AS srank,
+    count(*) OVER (PARTITION BY page_id) AS n,
+    lag(y1) OVER (PARTITION BY page_id ORDER BY y0, x0, box_id) AS prev_y1
+  FROM boxes
+),
+classed AS (
+  SELECT *,
+    CASE
+      WHEN n = 1 THEN 'single'
+      WHEN srank = n THEN
+        CASE WHEN y0 > prev_y1 AND x0 < 400 AND x1 > 400 THEN 'single'
+             WHEN x1 > 400 THEN 'right'
+             WHEN x0 < 400 THEN 'left'
+             ELSE NULL END
+      WHEN x0 < 200 AND x1 < 600 THEN 'left'
+      WHEN x0 > 200 AND x1 > 400 THEN 'right'
+      ELSE 'single' END AS cls
+  FROM s
+),
+keyed AS (
+  SELECT *,
+    COALESCE(count(CASE WHEN cls = 'single' THEN 1 END)
+      OVER (PARTITION BY page_id ORDER BY srank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg,
+    CASE cls WHEN 'left' THEN 0 WHEN 'right' THEN 1 ELSE 2 END AS crank
+  FROM classed WHERE cls IS NOT NULL
+)
+SELECT page_id, box_id,
+  row_number() OVER (PARTITION BY page_id ORDER BY seg, crank, srank)::BIGINT AS emit_rank,
+  CASE WHEN cls = 'single' THEN 'single' ELSE 'double' END AS layout
+FROM keyed
 """
 
     sql["rec_metric"] = """

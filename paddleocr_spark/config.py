@@ -36,6 +36,12 @@ class ExtractConfig:
     drop_score: float = 0.5         # span score floor (score = 1 - link_density)
 
     # -- PDF-like layout (layout/XY-cut analog) --
+    # layout_mode: "xycut" (default) = recursive projection-profile cuts
+    # (table_ops.py:35-138); "walk" = the full sorted_layout_boxes stateful
+    # left/right interleaving walk (recovery_to_doc.py:87-155) — the
+    # reference's recovery ordering, for payloads whose column structure is
+    # conventional (w/4 / w/2 / 3w/4 thresholds)
+    layout_mode: str = "xycut"
     page_w: int = 800
     page_h: int = 1000
     header_y: int = 50              # blocks fully above this line are header → drop

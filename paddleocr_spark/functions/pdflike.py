@@ -98,6 +98,74 @@ def xy_cut(blocks: List[Box], cfg: ExtractConfig = DEFAULT_CONFIG) -> List[Box]:
     return sorted(blocks, key=lambda b: (b[1] // cfg.y_band, b[0], b[4]))
 
 
+def layout_walk(boxes: List[Box], page_w: int) -> List[Tuple[Box, str]]:
+    """Full ``sorted_layout_boxes`` stateful walk
+    (/root/reference/ppstructure/recovery/recovery_to_doc.py:87-155).
+
+    Boxes are visited in (y0, x0) order (line_idx tie-break for determinism —
+    the reference relies on Python's stable sort over input order). Each
+    non-final box is classified: *left column* iff x0 < w/4 ∧ x1 < 3w/4,
+    *right column* iff x0 > w/4 ∧ x1 > w/2, else *single* (full-width).
+    Left/right boxes accumulate; a single flushes the accumulated left run
+    then the right run before emitting itself — this interleaving is what the
+    per-box predicates alone cannot express. The FINAL box uses different
+    rules (recovery_to_doc.py:109-131): it is single only if it starts below
+    the previous box's bottom AND spans the centerline; otherwise it joins
+    the right column if x1 > w/2, else the left column, and the columns
+    flush. Returns ``[(box, layout)]`` in emission order with the
+    reference's "single"/"double" layout labels.
+
+    Equivalence: tests/test_layout_walk.py fuzz-verifies this walk against an
+    independently derived relational closed form (segment-by-singles +
+    class-rank ordering) — the same closed form the layout_order DuckDB
+    oracle and the pure-Python oracle use.
+    """
+    n = len(boxes)
+    if n == 0:
+        return []
+    srt = sorted(boxes, key=lambda b: (b[1], b[0], b[4]))
+    if n == 1:
+        return [(srt[0], "single")]
+    half, quarter, three_q = page_w / 2, page_w / 4, 3 * page_w / 4
+    out: List[Tuple[Box, str]] = []
+    left: List[Tuple[Box, str]] = []
+    right: List[Tuple[Box, str]] = []
+    for i, b in enumerate(srt):
+        x0, y0, x1 = b[0], b[1], b[2]
+        if i == n - 1:
+            prev = srt[i - 1]
+            if y0 > prev[3] and x0 < half and x1 > half:
+                out += left
+                out += right
+                out.append((b, "single"))
+                left, right = [], []
+            elif x1 > half:
+                right.append((b, "double"))
+                out += left
+                out += right
+                left, right = [], []
+            elif x0 < half:
+                left.append((b, "double"))
+                out += left
+                out += right
+                left, right = [], []
+            # else: degenerate box (x0 >= w/2 ≥ x1) is dropped, columns
+            # flush below — mirrors the reference's fall-through
+            break
+        if x0 < quarter and x1 < three_q:
+            left.append((b, "double"))
+        elif x0 > quarter and x1 > half:
+            right.append((b, "double"))
+        else:
+            out += left
+            out += right
+            out.append((b, "single"))
+            left, right = [], []
+    out += left
+    out += right
+    return out
+
+
 def merge_fragments(
     boxes: List[Box], y_tol: int = 10, x_gap: int = 10
 ) -> List[Box]:
@@ -228,7 +296,10 @@ def pdflike_spans(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         page_boxes = by_page[page]
         if cfg.merge_fragments:
             page_boxes = merge_fragments(page_boxes, y_tol=cfg.y_band, x_gap=cfg.y_band)
-        ordered = xy_cut(page_boxes, cfg)
+        if cfg.layout_mode == "walk":
+            ordered = [b for b, _lay in layout_walk(page_boxes, cfg.page_w)]
+        else:
+            ordered = xy_cut(page_boxes, cfg)
         if cfg.merge_paragraphs:
             ordered = merge_paragraph_lines(ordered, cfg)
         for x0, y0, x1, y1, i, t in ordered:

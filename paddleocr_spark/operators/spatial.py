@@ -134,3 +134,126 @@ def det_metric(gt: DataFrame, pred: DataFrame) -> DataFrame:
             "CASE WHEN n_gt + n_pred = 0 THEN 0 ELSE 2000000 * n_match DIV (n_gt + n_pred) END AS hmean_micro",
         )
     )
+
+
+def _tm_features(j: DataFrame) -> DataFrame:
+    """Per-pair features of the TableMaster matcher (columns o{x0..y1} vs
+    c{x0..y1}): intersection area, and 2× the CONVEX-HULL area of the two
+    boxes — TableMaster's IoU denominator is the hull of both boxes' corner
+    points (/root/reference/ppstructure/table/table_master_match.py:117-133),
+    not the union. Closed form for axis-aligned boxes: bounding-box area
+    minus one right triangle per bounding-box corner whose x- and y-extremes
+    are attained by DIFFERENT boxes (legs = the coordinate deltas); doubling
+    keeps everything integer-exact. Fuzz-verified against a monotone-chain
+    hull in tests/test_table_master.py."""
+    ox0, oy0, ox1, oy1 = (F.col(c) for c in ("ox0", "oy0", "ox1", "oy1"))
+    cx0, cy0, cx1, cy1 = (F.col(c) for c in ("cx0", "cy0", "cx1", "cy1"))
+    iw = F.least(ox1, cx1) - F.greatest(ox0, cx0)
+    ih = F.least(oy1, cy1) - F.greatest(oy0, cy0)
+    inter = F.when((iw > 0) & (ih > 0), iw * ih).otherwise(F.lit(0))
+    bbw = F.greatest(ox1, cx1) - F.least(ox0, cx0)
+    bbh = F.greatest(oy1, cy1) - F.least(oy0, cy0)
+
+    def cut(dx, dy, sign_negative: bool):
+        prod = dx * dy
+        cond = (prod < 0) if sign_negative else (prod > 0)
+        return F.when(cond, F.abs(dx) * F.abs(dy)).otherwise(F.lit(0))
+
+    cuts = (
+        cut(ox0 - cx0, oy0 - cy0, True)     # bottom-left corner
+        + cut(ox1 - cx1, oy0 - cy0, False)  # bottom-right
+        + cut(ox0 - cx0, oy1 - cy1, False)  # top-left
+        + cut(ox1 - cx1, oy1 - cy1, True)   # top-right
+    )
+    hull2 = F.lit(2) * bbw * bbh - cuts  # 2 × hull area, integer
+    iou = F.when(hull2 > 0, F.lit(2.0) * inter / hull2).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("inter", inter)
+        .withColumn("hull2", hull2)
+        .withColumn("iou", iou)
+        .withColumn(
+            "dist2",
+            (ox0 + ox1 - cx0 - cx1) * (ox0 + ox1 - cx0 - cx1)
+            + (oy0 + oy1 - cy0 - cy1) * (oy0 + oy1 - cy0 - cy1),
+        )
+    )
+
+
+def table_master_match_pairs(ocr: DataFrame, cells: DataFrame) -> DataFrame:
+    """TableMasterMatcher rule cascade (/root/reference/ppstructure/table/
+    table_master_match.py — center_rule_match :321-345, iou_rule_match
+    :346-377, distance_rule_match :378-405, orchestrated at :775-850):
+
+    1. **center**: every (ocr, cell) pair whose ocr center lies inside the
+       cell box (inclusive; many-to-many — the reference appends all pairs).
+    2. **iou**: each ocr UNMATCHED by rule 1 → the argmax-hull-IoU cell with
+       iou > 0 (strict first-max ⇒ lowest cell_id tie-break).
+    3. **distance**: each cell unmatched by rules 1-2 → the argmin
+       center-distance ocr among ocrs unmatched by rules 1-2 (strict
+       first-min ⇒ lowest ocr_id tie-break; one ocr may serve several
+       cells — the reference does not consume matches here).
+
+    The virtual-master ``extra_match``/token-insertion step
+    (:407-421, `_format`) belongs to the HTML token assembly and is covered
+    by get_pred_html (functions/htmltok.py); it emits no (ocr, cell) pairs.
+
+    Inputs need (page_id, box_id, x0, y0, x1, y1). Output:
+    (page_id, ocr_id, cell_id, rule). Everything is joins + windows on the
+    (page_id)-keyed cross-score — hash-partitions cleanly at any scale.
+    """
+    o = ocr.select(
+        "page_id",
+        F.col("box_id").alias("ocr_id"),
+        *[F.col(c).alias(f"o{c}") for c in ("x0", "y0", "x1", "y1")],
+    )
+    c = cells.select(
+        "page_id",
+        F.col("box_id").alias("cell_id"),
+        *[F.col(cc).alias(f"c{cc}") for cc in ("x0", "y0", "x1", "y1")],
+    )
+    feat = _tm_features(o.join(c, "page_id"))
+
+    in_x = ((F.col("ox0") + F.col("ox1")) >= 2 * F.col("cx0")) & (
+        (F.col("ox0") + F.col("ox1")) <= 2 * F.col("cx1")
+    )
+    in_y = ((F.col("oy0") + F.col("oy1")) >= 2 * F.col("cy0")) & (
+        (F.col("oy0") + F.col("oy1")) <= 2 * F.col("cy1")
+    )
+    r1 = feat.filter(in_x & in_y).select(
+        "page_id", "ocr_id", "cell_id", F.lit("center").alias("rule")
+    )
+
+    keys_oc = ["page_id", "ocr_id"]
+    r2 = (
+        feat.join(r1.select(*keys_oc).distinct(), keys_oc, "left_anti")
+        .filter(F.col("inter") > 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("page_id", "ocr_id").orderBy(
+                    F.col("iou").desc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("page_id", "ocr_id", "cell_id", F.lit("iou").alias("rule"))
+    )
+
+    m12 = r1.select("page_id", "ocr_id", "cell_id").unionByName(
+        r2.select("page_id", "ocr_id", "cell_id")
+    )
+    r3 = (
+        feat.join(m12.select("page_id", "cell_id").distinct(), ["page_id", "cell_id"], "left_anti")
+        .join(m12.select("page_id", "ocr_id").distinct(), ["page_id", "ocr_id"], "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("page_id", "cell_id").orderBy(
+                    F.col("dist2").asc(), F.col("ocr_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("page_id", "ocr_id", "cell_id", F.lit("distance").alias("rule"))
+    )
+    return r1.unionByName(r2).unionByName(r3)

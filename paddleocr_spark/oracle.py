@@ -246,6 +246,50 @@ def _oracle_xycut(boxes, cfg: ExtractConfig):
     return sorted(boxes, key=lambda b: (b[1] // cfg.y_band, b[0], b[4]))
 
 
+def _oracle_layout_walk(boxes, page_w):
+    """Closed form of the sorted_layout_boxes walk (recovery_to_doc.py:87-155),
+    derived independently of the sequential implementation: in (y0, x0, idx)
+    scan order, classify each box left/right/single (final box under its own
+    rules); the emission order is then exactly
+    ``ORDER BY (#singles strictly before, class-rank left<right<single,
+    scan-rank)`` — singles delimit segments, and within a segment all lefts
+    precede all rights. Fuzz-verified equivalent to the stateful walk in
+    tests/test_layout_walk.py."""
+    n = len(boxes)
+    if n == 0:
+        return []
+    srt = sorted(boxes, key=lambda b: (b[1], b[0], b[4]))
+    if n == 1:
+        return list(srt)
+    half, quarter, three_q = page_w / 2, page_w / 4, 3 * page_w / 4
+    keyed = []
+    seg = 0
+    rank_of = {"left": 0, "right": 1, "single": 2}
+    for s_rank, b in enumerate(srt):
+        x0, y0, x1 = b[0], b[1], b[2]
+        if s_rank == n - 1:
+            prev = srt[s_rank - 1]
+            if y0 > prev[3] and x0 < half and x1 > half:
+                cls = "single"
+            elif x1 > half:
+                cls = "right"
+            elif x0 < half:
+                cls = "left"
+            else:
+                continue  # degenerate box: dropped by the walk too
+        elif x0 < quarter and x1 < three_q:
+            cls = "left"
+        elif x0 > quarter and x1 > half:
+            cls = "right"
+        else:
+            cls = "single"
+        keyed.append(((seg, rank_of[cls], s_rank), b))
+        if cls == "single":
+            seg += 1
+    keyed.sort(key=lambda t: t[0])
+    return [b for _, b in keyed]
+
+
 def _oracle_pdf(text: str, cfg: ExtractConfig):
     pages, dropped = {}, 0
     for i, line in enumerate(text.split("\n")[1:]):
@@ -269,7 +313,10 @@ def _oracle_pdf(text: str, cfg: ExtractConfig):
 
     spans = []
     for p in sorted(pages):
-        ordered = _oracle_xycut(pages[p], cfg)
+        if cfg.layout_mode == "walk":
+            ordered = _oracle_layout_walk(pages[p], cfg.page_w)
+        else:
+            ordered = _oracle_xycut(pages[p], cfg)
         if cfg.merge_paragraphs:
             ordered = _oracle_para_merge(ordered, cfg)
         for x0, y0, x1, y1, i, t in ordered:
