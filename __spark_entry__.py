@@ -352,6 +352,17 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kie_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KIE SER/RE analog (/root/reference/ppstructure/kie/
+    predict_kie_token_ser_re.py:40-62): SER = entity labeling by routing
+    predicate (click→question, view→answer), RE = link each answer to the
+    latest preceding question per user via a running last-ignore-nulls
+    window (operators/kie.py). Exact DuckDB oracle."""
+    from paddleocr_spark.operators.kie import link_entity_pairs, ser_labels
+
+    return link_entity_pairs(ser_labels(_events(spark, sf_dir)))
+
+
 def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single/double-column region classification — the per-box predicates of
     sorted_layout_boxes (/root/reference/ppstructure/recovery/
@@ -1057,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_metric": q_det_metric,
         "e2e_metric": q_e2e_metric,
         "filter_above_region": q_filter_above_region,
+        "kie_pairs": q_kie_pairs,
         "layout_columns": q_layout_columns,
         "layout_order": q_layout_order,
         "table_match": q_table_match,
@@ -1687,6 +1699,28 @@ m AS (
 SELECT n_matched, sum_ed, n_exact,
   1000000 * sum_ed // n_matched AS mean_ed_micro
 FROM m
+"""
+
+    sql["kie_pairs"] = """
+WITH labeled AS (
+  SELECT user_id, event_id, ts,
+    CASE event_type WHEN 'click' THEN 'question'
+                    WHEN 'view' THEN 'answer' ELSE 'other' END AS entity,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+linked AS (
+  SELECT user_id, event_id, entity, k,
+    last_value(CASE WHEN entity = 'question' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_event_id,
+    last_value(CASE WHEN entity = 'question' THEN k END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_key
+  FROM labeled
+)
+SELECT user_id, q_event_id, event_id AS a_event_id, q_key, k AS a_key
+FROM linked WHERE entity = 'answer' AND q_event_id IS NOT NULL
 """
 
     sql["layout_columns"] = f"""

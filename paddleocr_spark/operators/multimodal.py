@@ -74,13 +74,45 @@ def synth_media(spark, n: int = 64) -> DataFrame:
 
 
 def _try_real_decoder():
-    """Real decode path — the libraries are not in this container."""
-    try:  # pragma: no cover - never available in the sandbox
+    """Whether the optional real image codec (PIL) is importable."""
+    try:
         import PIL.Image  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+_MODE_IDS = {"1": 1, "L": 2, "P": 3, "RGB": 4, "RGBA": 5, "CMYK": 6, "YCbCr": 7}
+
+
+def _real_image_features(payload: bytes) -> list[float]:
+    """Real decode (DecodeImage analog, /root/reference/ppocr/data/imaug/
+    operators.py:30-68: bytes → image, EXIF-orientation aware): dims + EXIF
+    orientation tag (274) + color mode folded into the FEATURE_DIM vector —
+    the same schema as the stub so downstream plans are decoder-agnostic.
+    Raises on undecodable bytes; the caller falls back per row."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        w, h = im.size
+        try:
+            orientation = int(im.getexif().get(274, 1))
+        except Exception:
+            orientation = 1
+        mode_id = _MODE_IDS.get(im.mode, 0)
+        return [
+            w / 1000.0,
+            h / 1000.0,
+            orientation / 8.0,
+            mode_id / 8.0,
+            min(w, h) / 1000.0,
+            max(w, h) / 1000.0,
+            (w * h) / 1e6,
+            len(payload) / 1e6,
+        ]
 
 
 def _fake_features(payload: bytes) -> list[float] | None:
@@ -102,18 +134,26 @@ def extract_features(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        real = _try_real_decoder()
+        real = _try_real_decoder()  # probed once per partition, not per row
+
+        def one(kind: str, payload) -> tuple[str, list[float] | None]:
+            if real and kind == "image" and payload:
+                try:
+                    return "pil", _real_image_features(bytes(payload))
+                except Exception:
+                    # undecodable bytes → DecodeImage's None contract
+                    # (operators.py:56-57): fall back to the stub, never raise
+                    pass
+            return "fake", _fake_features(payload)
+
         for pdf in batches:
-            if real:  # pragma: no cover
-                raise NotImplementedError(
-                    "real codec path: decode pdf['payload'] with PIL/av here"
-                )
+            decoded = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "decoder": "fake",
-                    "features": [_fake_features(p) for p in pdf["payload"]],
+                    "decoder": [d for d, _f in decoded],
+                    "features": [f for _d, f in decoded],
                 }
             )
 

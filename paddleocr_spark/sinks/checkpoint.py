@@ -47,6 +47,94 @@ from ..config import ExtractConfig, DEFAULT_CONFIG
 from ..operators.extract import extract
 
 
+def find_iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None (catalog-detect flag).
+
+    An Iceberg catalog announces itself as ``spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog`` (or SparkSessionCatalog); the
+    sandbox has neither the jar nor a catalog, so this returns None there
+    and the parquet sink below is used with the identical interface."""
+    try:
+        conf = dict(spark.sparkContext.getConf().getAll())
+    except Exception:
+        return None
+    for k, v in conf.items():
+        parts = k.split(".")
+        if (
+            len(parts) == 4
+            and k.startswith("spark.sql.catalog.")
+            and "iceberg" in str(v).lower()
+        ):
+            return parts[3]
+    return None
+
+
+class IcebergMergeSink:
+    """Checkpointed sink over Iceberg tables: MERGE for data, a lineage
+    table for the manifest — the production form of the parquet+JSON
+    mechanism below (same contract, same method surface).
+
+    - data table ``<table>``: MERGE INTO ON (conv_id, turn_idx) — UPDATE on
+      match, INSERT otherwise. Idempotent under retries by key; snapshot
+      isolation makes each group commit atomic.
+    - lineage table ``<table>_lineage``: one row per committed group
+      (run_id, group_seq, buckets, wall_s, turns/spans/bytes/failures,
+      committed_at). ``committed_buckets`` reads it at job start; a group
+      whose MERGE succeeded but whose lineage append crashed is re-merged —
+      harmless by idempotency, and metrics rows are keyed by (run_id,
+      group_seq) so re-appends can be deduped by readers.
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table
+        self.lineage_table = f"{table}_lineage"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.lineage_table} ("
+            "run_id STRING, group_seq INT, buckets ARRAY<INT>, wall_s DOUBLE, "
+            "turns BIGINT, spans BIGINT, bytes BIGINT, failures BIGINT, "
+            "committed_at TIMESTAMP) USING iceberg"
+        )
+
+    def committed_buckets(self) -> set[int]:
+        rows = self.spark.sql(
+            f"SELECT explode(buckets) AS b FROM {self.lineage_table}"
+        ).collect()
+        return {r.b for r in rows}
+
+    def ensure_data_table(self, like_df: DataFrame) -> None:
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in like_df.schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.table} ({cols}) USING iceberg "
+            "PARTITIONED BY (bucket)"
+        )
+
+    def write_group(self, out: DataFrame, entry: dict) -> None:
+        self.ensure_data_table(out)
+        view = f"_ckpt_batch_{entry['run_id']}_{entry['group_seq']}"
+        out.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self.table} t USING {view} s "
+                "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    def commit(self, entry: dict) -> None:
+        self.spark.sql(
+            f"INSERT INTO {self.lineage_table} VALUES ("
+            f"'{entry['run_id']}', {entry['group_seq']}, "
+            f"array({', '.join(map(str, entry['buckets']))}), {entry['wall_s']}, "
+            f"{entry['turns']}, {entry['spans']}, {entry['bytes']}, "
+            f"{entry['failures']}, current_timestamp())"
+        )
+
+
 class CheckpointWriter:
     """Manage the bucket manifest under ``out_dir``."""
 
@@ -97,14 +185,34 @@ def run_extract_job(
     Returns a summary dict {run_id, groups_run, buckets_done, turns, spans,
     bytes, failures} aggregated over THIS run's groups (previously committed
     groups are skipped and not re-counted).
+
+    ``out_dir`` may be a directory path (parquet group-dir sink + JSON
+    manifest — the sandbox mode) or an Iceberg table name (no path
+    separator): with a configured Iceberg catalog the data goes through
+    MERGE INTO keyed on (conv_id, turn_idx) and lineage/metrics land in
+    ``<table>_lineage`` — same resume contract, snapshot-isolated commits.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    w = CheckpointWriter(out_dir, n_buckets)
+
+    from ..sources.table import is_table_ref
+
+    iceberg_sink = None
+    if is_table_ref(out_dir):
+        if find_iceberg_catalog(spark) is None:
+            raise RuntimeError(
+                f"output target {out_dir!r} looks like a table name but no "
+                "Iceberg catalog is configured (spark.sql.catalog.*); pass a "
+                "directory path for the parquet sink instead"
+            )
+        iceberg_sink = IcebergMergeSink(spark, out_dir)
+        w = None
+    else:
+        w = CheckpointWriter(out_dir, n_buckets)
 
     bucketed = transcripts.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     )
-    done = w.committed_buckets()
+    done = (iceberg_sink or w).committed_buckets()
     todo = [b for b in range(n_buckets) if b not in done]
     groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
 
@@ -114,8 +222,8 @@ def run_extract_job(
     # The sweep must either fully remove the dir or fail the job loudly: a
     # partial removal left in place would be recomputed into a NEW group dir
     # and readers would silently see duplicate rows.
-    committed_dirs = {e.get("dir") for e in w.metrics()}
-    if os.path.isdir(w.data_dir):
+    committed_dirs = {e.get("dir") for e in w.metrics()} if w else set()
+    if w and os.path.isdir(w.data_dir):
         import shutil
 
         for name in os.listdir(w.data_dir):
@@ -176,11 +284,16 @@ def run_extract_job(
         # output bytes matter twice here (at 100 TB scale for storage, and on
         # the sandbox because fresh tmpfs pages fault through the slow host
         # path, so wall time tracks written page count)
-        (
-            out.write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(os.path.join(w.data_dir, f"group={seq0 + gi:05d}"))
-        )
+        if iceberg_sink is not None:
+            iceberg_sink.write_group(
+                out, {"run_id": run_id, "group_seq": seq0 + gi}
+            )
+        else:
+            (
+                out.write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(os.path.join(w.data_dir, f"group={seq0 + gi:05d}"))
+            )
         m = obs.get
         entry = {
             "run_id": run_id,
@@ -194,7 +307,7 @@ def run_extract_job(
             "failures": int(m.get("failures") or 0),
             "committed_at": time.time(),
         }
-        w.commit(entry)
+        (iceberg_sink or w).commit(entry)
         for k in totals:
             totals[k] += entry[k]
 

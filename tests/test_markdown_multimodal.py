@@ -87,3 +87,67 @@ def test_resize_plan_and_frame_sample(spark):
     for r in rows:
         expect = (metas[r.media_id] - 1) // 10 + 1
         assert r["count"] == expect
+
+
+def _tiny_png(w=3, h=2, rgb=(200, 10, 30)) -> bytes:
+    """Hand-built valid PNG (pure stdlib): lets the real-decoder path be
+    exercised without shipping image fixtures."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decoder_dispatch_real_or_fallback(spark):
+    """A VALID image payload decodes with PIL when available (decoder='pil',
+    real dims in the features) and falls back to the stub otherwise; invalid
+    bytes always take the stub path and never raise — in BOTH modes the
+    schema and row count are identical (DecodeImage None-contract analog)."""
+    from paddleocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _try_real_decoder,
+        extract_features,
+    )
+
+    rows = [
+        (0, "image", _tiny_png(), {"width": 3, "height": 2, "sample_rate": None,
+                                   "n_frames": None, "fmt": "png"}),
+        (1, "image", b"not an image", {"width": 1, "height": 1, "sample_rate": None,
+                                       "n_frames": None, "fmt": "png"}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[1].decoder == "fake"  # invalid bytes: stub, no exception
+    if _try_real_decoder():
+        assert got[0].decoder == "pil"
+        assert abs(got[0].features[0] - 3 / 1000.0) < 1e-12  # real width
+        assert abs(got[0].features[1] - 2 / 1000.0) < 1e-12  # real height
+    else:
+        assert got[0].decoder == "fake"
+    assert all(len(r.features) == 8 for r in got.values())
+
+
+def test_synth_media_stays_fake_either_mode(spark):
+    """The synthetic corpus payloads are md5 chains (not decodable images),
+    so the media_features oracle stays exact whether or not PIL is
+    installed: every row must take the stub path."""
+    from paddleocr_spark.operators.multimodal import extract_features, synth_media
+
+    out = extract_features(synth_media(spark, 12))
+    assert out.filter(F.col("decoder") != "fake").count() == 0
