@@ -614,6 +614,70 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality signals (public Gopher/MassiveText rules:
+    word-count band, mean-word-length band, alphabetic-token fraction):
+    per-doc signals in floored micro-units + the keep verdict, all JVM
+    built-ins over the normalized token array."""
+    toks = F.split(TS.norm_text(F.col("text")), " ")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    mean_len_micro = F.floor(F.lit(1000000.0) * sum_len / F.greatest(n, F.lit(1)))
+    alpha_micro = F.floor(F.lit(1000000.0) * n_alpha / F.greatest(n, F.lit(1)))
+    keep = (
+        (n >= 50)
+        & (n <= 100000)
+        & (mean_len_micro >= 3000000)
+        & (mean_len_micro <= 10000000)
+        & (alpha_micro >= 800000)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_len_micro.cast("long").alias("mean_word_len_micro"),
+        alpha_micro.cast("long").alias("alpha_frac_micro"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_DIGITS = r"\d{7,}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails, IPv4s
+    and long digit runs (applied in that order so patterns don't re-match
+    inside redaction markers). The corpus text is salted with synthetic PII
+    derived from doc_id so the counts are non-vacuous; output counts + md5
+    of the scrubbed text (exact cross-engine)."""
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 ref 900100"),
+        F.col("doc_id").cast("string"),
+    )
+    n_email = F.size(F.regexp_extract_all(salted, F.lit(f"({_PII_EMAIL})")))
+    s1 = F.regexp_replace(salted, _PII_EMAIL, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(s1, F.lit(f"({_PII_IPV4})")))
+    s2 = F.regexp_replace(s1, _PII_IPV4, "<IP>")
+    n_digits = F.size(F.regexp_extract_all(s2, F.lit(f"({_PII_DIGITS})")))
+    s3 = F.regexp_replace(s2, _PII_DIGITS, "<NUM>")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_digits.cast("long").alias("n_digit_runs"),
+        F.md5(s3).alias("scrubbed_fp"),
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution: 50-char buckets over normalized length."""
     # explicit floor: DuckDB's CAST(double AS BIGINT) rounds, Spark truncates
@@ -1080,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "sample_hash": q_sample_hash,
         "quality_filter": q_quality_filter,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
         "length_histogram": q_length_histogram,
         "dedup_canonical": q_dedup_canonical,
         "sessionize": q_sessionize,
@@ -1842,6 +1908,52 @@ FROM sig
 WHERE n_tokens >= 20 AND n_tokens <= 1000
   AND stop_micro >= 20000 AND stop_micro <= 100000
   AND n_punct * 10 <= n_chars
+"""
+
+    sql["gopher_quality"] = f"""
+WITH {_TD},
+sig AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CAST(floor(1000000.0 * list_sum(list_transform(toks, t -> length(t)))
+         / greatest(len(toks), 1)) AS BIGINT) AS mean_word_len_micro,
+    CAST(floor(1000000.0 * len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+         / greatest(len(toks), 1)) AS BIGINT) AS alpha_frac_micro
+  FROM td
+)
+SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
+  CAST(n_tokens >= 50 AND n_tokens <= 100000
+   AND mean_word_len_micro BETWEEN 3000000 AND 10000000
+   AND alpha_frac_micro >= 800000 AS BIGINT) AS keep
+FROM sig
+"""
+
+    sql["pii_scrub"] = rf"""
+WITH salted AS (
+  SELECT doc_id,
+    text || ' contact doc' || doc_id || '@example.com via 10.0.'
+         || (doc_id % 256) || '.1 ref 900100' || doc_id AS s0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(s0, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+    regexp_replace(s0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM salted
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t, '{_PII_IPV4}'))::BIGINT AS n_ips,
+    regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+    len(regexp_extract_all(t, '{_PII_DIGITS}'))::BIGINT AS n_digit_runs,
+    regexp_replace(t, '{_PII_DIGITS}', '<NUM>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_emails, n_ips, n_digit_runs, md5(t) AS scrubbed_fp FROM s3
 """
 
     sql["length_histogram"] = r"""
