@@ -116,3 +116,33 @@ def test_kind_filter_pushes_to_scan(spark, sf_dir):
     assert lower.index("arrowevalpython") < lower.index("filter"), (
         "kind filter must evaluate below (after, in print order) the UDF"
     )
+
+
+def test_dedup_embedding_no_cartesian(spark, sf_dir):
+    """The embedding near-dup path must stay a bucket equi-join — never an
+    all-pairs product (the round-1 weak spot, fixed by banded LSH)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_dedup_embedding(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kie_pairs_single_window_no_join(spark, sf_dir):
+    """RE linking is one running window over (user, time) — a self-join
+    formulation would double-scan events and shuffle twice."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_kie_pairs(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") >= 1, plan
+
+
+def test_table_master_no_cartesian(spark, sf_dir):
+    """The cascade's cross-score is an equi-join on page_id; rules are
+    windows/anti-joins over it — no nested-loop anywhere."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_table_match_master(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
