@@ -1097,6 +1097,28 @@ def q_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with formula routing ON (the ppstructure formula-branch
+    analog, /root/reference/ppstructure/predict_system.py:171-174, opt-in
+    like the reference's formula flag): display-math ``$$…$$`` paragraphs
+    become kind="formula" spans with verbatim inner content. Exact
+    golden-oracle check (frozen detect_formula=True relation)."""
+    from paddleocr_spark.config import ExtractConfig
+
+    _golden_quiet(sf_dir)
+    cfg = ExtractConfig(detect_formula=True)
+    out = flagship(spark, sf_dir, cfg=cfg)
+    n_formula = F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "formula"))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "payload_kind",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        n_formula.cast("long").alias("n_formula"),
+        "extracted_text",
+    )
+
+
 def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload-kind rollup of the extraction run — exact golden-oracle
     check (aggregate over the frozen per-turn relation)."""
@@ -1164,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": q_extract_flagship,
         "extract_spans": q_extract_spans,
         "extract_paragraphs": q_extract_paragraphs,
+        "extract_formula": q_extract_formula,
         "extract_kind_stats": q_extract_kind_stats,
     }
 
@@ -2197,6 +2220,11 @@ SELECT conv_id, turn_idx, markdown FROM read_parquet('{_G}/extract.parquet')
     sql["extract_paragraphs"] = f"""
 SELECT conv_id, turn_idx, payload_kind, n_spans, extracted_text
 FROM read_parquet('{_G}/extract_paras.parquet')
+"""
+
+    sql["extract_formula"] = f"""
+SELECT conv_id, turn_idx, payload_kind, n_spans, n_formula, extracted_text
+FROM read_parquet('{_G}/extract_formula.parquet')
 """
 
     sql["extract_conversation"] = f"""

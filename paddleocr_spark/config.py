@@ -65,6 +65,13 @@ class ExtractConfig:
                                     # next line's right edge ends a paragraph
                                     # (the trailing-space tail rule)
 
+    # -- formula routing (the ppstructure formula-branch analog,
+    #    ppstructure/predict_system.py:171-174: regions routed to the LaTeX
+    #    recognizer; here display-math blocks $$...$$ become kind="formula"
+    #    spans with the inner content preserved verbatim). Off by default:
+    #    goldens unchanged, mirroring the reference's --formula flag.
+    detect_formula: bool = False
+
     # -- assembly --
     para_sep: str = "\n\n"
 

@@ -23,6 +23,11 @@ from typing import List
 BASE_TURNS = 4
 SKEW_FACTOR = 100
 SKEW_MOD = 97
+# bump when the deterministic payload functions change: cache tags and golden
+# stamps include it, so /tmp artifacts from older corpus code can never be
+# silently reused (they are keyed only by the documents.parquet content
+# otherwise)
+CORPUS_VERSION = 2
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -136,8 +141,11 @@ def _make_pdflike(rng: random.Random, words: List[str]) -> str:
 def _make_plain(rng: random.Random, words: List[str]) -> str:
     paras = []
     for _ in range(rng.randint(1, 5)):
-        if rng.random() < 0.15:
+        r = rng.random()
+        if r < 0.15:
             paras.append("ok")  # < min_chars → dropped
+        elif r < 0.27:  # display-math block (formula-path fodder, SPEC §7)
+            paras.append("$$ " + _sent(rng, words, rng.randint(2, 6)) + " $$")
         else:
             paras.append(_sent(rng, words, rng.randint(6, 40)))
     sep = "\n\n" if rng.random() < 0.7 else "\n   \n\n"

@@ -41,13 +41,14 @@ import os
 import re
 
 from .config import DEFAULT_CONFIG, ExtractConfig
-from .corpus import generate_rows
+from .corpus import CORPUS_VERSION, generate_rows
 from .oracle import oracle_extract
 
 GOLDEN_ROOT = "/tmp/paddleocr_spark_golden"
-GOLDEN_VERSION = 1  # bump when oracle semantics / golden schemas change
+GOLDEN_VERSION = 2  # bump when oracle semantics / golden schemas change
 
 PARA_CONFIG = ExtractConfig(merge_paragraphs=True)
+FORMULA_CONFIG = ExtractConfig(detect_formula=True)
 
 _MD_ESC_RE = re.compile(r"([*`~$])")
 _SQUEEZE_RE = re.compile(r"\n{3,}")
@@ -63,6 +64,8 @@ def render_markdown_py(spans) -> str:
         esc = _MD_ESC_RE.sub(r"\\\1", text)
         if kind == "title":
             return "# " + esc
+        if kind == "formula":
+            return "$$\n" + text + "\n$$"
         if kind == "code":
             return "```\n" + text + "\n```"
         if kind == "list":
@@ -88,8 +91,9 @@ def _stamp(sf_dir: str) -> str:
     doc = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc)
     return (
-        f"v{GOLDEN_VERSION}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{_cfg_digest(DEFAULT_CONFIG)}:{_cfg_digest(PARA_CONFIG)}"
+        f"v{GOLDEN_VERSION}:c{CORPUS_VERSION}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{_cfg_digest(DEFAULT_CONFIG)}:{_cfg_digest(PARA_CONFIG)}:"
+        f"{_cfg_digest(FORMULA_CONFIG)}"
     )
 
 
@@ -135,6 +139,17 @@ def ensure_golden(sf_dir: str) -> str:
         k: []
         for k in ("conv_id", "turn_idx", "payload_kind", "n_spans", "extracted_text")
     }
+    formula_rows = {
+        k: []
+        for k in (
+            "conv_id",
+            "turn_idx",
+            "payload_kind",
+            "n_spans",
+            "n_formula",
+            "extracted_text",
+        )
+    }
 
     for row in generate_rows(doc_items):
         corpus_rows["conv_id"].append(row["conv_id"])
@@ -175,6 +190,21 @@ def ensure_golden(sf_dir: str) -> str:
         para_rows["payload_kind"].append(res_p["kind"])
         para_rows["n_spans"].append(res_p["n_spans"])
         para_rows["extracted_text"].append(res_p["extracted_text"])
+
+        # detect_formula reclassifies only $$-wrapped para spans; payloads
+        # without them yield results identical to the default config
+        if "$$" in row["text"]:
+            res_f = oracle_extract(row["text"], FORMULA_CONFIG)
+        else:
+            res_f = res
+        formula_rows["conv_id"].append(row["conv_id"])
+        formula_rows["turn_idx"].append(row["turn_idx"])
+        formula_rows["payload_kind"].append(res_f["kind"])
+        formula_rows["n_spans"].append(res_f["n_spans"])
+        formula_rows["n_formula"].append(
+            sum(1 for s in res_f["spans"] if s[1] == "formula")
+        )
+        formula_rows["extracted_text"].append(res_f["extracted_text"])
 
     os.makedirs(dest, exist_ok=True)
 
@@ -233,6 +263,20 @@ def ensure_golden(sf_dir: str) -> str:
                 ("turn_idx", pa.int32()),
                 ("payload_kind", pa.string()),
                 ("n_spans", pa.int64()),
+                ("extracted_text", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "extract_formula.parquet",
+        formula_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("payload_kind", pa.string()),
+                ("n_spans", pa.int64()),
+                ("n_formula", pa.int64()),
                 ("extracted_text", pa.string()),
             ]
         ),

@@ -46,6 +46,29 @@ def plain_spans(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     return spans, n_dropped
 
 
+def reclassify_formula(raw, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Formula routing post-pass (cfg.detect_formula; the ppstructure
+    formula-branch analog, ppstructure/predict_system.py:171-174): a ``para``
+    span whose whole text is a display-math block ``$$ … $$`` with non-empty
+    inner content becomes kind ``formula`` with the inner content (stripped)
+    as text — preserved verbatim downstream (markdown re-fences it, no
+    escaping)."""
+    out = []
+    for k, t, s, bbox in raw:
+        if (
+            k == "para"
+            and len(t) > 4
+            and t.startswith("$$")
+            and t.endswith("$$")
+        ):
+            inner = t[2:-2].strip()
+            if inner:
+                out.append(("formula", inner, s, bbox))
+                continue
+        out.append((k, t, s, bbox))
+    return out
+
+
 def extract_payload(text, cfg: ExtractConfig = DEFAULT_CONFIG):
     """One payload → (kind, spans, n_dropped); spans carry span_idx rank."""
     kind = sniff_kind(text)
@@ -60,6 +83,8 @@ def extract_payload(text, cfg: ExtractConfig = DEFAULT_CONFIG):
         raw = [(k, t, s, None) for (k, t, s) in raw2]
     else:
         raw, n_dropped = plain_spans(text, cfg)
+    if cfg.detect_formula:
+        raw = reclassify_formula(raw, cfg)
     spans: List[Span] = [
         (i, k, t, s, bbox) for i, (k, t, s, bbox) in enumerate(raw)
     ]

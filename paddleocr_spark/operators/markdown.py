@@ -19,6 +19,7 @@ def _render_span(s) -> Column:
     esc = F.regexp_replace(s["text"], r"([*`~$])", r"\\$1")
     return (
         F.when(s["kind"] == "title", F.concat(F.lit("# "), esc))
+        .when(s["kind"] == "formula", F.concat(F.lit("$$\n"), s["text"], F.lit("\n$$")))
         .when(s["kind"] == "code", F.concat(F.lit("```\n"), s["text"], F.lit("\n```")))
         .when(
             s["kind"] == "list",

@@ -384,6 +384,22 @@ def _oracle_plain(text: str, cfg: ExtractConfig):
     return spans, dropped
 
 
+_FORMULA_RE = re.compile(r"^\$\$(.+)\$\$$", re.DOTALL)
+
+
+def _oracle_formula_pass(raw):
+    """Independent mirror of the formula post-pass (SPEC §7): regex closed
+    form instead of the kernel's prefix/suffix walk."""
+    out = []
+    for k, t, s, b in raw:
+        m = _FORMULA_RE.match(t) if k == "para" else None
+        if m and m.group(1).strip():
+            out.append(("formula", m.group(1).strip(), s, b))
+        else:
+            out.append((k, t, s, b))
+    return out
+
+
 def oracle_extract(text, cfg: ExtractConfig = DEFAULT_CONFIG):
     """One payload → dict(kind, spans, extracted_text, n_spans, n_dropped).
 
@@ -400,6 +416,8 @@ def oracle_extract(text, cfg: ExtractConfig = DEFAULT_CONFIG):
         raw, dropped = _oracle_html(text, cfg)
     else:
         raw, dropped = _oracle_plain(text, cfg)
+    if cfg.detect_formula:
+        raw = _oracle_formula_pass(raw)
     spans = [(i, k, t, s, b) for i, (k, t, s, b) in enumerate(raw)]
     extracted = re.sub(r"\n{3,}", "\n\n", cfg.para_sep.join(s[2] for s in spans))
     return {

@@ -47,7 +47,9 @@ def _tag(sf_dir: str, reps: int, base_turns: int, extra: str = "") -> str:
         stamp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         stamp = "missing"
-    key = f"{os.path.abspath(sf_dir)}:{reps}:{base_turns}:{stamp}:{extra}"
+    from ..corpus import CORPUS_VERSION
+
+    key = f"v{CORPUS_VERSION}:{os.path.abspath(sf_dir)}:{reps}:{base_turns}:{stamp}:{extra}"
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 

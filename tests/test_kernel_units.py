@@ -214,3 +214,66 @@ class TestParagraphMerge:
             assert assemble_text(spans, cfg) == o["extracted_text"]
             n += 1
         assert n > 200
+
+
+def test_formula_reclassify_units():
+    """detect_formula: $$-wrapped para spans become formula spans with
+    verbatim inner content; non-block $$ uses stay text (SPEC §7)."""
+    from paddleocr_spark.config import ExtractConfig
+    from paddleocr_spark.kernel import extract_payload
+    from paddleocr_spark.oracle import oracle_extract
+
+    cfg = ExtractConfig(detect_formula=True)
+    payload = "intro text here\n\n$$ e = m c^2 $$\n\nmid $$ not block\n\n$$$$\n\n$$ $$"
+    kind, spans, dropped = extract_payload(payload, cfg)
+    kinds_texts = [(k, t) for _i, k, t, _s, _b in spans]
+    assert ("formula", "e = m c^2") in kinds_texts
+    assert ("para", "mid $$ not block") in kinds_texts  # not a block
+    assert all(t != "" for _k, t in kinds_texts)
+    # "$$$$" (empty inner) and "$$ $$" (blank inner) stay para/dropped paths
+    assert ("formula", "") not in kinds_texts
+    # kernel ≡ oracle under the flag
+    exp = oracle_extract(payload, cfg)
+    assert spans == exp["spans"]
+    # default config leaves everything as para
+    kind0, spans0, _ = extract_payload(payload)
+    assert all(k == "para" for _i, k, _t, _s, _b in spans0)
+
+
+def test_formula_corpus_kernel_equals_oracle():
+    """Generated corpus with detect_formula on: kernel ≡ oracle on every
+    turn and the corpus actually produces formula spans."""
+    from paddleocr_spark import corpus
+    from paddleocr_spark.config import ExtractConfig
+    from paddleocr_spark.kernel import extract_payload
+    from paddleocr_spark.oracle import oracle_extract
+
+    cfg = ExtractConfig(detect_formula=True)
+    words = "alpha beta gamma delta epsilon".split()
+    n_formula = 0
+    for doc_id in range(120):
+        for t in range(4):
+            payload = corpus.payload_for(doc_id, 0, t, words)
+            kind, spans, dropped = extract_payload(payload, cfg)
+            exp = oracle_extract(payload, cfg)
+            assert spans == exp["spans"], (doc_id, t)
+            n_formula += sum(1 for s in spans if s[1] == "formula")
+    assert n_formula > 10
+
+
+def test_formula_markdown_fencing(spark):
+    """Markdown renders formula spans as $$-fenced blocks, unescaped."""
+    from pyspark.sql import types as T
+
+    from paddleocr_spark.operators.extract import SPAN_TYPE
+    from paddleocr_spark.operators.markdown import render_markdown
+
+    schema = T.StructType([T.StructField("spans", SPAN_TYPE)])
+    df = spark.createDataFrame(
+        [([(0, "formula", "a*b = c", 1.0, None)],)], schema
+    )
+    md = render_markdown(df).collect()[0].markdown
+    assert md == "$$\na*b = c\n$$"
+    from paddleocr_spark.golden import render_markdown_py
+
+    assert render_markdown_py([(0, "formula", "a*b = c", 1.0, None)]) == md
