@@ -159,3 +159,27 @@ def test_iceberg_merge_sink_roundtrip(spark, transcripts):
     data = spark.table(tbl)
     assert data.count() == transcripts.count()
     assert data.select("conv_id", "turn_idx").distinct().count() == transcripts.count()
+
+
+def test_structure_jsonl_sink(spark, transcripts, tmp_path):
+    """Region-JSONL sink (save_structure_res analog): one parseable line per
+    span with type/bbox/res, complete against a direct extraction."""
+    import json
+
+    from paddleocr_spark.operators.extract import extract
+    from paddleocr_spark.sinks.structure_jsonl import write_structure_results
+
+    out = str(tmp_path / "structure_jsonl")
+    ex = extract(transcripts)
+    write_structure_results(ex, out)
+    lines = [r.value for r in spark.read.text(out).collect()]
+    n_spans = ex.agg({"n_spans": "sum"}).collect()[0][0]
+    assert len(lines) == n_spans
+    seen = set()
+    for line in lines:
+        obj = json.loads(line)
+        assert set(obj) <= {"conv_id", "turn_idx", "span_idx", "type", "bbox", "res"}
+        assert obj["type"] in {"para", "title", "list", "code", "table", "formula"}
+        assert "text" in obj["res"] and "confidence" in obj["res"]
+        seen.add((obj["conv_id"], obj["turn_idx"], obj["span_idx"]))
+    assert len(seen) == n_spans  # no duplicate region keys
