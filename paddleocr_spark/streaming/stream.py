@@ -161,3 +161,15 @@ def extract_foreach_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(stream_df: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on the turn key: late/replayed rows inside the
+    watermark horizon are dropped exactly once (state for keys older than
+    the watermark is evicted, bounding state size — the streaming form of
+    the exact-dedup stage in operators/dedup.py). Use upstream of
+    extract_stream so replays from an at-least-once source never pay the
+    extraction kernel twice."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )

@@ -156,3 +156,32 @@ def test_windowed_turn_counts_with_watermark(spark, staged_input, tmp_path):
     # rows must match the batch result exactly, and most windows close
     assert got.exceptAll(want).count() == 0
     assert got.count() >= want.count() - 4  # tail windows may stay open
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    """A replayed/duplicated turn inside the watermark yields ONE output row
+    (at-least-once source → exactly-once extraction input)."""
+    import pandas as pd
+
+    from paddleocr_spark.corpus import generate_rows
+    from paddleocr_spark.streaming.stream import dedup_stream
+
+    rows = list(generate_rows([(i, "alpha beta gamma") for i in range(6)]))
+    src = str(tmp_path / "dup_src")
+    pdf = pd.DataFrame(rows + rows[:10])  # 10 replayed turns
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT conv_id, turn_idx FROM dedup_out").collect()
+    assert len(got) == len(rows)  # replays dropped
+    assert len({(r.conv_id, r.turn_idx) for r in got}) == len(rows)
