@@ -1119,6 +1119,34 @@ def q_extract_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_plain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-payload extraction with ZERO Python: the payload-kind sniff is
+    a SQL column, the filter pushes toward the scan, and the whole
+    split/collapse/drop/assemble path is Spark built-ins inside whole-stage
+    codegen (operators/extract.py extract_plain_sql). Checked against the
+    SAME pure-Python golden relation as the kernel path — two independent
+    implementations (JVM SQL vs Python oracle) must agree byte-for-byte."""
+    from paddleocr_spark.operators.extract import (
+        extract_plain_sql,
+        with_payload_kind,
+    )
+    from paddleocr_spark.plans.flagship import corpus_df
+
+    _golden_quiet(sf_dir)
+    t = corpus_df(spark, sf_dir)
+    plain = with_payload_kind(t).filter(F.col("payload_kind") == "plain").drop(
+        "payload_kind"
+    )
+    return extract_plain_sql(plain).select(
+        "conv_id",
+        "turn_idx",
+        "payload_kind",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "extracted_text",
+    )
+
+
 def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload-kind rollup of the extraction run — exact golden-oracle
     check (aggregate over the frozen per-turn relation)."""
@@ -1187,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "extract_paragraphs": q_extract_paragraphs,
         "extract_formula": q_extract_formula,
+        "extract_plain_sql": q_extract_plain_sql,
         "extract_kind_stats": q_extract_kind_stats,
     }
 
@@ -2225,6 +2254,11 @@ FROM read_parquet('{_G}/extract_paras.parquet')
     sql["extract_formula"] = f"""
 SELECT conv_id, turn_idx, payload_kind, n_spans, n_formula, extracted_text
 FROM read_parquet('{_G}/extract_formula.parquet')
+"""
+
+    sql["extract_plain_sql"] = f"""
+SELECT conv_id, turn_idx, payload_kind, n_spans, n_dropped, extracted_text
+FROM read_parquet('{_G}/extract.parquet') WHERE payload_kind = 'plain'
 """
 
     sql["extract_conversation"] = f"""

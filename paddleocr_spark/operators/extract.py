@@ -208,3 +208,65 @@ def extract_ordered(
     return extract(pre, cfg=cfg, salt=False).sortWithinPartitions(
         "conv_id", "turn_idx"
     )
+
+
+# Python's re \s (≡ str.isspace) as an explicit Java character class, so the
+# SQL plain path splits/collapses EXACTLY like the Python kernel (Java's \s
+# is ASCII-only and (?U)\s misses \x1c-\x1f, which Python treats as space)
+_PY_WS = (
+    "[ \\t\\n\\r\\x0b\\x0c\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
+
+def extract_plain_sql(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Plain-payload extraction with ZERO Python — pure Spark SQL built-ins,
+    entirely inside whole-stage codegen.
+
+    Semantically identical to the kernel's plain path (kernel.plain_spans:
+    split on blank lines, whitespace-collapse, min_chars drop, '\\n\\n'
+    assembly) and checked against the same pure-Python golden relation
+    (driver query ``extract_plain_sql``). The point at 100 TB: with the
+    payload-kind sniff exposed as a SQL column (``with_payload_kind``), a
+    job that routes ``WHERE payload_kind = 'plain'`` through this operator
+    pays NO Arrow crossing for that fraction of the corpus — Catalyst alone
+    — while html/pdf rows take the fused kernel. Same output schema as
+    ``extract``.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    text = F.when(
+        F.length(text) > cfg.max_payload_chars,
+        F.substring(text, 1, cfg.max_payload_chars),
+    ).otherwise(text)
+    paras = F.split(text, f"\\n{_PY_WS}*\\n")
+    cleaned = F.transform(
+        paras, lambda p: F.trim(F.regexp_replace(p, f"{_PY_WS}+", " "))
+    )
+    nonempty = F.filter(cleaned, lambda p: p != F.lit(""))
+    kept = F.filter(nonempty, lambda p: F.length(p) >= cfg.min_chars)
+    spans = F.zip_with(
+        kept,
+        F.sequence(F.lit(0), F.greatest(F.size(kept), F.lit(1)) - 1),
+        lambda p, i: F.struct(
+            i.cast("int").alias("span_idx"),
+            F.lit("para").alias("kind"),
+            p.alias("text"),
+            F.lit(1.0).alias("score"),
+            F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("bbox"),
+        ),
+    )
+    # zip_with pads to the longer side; with kept empty the sequence side
+    # still has one index → slice spans to the kept count
+    spans = F.slice(spans, 1, F.size(kept))
+    extracted = F.regexp_replace(F.array_join(kept, "\n\n"), r"\n{3,}", "\n\n")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.lit("plain").alias("payload_kind"),
+        spans.alias("spans"),
+        (F.size(nonempty) - F.size(kept)).cast("int").alias("n_dropped"),
+        extracted.alias("extracted_text"),
+    ).withColumn("n_spans", F.size("spans"))

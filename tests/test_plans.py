@@ -146,3 +146,63 @@ def test_table_master_no_cartesian(spark, sf_dir):
     plan = _plan(E.q_table_match_master(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_plain_sql_path_has_no_python(spark, transcripts):
+    """extract_plain_sql must be Catalyst-only: zero Arrow/Python nodes in
+    the physical plan (the routed plain fraction never pays a crossing)."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators.extract import extract_plain_sql, with_payload_kind
+
+    plain = (
+        with_payload_kind(transcripts)
+        .filter(F.col("payload_kind") == "plain")
+        .drop("payload_kind")
+    )
+    plan = _plan(extract_plain_sql(plain))
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_plain_sql_equals_kernel(spark):
+    """The SQL plain path must equal the Python kernel row-for-row on
+    adversarial plain strings (empty, whitespace soups, short drops,
+    truncation-guard sizes are covered by the corpus-level golden check)."""
+    import datetime
+
+    from paddleocr_spark.kernel import assemble_text, extract_payload
+    from paddleocr_spark.operators.extract import extract_plain_sql
+
+    cases = [
+        "",
+        "   ",
+        "one paragraph only",
+        "a\n\nbb\n\nccc",
+        "first para here\n\n\n\nsecond para",
+        "x\n \t \ny tail",
+        "ok\n\nlong enough paragraph",
+        "padded   spaces\n\n\nnext",
+        None,
+    ]
+    rows = [
+        ("c", i, "user", t, None, datetime.datetime(2026, 1, 1))
+        for i, t in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {
+        r.turn_idx: r for r in extract_plain_sql(df).collect()
+    }
+    for i, t in enumerate(cases):
+        kind, spans, dropped = extract_payload(t)
+        assert kind == "plain"
+        g = got[i]
+        assert [(s.span_idx, s.kind, s.text, s.score, s.bbox) for s in g.spans] == [
+            (i2, k, tx, sc, bb) for (i2, k, tx, sc, bb) in spans
+        ], (i, t)
+        assert g.n_dropped == dropped and g.n_spans == len(spans)
+        assert g.extracted_text == assemble_text(spans)
