@@ -270,3 +270,39 @@ def extract_plain_sql(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Dat
         (F.size(nonempty) - F.size(kept)).cast("int").alias("n_dropped"),
         extracted.alias("extracted_text"),
     ).withColumn("n_spans", F.size("spans"))
+
+
+def extract_routed(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    salt: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kind-routed extraction: plain payloads take the zero-Python SQL path,
+    html/pdf take the fused Arrow kernel; one unionByName.
+
+    The operational form of the classifier-routing story (the cls-stage
+    dispatch, SURVEY.md §2.9): the sniff is a codegen'd column, Catalyst
+    pushes the kind predicate into each branch's scan, and only the branch
+    that needs Python pays the crossing. Output is row-identical to
+    ``extract(df)`` (both branches are golden-checked against the same
+    oracle); ordering differs (union of branches) — apply ordered_output /
+    a window downstream exactly as with ``extract``.
+
+    At 100 TB: the source is scanned per branch (twice); with column
+    pruning each scan reads only the needed bytes, and the plain branch's
+    scan+SQL is far cheaper than shipping those rows through Arrow. For a
+    single-pass trade-off, materialize the sniff once (checkpoint/persist)
+    or keep the fused ``extract`` — measured corpus mixes decide.
+    """
+    k = with_payload_kind(df)
+    plain = extract_plain_sql(
+        k.filter(F.col("payload_kind") == "plain").drop("payload_kind"), cfg
+    )
+    rest = extract(
+        k.filter(F.col("payload_kind") != "plain").drop("payload_kind"),
+        cfg,
+        salt=salt,
+        num_partitions=num_partitions,
+    )
+    return rest.unionByName(plain)

@@ -206,3 +206,20 @@ def test_plain_sql_equals_kernel(spark):
         ], (i, t)
         assert g.n_dropped == dropped and g.n_spans == len(spans)
         assert g.extracted_text == assemble_text(spans)
+
+
+def test_extract_routed_equals_extract(spark, transcripts):
+    """Routed (SQL plain + kernel html/pdf) output must be row-identical to
+    the fused kernel on the full mixed corpus; only the html/pdf branch may
+    carry an Arrow crossing."""
+    from paddleocr_spark.operators.extract import extract, extract_routed
+
+    routed = extract_routed(transcripts)
+    plan = _plan(routed)
+    assert plan.count("ArrowEvalPython") == 1, plan  # kernel branch only
+
+    cols = ["conv_id", "turn_idx", "payload_kind", "n_spans", "n_dropped",
+            "extracted_text"]
+    a = sorted(map(tuple, extract(transcripts).select(cols).collect()))
+    b = sorted(map(tuple, routed.select(cols).collect()))
+    assert a == b
