@@ -124,6 +124,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(DD.with_near_dups(_docs(spark, sf_dir)))
 
 
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup signals over the corpus with
+    injected near-duplicates: per doc, how many 20-token chunks also occur
+    in another document (operators/dedup.py paragraph_dedup_signals) —
+    exact DuckDB oracle."""
+    return DD.paragraph_dedup_signals(DD.with_near_dups(_docs(spark, sf_dir)))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash16(_docs(spark, sf_dir))
 
@@ -1168,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_paragraph": q_dedup_paragraph,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1350,6 +1359,25 @@ members AS (
 SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
 FROM members a JOIN members b
   ON a.band_id = b.band_id AND a.bh = b.bh AND a.d < b.d
+"""
+
+    sql["dedup_paragraph"] = f"""
+WITH {_TD2_NEAR},
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+    md5(array_to_string(toks[i*20+1 : i*20+20], ' ')) AS chunk_hash
+  FROM td2, unnest(generate_series(0,
+       greatest(CAST(ceil(len(toks) / 20) AS INTEGER), 1) - 1)) AS t(i)
+),
+own AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS n_owner FROM ch GROUP BY chunk_hash
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+  CAST(sum(CASE WHEN n_owner > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(floor(1000000.0 * sum(CASE WHEN n_owner > 1 THEN 1 ELSE 0 END)
+       / count(*)) AS BIGINT) AS dup_micro
+FROM ch JOIN own USING (chunk_hash)
+GROUP BY doc_id
 """
 
     hexval = (

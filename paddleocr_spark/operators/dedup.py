@@ -197,3 +197,50 @@ def simhash16(docs: DataFrame) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def paragraph_chunks(docs: DataFrame, chunk: int = 20) -> DataFrame:
+    """One row per fixed-size token chunk: (doc_id, chunk_idx, chunk_hash).
+
+    The paragraph unit of CCNet-style paragraph-level dedup (public CCNet /
+    C4 pipelines drop paragraphs whose hash repeats across documents); the
+    corpus documents are single normalized paragraphs, so fixed 20-token
+    windows stand in for paragraph boundaries — the hashing/grouping shape
+    is identical. Pure built-ins: sequence → transform → posexplode."""
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+def paragraph_dedup_signals(docs: DataFrame, chunk: int = 20) -> DataFrame:
+    """Per-doc paragraph-dedup signals: total chunks, chunks whose hash also
+    occurs in ANOTHER document, and the duplicate ratio in micro units —
+    the keep/strip signal of paragraph-level corpus dedup.
+
+    Two shuffles, both on short keys: a chunk_hash groupBy (map-side
+    combinable count of distinct docs) and the join back — the 100 TB shape
+    (no self-join on documents, no text moves after hashing)."""
+    ch = paragraph_chunks(docs, chunk)
+    owners = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_owner_docs")
+    )
+    flagged = ch.join(owners, "chunk_hash").withColumn(
+        "is_dup", (F.col("n_owner_docs") > 1).cast("long")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_dup").alias("n_dup_chunks"),
+        F.floor(F.lit(1000000) * F.sum("is_dup") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("dup_micro"),
+    )
