@@ -132,6 +132,46 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.paragraph_dedup_signals(DD.with_near_dups(_docs(spark, sf_dir)))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find documents whose text contains any
+    benchmark phrase as a consecutive token bigram (the n-gram-overlap
+    contamination check every public training pipeline runs before
+    training). The benchmark set is the part-name phrases (small dim →
+    broadcast); documents are deterministically salted with a phrase on
+    doc_id%7==0 so positives exist, mirrored exactly in the oracle. One
+    shingle explode + one broadcast equi-join — no cross product."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bench = F.broadcast(
+        part.select(F.lower(F.col("p_name")).alias("phrase")).distinct()
+    )
+    phrase_src = part.select(
+        F.col("p_partkey").alias("pk"), F.lower(F.col("p_name")).alias("salt_phrase")
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("pk", 1 + F.col("doc_id") % 200)
+        .join(F.broadcast(phrase_src), "pk")
+        .withColumn(
+            "salted",
+            F.concat(
+                TS.norm_text(F.col("text")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit(" "), F.col("salt_phrase")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    grams = d.select(
+        "doc_id", F.explode(DD.shingles(F.col("salted"), 2)).alias("phrase")
+    )
+    return (
+        grams.join(bench, "phrase")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash16(_docs(spark, sf_dir))
 
@@ -1177,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_paragraph": q_dedup_paragraph,
+        "decontaminate": q_decontaminate,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1359,6 +1400,31 @@ members AS (
 SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
 FROM members a JOIN members b
   ON a.band_id = b.band_id AND a.bh = b.bh AND a.d < b.d
+"""
+
+    sql["decontaminate"] = r"""
+WITH nd AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents
+),
+sal AS (
+  SELECT nd.doc_id,
+    nd.norm || CASE WHEN nd.doc_id % 7 = 0
+                    THEN ' ' || lower(p.p_name) ELSE '' END AS s
+  FROM nd JOIN part p ON p.p_partkey = 1 + nd.doc_id % 200
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(string_split(s, ' ')) >= 2
+         THEN list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+                i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1])
+         ELSE [s] END)) AS phrase
+  FROM sal
+),
+bench AS (SELECT DISTINCT lower(p_name) AS phrase FROM part)
+SELECT doc_id, count(*)::BIGINT AS n_hits
+FROM grams JOIN bench USING (phrase)
+GROUP BY doc_id
 """
 
     sql["dedup_paragraph"] = f"""
