@@ -1167,6 +1167,25 @@ def q_extract_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with the FULL sorted_layout_boxes walk as the pdf ordering
+    (layout_mode="walk" — recovery_to_doc.py:87-155; opt-in like the
+    reference's --recovery path, XY-cut stays the default). Exact
+    golden-oracle check (frozen walk-config relation), complementing the
+    analytic layout_order check with corpus-level end-to-end coverage."""
+    from paddleocr_spark.config import ExtractConfig
+
+    _golden_quiet(sf_dir)
+    cfg = ExtractConfig(layout_mode="walk")
+    return flagship(spark, sf_dir, cfg=cfg).select(
+        "conv_id",
+        "turn_idx",
+        "payload_kind",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "extracted_text",
+    )
+
+
 def q_extract_plain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-payload extraction with ZERO Python: the payload-kind sniff is
     a SQL column, the filter pushes toward the scan, and the whole
@@ -1266,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_paragraphs": q_extract_paragraphs,
         "extract_formula": q_extract_formula,
         "extract_plain_sql": q_extract_plain_sql,
+        "extract_walk": q_extract_walk,
         "extract_kind_stats": q_extract_kind_stats,
     }
 
@@ -2348,6 +2368,11 @@ FROM read_parquet('{_G}/extract_paras.parquet')
     sql["extract_formula"] = f"""
 SELECT conv_id, turn_idx, payload_kind, n_spans, n_formula, extracted_text
 FROM read_parquet('{_G}/extract_formula.parquet')
+"""
+
+    sql["extract_walk"] = f"""
+SELECT conv_id, turn_idx, payload_kind, n_spans, extracted_text
+FROM read_parquet('{_G}/extract_walk.parquet')
 """
 
     sql["extract_plain_sql"] = f"""

@@ -45,10 +45,11 @@ from .corpus import CORPUS_VERSION, generate_rows
 from .oracle import oracle_extract
 
 GOLDEN_ROOT = "/tmp/paddleocr_spark_golden"
-GOLDEN_VERSION = 2  # bump when oracle semantics / golden schemas change
+GOLDEN_VERSION = 3  # bump when oracle semantics / golden schemas change
 
 PARA_CONFIG = ExtractConfig(merge_paragraphs=True)
 FORMULA_CONFIG = ExtractConfig(detect_formula=True)
+WALK_CONFIG = ExtractConfig(layout_mode="walk")
 
 _MD_ESC_RE = re.compile(r"([*`~$])")
 _SQUEEZE_RE = re.compile(r"\n{3,}")
@@ -93,7 +94,7 @@ def _stamp(sf_dir: str) -> str:
     return (
         f"v{GOLDEN_VERSION}:c{CORPUS_VERSION}:{st.st_size}:{st.st_mtime_ns}:"
         f"{_cfg_digest(DEFAULT_CONFIG)}:{_cfg_digest(PARA_CONFIG)}:"
-        f"{_cfg_digest(FORMULA_CONFIG)}"
+        f"{_cfg_digest(FORMULA_CONFIG)}:{_cfg_digest(WALK_CONFIG)}"
     )
 
 
@@ -150,6 +151,10 @@ def ensure_golden(sf_dir: str) -> str:
             "extracted_text",
         )
     }
+    walk_rows = {
+        k: []
+        for k in ("conv_id", "turn_idx", "payload_kind", "n_spans", "extracted_text")
+    }
 
     for row in generate_rows(doc_items):
         corpus_rows["conv_id"].append(row["conv_id"])
@@ -205,6 +210,17 @@ def ensure_golden(sf_dir: str) -> str:
             sum(1 for s in res_f["spans"] if s[1] == "formula")
         )
         formula_rows["extracted_text"].append(res_f["extracted_text"])
+
+        # layout_mode="walk" only changes the pdf ordering path
+        if res["kind"] == "pdf":
+            res_w = oracle_extract(row["text"], WALK_CONFIG)
+        else:
+            res_w = res
+        walk_rows["conv_id"].append(row["conv_id"])
+        walk_rows["turn_idx"].append(row["turn_idx"])
+        walk_rows["payload_kind"].append(res_w["kind"])
+        walk_rows["n_spans"].append(res_w["n_spans"])
+        walk_rows["extracted_text"].append(res_w["extracted_text"])
 
     os.makedirs(dest, exist_ok=True)
 
@@ -277,6 +293,19 @@ def ensure_golden(sf_dir: str) -> str:
                 ("payload_kind", pa.string()),
                 ("n_spans", pa.int64()),
                 ("n_formula", pa.int64()),
+                ("extracted_text", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "extract_walk.parquet",
+        walk_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("payload_kind", pa.string()),
+                ("n_spans", pa.int64()),
                 ("extracted_text", pa.string()),
             ]
         ),
