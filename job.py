@@ -38,6 +38,16 @@ def main() -> None:
         help="skip the pre-UDF salted repartition (the 100 TB default: scan "
         "splits are already byte-uniform — docs/SCALE_100TB.md §2)",
     )
+    # pipeline-mode flags (the reference's --recovery / --formula analogs)
+    p.add_argument("--merge-paragraphs", action="store_true",
+                   help="paragraph recovery on the pdf-like path "
+                   "(check_merge_method analog; reference --recovery)")
+    p.add_argument("--formula", action="store_true",
+                   help="route $$...$$ display-math blocks to kind=formula "
+                   "spans (reference formula branch)")
+    p.add_argument("--layout-mode", choices=("xycut", "walk"), default="xycut",
+                   help="pdf-like reading order: XY-cut (default) or the full "
+                   "sorted_layout_boxes stateful walk")
     args = p.parse_args()
 
     spark = (
@@ -55,10 +65,18 @@ def main() -> None:
     else:
         transcripts = transcripts_df(spark, args.sf_dir, reps=args.reps)
 
+    from paddleocr_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(
+        merge_paragraphs=args.merge_paragraphs,
+        detect_formula=args.formula,
+        layout_mode=args.layout_mode,
+    )
     summary = run_extract_job(
         spark,
         transcripts,
         args.out,
+        cfg=cfg,
         n_buckets=args.n_buckets,
         group_size=args.group_size,
         salt=not args.no_salt,
