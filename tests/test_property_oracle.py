@@ -82,3 +82,55 @@ def test_html_spans_invariants(payload):
         assert text == " ".join(text.split())  # normalized whitespace
         assert 0.0 <= score <= 1.0
         assert kind in ("para", "title", "code", "list", "table")
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_payload)
+def test_kernel_equals_oracle_under_mode_configs(payload):
+    """The golden contract must hold under EVERY config-gated mode: formula
+    routing (different post-pass implementations: prefix walk vs regex
+    closed form), the layout walk (stateful walk vs relational closed form)
+    and both at once — on arbitrary payloads including $$-soups."""
+    from paddleocr_spark.config import ExtractConfig
+
+    for cfg in (
+        ExtractConfig(detect_formula=True),
+        ExtractConfig(layout_mode="walk"),
+        ExtractConfig(detect_formula=True, layout_mode="walk",
+                      merge_paragraphs=True),
+    ):
+        kind, spans, dropped = extract_payload(payload, cfg)
+        o = oracle_extract(payload, cfg)
+        assert kind == o["kind"]
+        assert spans == o["spans"]
+        assert dropped == o["n_dropped"]
+        assert assemble_text(spans, cfg) == o["extracted_text"]
+
+
+formula_soup = st.lists(
+    st.one_of(
+        st.text(alphabet="ab c$\n", max_size=16),
+        st.just("$$ x = y $$"),
+        st.just("$$$$"),
+        st.just("$$ $$"),
+        st.just("$$a$$"),
+        st.just("\n\n"),
+    ),
+    max_size=12,
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(formula_soup)
+def test_formula_mode_on_dollar_soups(payload):
+    """Adversarial $$-heavy plain payloads: kernel ≡ oracle with formula
+    routing on, and formula spans are never empty."""
+    from paddleocr_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(detect_formula=True)
+    kind, spans, dropped = extract_payload(payload, cfg)
+    o = oracle_extract(payload, cfg)
+    assert spans == o["spans"]
+    for _i, k, t, _s, _b in spans:
+        if k == "formula":
+            assert t.strip() != ""
