@@ -306,3 +306,41 @@ def extract_routed(
         num_partitions=num_partitions,
     )
     return rest.unionByName(plain)
+
+
+def conversation_document_chunked(
+    df: DataFrame,
+    turns_per_segment: int = 1000,
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Bounded-row conversation reassembly: one output row per
+    ``turns_per_segment`` turns instead of one row per conversation.
+
+    ``conversation_document`` builds the WHOLE conversation into a single
+    row — at 10⁶ turns that is a multi-GB cell, the row-level analog of the
+    skew problem the salt defuses (SURVEY.md §7 hard-part #2, the
+    slice-and-merge semantics of predict_det.py:307-408). Here the group
+    key is (conv_id, turn_idx div turns_per_segment), so every row's
+    payload is bounded regardless of conversation length; consumers
+    re-concatenate segments in segment_idx order (or stream them — each
+    segment is already a coherent contiguous slice). Same single
+    map-side-combinable shuffle as the unchunked form."""
+    seg = (F.col("turn_idx") / F.lit(turns_per_segment)).cast("long")
+    return (
+        df.withColumn("segment_idx", seg)
+        .groupBy("conv_id", "segment_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n\n",
+            ).alias("document"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+    )

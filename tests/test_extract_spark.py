@@ -117,3 +117,34 @@ def test_config_thresholds_respected(spark, transcripts):
     res = extract(transcripts.limit(20), cfg=cfg, salt=False).collect()
     for r in res:
         assert r["n_spans"] == 0 and r["extracted_text"] == ""
+
+
+def test_conversation_document_chunked_reconcatenates(spark):
+    """Chunked reassembly (bounded row size) must re-concatenate to exactly
+    the unchunked conversation documents, at a segment size that actually
+    splits every conversation."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.corpus import generate_rows
+    from paddleocr_spark.operators.extract import (
+        conversation_document,
+        conversation_document_chunked,
+        extract,
+    )
+
+    rows = list(generate_rows([(i, "alpha beta gamma delta") for i in range(5)]))
+    ex = extract(spark.createDataFrame(rows))
+    whole = {
+        r.conv_id: r.document for r in conversation_document(ex).collect()
+    }
+    chunked = conversation_document_chunked(ex, turns_per_segment=2)
+    assert chunked.agg(F.max("n_turns")).collect()[0][0] <= 2  # bounded rows
+    joined = {}
+    for r in sorted(
+        chunked.collect(), key=lambda r: (r.conv_id, r.segment_idx)
+    ):
+        joined[r.conv_id] = (
+            joined.get(r.conv_id, "") + ("\n\n" if r.conv_id in joined else "")
+            + r.document
+        )
+    assert joined == whole
