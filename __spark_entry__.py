@@ -1214,6 +1214,26 @@ def q_extract_plain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-routed extraction (operators/extract.py extract_routed): plain
+    rows through the zero-Python SQL branch, html/pdf through the fused
+    kernel, unioned. Checked against the SAME golden relation as
+    extract_flagship — the routing must be output-invisible."""
+    from paddleocr_spark.operators.extract import extract_routed
+    from paddleocr_spark.plans.flagship import corpus_df
+
+    _golden_quiet(sf_dir)
+    out = extract_routed(corpus_df(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "payload_kind",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "extracted_text",
+    )
+
+
 def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload-kind rollup of the extraction run — exact golden-oracle
     check (aggregate over the frozen per-turn relation)."""
@@ -1286,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_formula": q_extract_formula,
         "extract_plain_sql": q_extract_plain_sql,
         "extract_walk": q_extract_walk,
+        "extract_routed": q_extract_routed,
         "extract_kind_stats": q_extract_kind_stats,
     }
 
@@ -2368,6 +2389,11 @@ FROM read_parquet('{_G}/extract_paras.parquet')
     sql["extract_formula"] = f"""
 SELECT conv_id, turn_idx, payload_kind, n_spans, n_formula, extracted_text
 FROM read_parquet('{_G}/extract_formula.parquet')
+"""
+
+    sql["extract_routed"] = f"""
+SELECT conv_id, turn_idx, payload_kind, n_spans, n_dropped, extracted_text
+FROM read_parquet('{_G}/extract.parquet')
 """
 
     sql["extract_walk"] = f"""
