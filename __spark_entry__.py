@@ -691,6 +691,40 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition filters'
+    shape: duplicate n-gram fraction, type-token ratio): all positional
+    3-grams vs distinct 3-grams, distinct tokens vs tokens — floored micro
+    ratios, JVM built-ins only."""
+    toks = F.split(TS.norm_text(F.col("text")), " ")
+    n_tok = F.size(toks)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n_tok - 2, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n_tok - 2, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, F.greatest(n_tok - 2, F.lit(0))),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    n_tri = F.size(tri)
+    n_tri_d = F.size(F.array_distinct(tri))
+    rep_micro = F.floor(
+        F.lit(1000000.0) * (n_tri - n_tri_d) / F.greatest(n_tri, F.lit(1))
+    )
+    ttr_micro = F.floor(
+        F.lit(1000000.0) * F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_tri.cast("long").alias("n_trigrams"),
+        n_tri_d.cast("long").alias("n_trigrams_distinct"),
+        rep_micro.cast("long").alias("rep_micro"),
+        ttr_micro.cast("long").alias("ttr_micro"),
+    )
+
+
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 _PII_DIGITS = r"\d{7,}"
@@ -1284,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "quality_filter": q_quality_filter,
         "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "length_histogram": q_length_histogram,
         "dedup_canonical": q_dedup_canonical,
@@ -2113,6 +2148,26 @@ SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
    AND mean_word_len_micro BETWEEN 3000000 AND 10000000
    AND alpha_frac_micro >= 800000 AS BIGINT) AS keep
 FROM sig
+"""
+
+    sql["repetition_stats"] = f"""
+WITH {_TD},
+g AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE CAST([] AS VARCHAR[]) END AS tri,
+    len(list_distinct(toks))::BIGINT AS n_tok_d
+  FROM td
+)
+SELECT doc_id, n_tokens,
+  len(tri)::BIGINT AS n_trigrams,
+  len(list_distinct(tri))::BIGINT AS n_trigrams_distinct,
+  CAST(floor(1000000.0 * (len(tri) - len(list_distinct(tri)))
+       / greatest(len(tri), 1)) AS BIGINT) AS rep_micro,
+  CAST(floor(1000000.0 * n_tok_d / greatest(n_tokens, 1)) AS BIGINT) AS ttr_micro
+FROM g
 """
 
     sql["pii_scrub"] = rf"""
