@@ -318,3 +318,90 @@ def run_extract_job(
         "wall_s": round(time.time() - job_t0, 3),
         **totals,
     }
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read ONLY manifest-committed groups of a parquet checkpoint dir.
+
+    ``spark.read.parquet(out_dir + '/data')`` is correct after a completed
+    run (orphans are swept at job start), but a reader CONCURRENT with a
+    writer could list a group dir whose manifest entry hasn't landed yet —
+    uncommitted rows. This reader resolves the committed dir list from the
+    manifest first (the poor man's snapshot isolation; with the Iceberg
+    sink the catalog does this natively)."""
+    w = CheckpointWriter(out_dir)
+    dirs = [
+        os.path.join(w.data_dir, e["dir"])
+        for e in w.metrics()
+        if e.get("dir") and os.path.isdir(os.path.join(w.data_dir, e["dir"]))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed groups under {out_dir}")
+    return spark.read.option("basePath", w.data_dir).parquet(*dirs)
+
+
+def lineage_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The manifest as a queryable relation — per-group lineage + metrics
+    (run_id, group_seq, buckets, wall_s, turns/spans/bytes/failures,
+    committed_at). The parquet-mode analog of querying the Iceberg
+    ``<table>_lineage`` table."""
+    import pandas as pd
+
+    w = CheckpointWriter(out_dir)
+    entries = w.metrics()
+    if not entries:
+        raise FileNotFoundError(f"no manifest entries under {out_dir}")
+    return spark.createDataFrame(pd.DataFrame(entries))
+
+
+def compact_to(
+    spark: SparkSession,
+    src_out: str,
+    dst_out: str,
+    group_size: int = 1 << 30,
+) -> dict:
+    """Copy-compact a checkpoint dir: read the committed data of ``src_out``
+    and write it to a FRESH checkpoint dir with consolidated group dirs
+    (default: everything into one group) — the small-files remedy after
+    many incremental reruns (10⁵ group dirs at production scale). Copying
+    into a new dir keeps the operation trivially crash-safe: ``dst_out`` is
+    complete only once its own manifest says so, and ``src_out`` is never
+    mutated; the caller swaps paths afterwards. Returns the summary dict of
+    the consolidation write."""
+    src = CheckpointWriter(src_out)
+    data = read_committed(spark, src_out)
+    buckets = sorted(src.committed_buckets())
+    n_buckets = (max(buckets) + 1) if buckets else 0
+    dst = CheckpointWriter(dst_out, n_buckets)
+    if dst.committed_buckets():
+        raise RuntimeError(f"compaction target {dst_out} is not empty")
+    t0 = time.time()
+    groups = [buckets[i : i + group_size] for i in range(0, len(buckets), group_size)]
+    run_id = uuid.uuid4().hex[:12]
+    total_rows = 0
+    for gi, grp in enumerate(groups):
+        sub = data.filter(F.col("bucket").isin(grp))
+        n = sub.count()
+        (
+            sub.coalesce(max(1, len(grp) // 8))
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(os.path.join(dst.data_dir, f"group={gi:05d}"))
+        )
+        dst.commit(
+            {
+                "run_id": run_id,
+                "group_seq": gi,
+                "dir": f"group={gi:05d}",
+                "buckets": grp,
+                "wall_s": round(time.time() - t0, 3),
+                "turns": int(n),
+                "spans": 0,
+                "bytes": 0,
+                "failures": 0,
+                "committed_at": time.time(),
+                "compacted_from": os.path.abspath(src_out),
+            }
+        )
+        total_rows += n
+    return {"run_id": run_id, "groups": len(groups), "rows": total_rows}

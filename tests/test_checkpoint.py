@@ -183,3 +183,48 @@ def test_structure_jsonl_sink(spark, transcripts, tmp_path):
         assert "text" in obj["res"] and "confidence" in obj["res"]
         seen.add((obj["conv_id"], obj["turn_idx"], obj["span_idx"]))
     assert len(seen) == n_spans  # no duplicate region keys
+
+
+def test_read_committed_excludes_uncommitted_group(spark, transcripts, tmp_path):
+    """The manifest-aware reader must not see a group dir whose manifest
+    entry hasn't landed (a writer in flight), while the naive data_dir read
+    would."""
+    import shutil
+
+    from paddleocr_spark.sinks.checkpoint import read_committed
+
+    out = str(tmp_path / "ckpt_rc")
+    run_extract_job(spark, transcripts, out, n_buckets=8, group_size=4)
+    w = CheckpointWriter(out, 8)
+    total = spark.read.parquet(os.path.join(out, "data")).count()
+    # simulate an in-flight writer: duplicate a group dir without a manifest
+    src = os.path.join(w.data_dir, "group=00000")
+    shutil.copytree(src, os.path.join(w.data_dir, "group=00099"))
+    naive = spark.read.parquet(os.path.join(out, "data")).count()
+    committed = read_committed(spark, out).count()
+    assert naive > total          # the naive read sees uncommitted rows
+    assert committed == total     # the manifest-aware read does not
+
+
+def test_lineage_df_and_compact_to(spark, transcripts, tmp_path):
+    """Lineage reads back as a relation; copy-compaction consolidates group
+    dirs into one while preserving every row exactly."""
+    from paddleocr_spark.sinks.checkpoint import (
+        compact_to,
+        lineage_df,
+        read_committed,
+    )
+
+    out = str(tmp_path / "ckpt_cmp")
+    run_extract_job(spark, transcripts, out, n_buckets=8, group_size=2)
+    lin = lineage_df(spark, out)
+    assert lin.count() == 4  # 8 buckets / group_size 2
+    assert {"run_id", "buckets", "turns", "wall_s"} <= set(lin.columns)
+
+    dst = str(tmp_path / "ckpt_cmp_out")
+    summary = compact_to(spark, out, dst)
+    assert summary["groups"] == 1
+    a = read_committed(spark, out).select("conv_id", "turn_idx", "extracted_text")
+    b = read_committed(spark, dst).select("conv_id", "turn_idx", "extracted_text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert len(os.listdir(os.path.join(dst, "data"))) == 1  # consolidated
