@@ -369,7 +369,10 @@ def compact_to(
     mutated; the caller swaps paths afterwards. Returns the summary dict of
     the consolidation write."""
     src = CheckpointWriter(src_out)
-    data = read_committed(spark, src_out)
+    # drop the partition-discovery column: the target's own group= dir names
+    # provide it; baking the SOURCE's group values into the files would
+    # shadow the new layout with stale numbers
+    data = read_committed(spark, src_out).drop("group")
     buckets = sorted(src.committed_buckets())
     n_buckets = (max(buckets) + 1) if buckets else 0
     dst = CheckpointWriter(dst_out, n_buckets)
