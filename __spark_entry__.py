@@ -30,10 +30,23 @@ from paddleocr_spark.operators import ann as ANN
 from paddleocr_spark.operators import dedup as DD
 from paddleocr_spark.plans.flagship import flagship
 
-# The driver runs correctness at this sf dir; the extract_* oracles read the
-# frozen golden relations for it (paddleocr_spark/golden.py — the TIPC
-# golden-compare mechanism, /root/reference/test_tipc/compare_results.py).
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# The extract_* oracles read the frozen golden relations for the sf dir
+# under test (paddleocr_spark/golden.py — the TIPC golden-compare mechanism,
+# /root/reference/test_tipc/compare_results.py). The dir is resolved at
+# oracle_sql() call time, not hardcoded (round-2 verdict item #3):
+#   1. $SPARK_GRAFT_ORACLE_SF_DIR if set (scripts/check_oracle.py sets it),
+#   2. else the last sf dir any extract_* query ran against this process,
+#   3. else the driver's default correctness scale, sf0.01.
+_ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+_last_extract_sf_dir: str | None = None
+
+
+def _oracle_sf_dir() -> str:
+    return (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or _last_extract_sf_dir
+        or _ORACLE_SF_DIR_DEFAULT
+    )
 
 
 def _golden_quiet(sf_dir: str) -> None:
@@ -41,7 +54,10 @@ def _golden_quiet(sf_dir: str) -> None:
     cold at sf0.01). Called from every extract_* query so the goldens exist
     no matter in which order the driver materializes queries vs oracles;
     failures are swallowed — the Spark query itself must still run (the
-    compare would then fail loudly on the oracle side instead)."""
+    compare would then fail loudly on the oracle side instead). Also records
+    the sf dir so the oracle SQL reads the matching golden relations."""
+    global _last_extract_sf_dir
+    _last_extract_sf_dir = sf_dir
     try:
         ensure_golden(sf_dir)
     except Exception:
@@ -99,8 +115,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, punctuation, stopword quality ratio,
-    language guess, fingerprint — all JVM-side built-ins."""
+    language guess, whole-doc fingerprint, Rabin-Karp rolling fingerprint
+    (the incremental/content-defined complement) and BPE-ish sub-word
+    tokenization stats — all JVM-side built-ins, one scan.
+
+    (Round 3 folds the former ``fingerprint_rolling`` and ``token_bpe``
+    registry entries in here as columns — same operators, one driver row —
+    to fit the registry inside the driver's 50-query correctness window.)"""
     t = F.col("text")
+    bpe = F.regexp_extract_all(TS.norm_text(t), F.lit(_BPE_PAT))
     return _docs(spark, sf_dir).select(
         "doc_id",
         TS.token_count(t).cast("long").alias("n_tokens"),
@@ -109,6 +132,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.stop_ratio_micro(t).alias("stop_micro"),
         TS.lang_guess(t).alias("lang_id"),
         TS.fingerprint(t).alias("fp"),
+        TS.rolling_fingerprint(t).alias("roll_fp"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
     )
 
 
@@ -202,45 +228,69 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable per-conversation ordering window (north-rule 'stable turn
-    ordering' shape) demonstrated on the events stream."""
+    """Per-event ordering windows over one scan, all partitioned the same
+    way (one shuffle on user_id serves every window):
+
+    - ``rn``: stable per-conversation ordering (north-rule 'stable turn
+      ordering' shape);
+    - ``band``/``band_rn``: banded lexicographic ordering — the sorted_boxes
+      10px-tolerance analog (/root/reference/tools/infer/
+      predict_system.py:160-182) as a quantized deterministic window;
+    - ``is_new``/``session_seq``: gap-based sessionization (new session
+      after >30 min idle; running sum of session starts).
+
+    (Round 3 folds the former ``reading_order_band`` and ``sessionize``
+    registry entries in here as columns — same operators, one driver row.)"""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return _events(spark, sf_dir).select(
-        "event_id", "user_id", F.row_number().over(w).cast("long").alias("rn")
-    )
-
-
-def q_reading_order_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded lexicographic ordering — the sorted_boxes 10px-tolerance analog
-    (/root/reference/tools/infer/predict_system.py:160-182) as a quantized
-    deterministic window."""
-    from pyspark.sql import Window
-
     band = F.floor(F.col("value") / 10).cast("long")
-    w = Window.partitionBy("user_id").orderBy("band", "ts", "event_id")
+    wb = Window.partitionBy("user_id").orderBy("band", "ts", "event_id")
+    # exact microsecond gap: timezone-free (works on NTZ) and identical in
+    # DuckDB's date_diff('microsecond', ...) — no truncation ambiguity
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
     return (
         _events(spark, sf_dir)
         .withColumn("band", band)
+        .withColumn("is_new", new_sess)
         .select(
             "event_id",
             "user_id",
-            "band",
             F.row_number().over(w).cast("long").alias("rn"),
+            "band",
+            F.row_number().over(wb).cast("long").alias("band_rn"),
+            F.col("is_new").cast("long").alias("is_new"),
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("session_seq"),
         )
     )
 
 
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group metric accounting (rows/value rollup — the engine's
-    lineage-metrics shape, SURVEY.md §2.4)."""
+    lineage-metrics shape, SURVEY.md §2.4) plus JSON property extraction
+    (json.dumps result parity, /root/reference/tools/infer/
+    predict_system.py:246-257) — one scan, one map-side-combinable groupBy.
+
+    (Round 3 folds the former ``json_props`` registry entry in here as
+    columns — same operators, one driver row.)"""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         _events(spark, sf_dir)
+        .withColumn("k", k)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
         )
     )
 
@@ -256,6 +306,8 @@ def q_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         strq2b_col,
     )
 
+    from paddleocr_spark.functions.words import pred_reverse_col
+
     payload = F.concat(
         F.lit("<b>"), F.col("text"), F.lit("</b>  x <i>y</i>\n<sub>z</sub>")
     )
@@ -264,6 +316,10 @@ def q_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         collapse_ws_col(scrub_style_tags_col(payload)).alias("scrubbed"),
         strq2b_col(wide).alias("q2b"),
+        # RTL unit re-ordering (pred_reverse analog, /root/reference/ppocr/
+        # postprocess/rec_postprocess.py:82-96) — round 3 folds the former
+        # ``rtl_reverse`` registry entry in here as a column.
+        pred_reverse_col(F.col("text")).alias("rtl"),
     )
 
 
@@ -352,52 +408,34 @@ def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2e_spotting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass (polygon, text) end-to-end spotting over PDF-like payloads —
+    the PGNet analog (/root/reference/tools/infer/predict_e2e.py:38-100,
+    ppocr/postprocess/pg_postprocess.py:29-70), closing the last §2.9 gap.
+    Pure Spark built-ins (the only extraction-family operator with zero
+    Python in the plan); exact DuckDB oracle re-parses the golden corpus
+    payloads in SQL — an independent re-derivation, not a readback."""
+    from paddleocr_spark.operators.spotting import e2e_spotting
+    from paddleocr_spark.plans.flagship import corpus_df
+
+    _golden_quiet(sf_dir)  # the oracle reads text from golden corpus.parquet
+    return e2e_spotting(corpus_df(spark, sf_dir))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end spotting evaluation (/root/reference/tools/end2end/
-    eval_end2end.py:66-170): match boxes geometrically (IoU≥0.5,
-    one-to-one), then score the TEXT of the matches by Levenshtein edit
-    distance. gt text is md5(box_id); predictions carry a deterministic
-    one-char corruption on box_id%4==0 and 10% of boxes are missing.
-    Output: match counts + summed/mean edit distance (integer micro)."""
-    from paddleocr_spark.operators.spatial import det_match_pairs
+    eval_end2end.py:66-170) of the REAL e2e_spotting operator against the
+    full-fidelity payload parse as ground truth (round-3 rewire — formerly
+    synthetic corruptions, now exercised in tests/test_spotting.py): boxes
+    matched geometrically (IoU≥0.5, one-to-one greedy), matched texts scored
+    by Levenshtein. The deterministic recognizer makes matched-text edit
+    distance structurally 0 (n_exact == n_matched asserts it); the
+    discriminating signal is recall — what score_thresh + min_chars drop."""
+    from paddleocr_spark.operators.spotting import spotting_eval
+    from paddleocr_spark.plans.flagship import corpus_df
 
-    gt = _region_boxes(spark, sf_dir).withColumn(
-        "gt_text", F.md5(F.col("box_id").cast("string"))
-    )
-    pred = gt.filter(F.col("box_id") % 10 != 0).select(
-        "box_id",
-        "page_id",
-        (F.col("x0") + F.col("box_id") % 7 - 3).alias("x0"),
-        (F.col("y0") + F.col("box_id") % 5 - 2).alias("y0"),
-        (F.col("x1") + F.col("box_id") % 7 - 3).alias("x1"),
-        (F.col("y1") + F.col("box_id") % 5 - 2).alias("y1"),
-        F.when(
-            F.col("box_id") % 4 == 0,
-            F.concat(F.lit("z"), F.substring(F.col("gt_text"), 2, 31)),
-        )
-        .otherwise(F.col("gt_text"))
-        .alias("pred_text"),
-    )
-    pairs = det_match_pairs(gt, pred)
-    scored = (
-        pairs.join(
-            gt.select(F.col("box_id").alias("gt_id"), "gt_text"), "gt_id"
-        )
-        .join(
-            pred.select(F.col("box_id").alias("pred_id"), "pred_text"), "pred_id"
-        )
-        .withColumn("ed", F.levenshtein("gt_text", "pred_text").cast("long"))
-    )
-    return scored.agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.sum("ed").alias("sum_ed"),
-        F.sum((F.col("ed") == 0).cast("long")).alias("n_exact"),
-    ).selectExpr(
-        "n_matched",
-        "sum_ed",
-        "n_exact",
-        "1000000 * sum_ed DIV n_matched AS mean_ed_micro",
-    )
+    _golden_quiet(sf_dir)
+    return spotting_eval(corpus_df(spark, sf_dir))
 
 
 def q_kie_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,15 +654,6 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 
 
-def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rabin-Karp rolling fingerprint over the token stream (exact-integer
-    fold — the incremental/content-defined complement to the md5 whole-doc
-    fingerprint in text_stats)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", TS.rolling_fingerprint(F.col("text")).alias("roll_fp")
-    )
-
-
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-mod sampling — the portable form of the reference's
     seeded ratio sampling (SimpleDataSet ratio_list,
@@ -663,10 +692,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style corpus quality signals (public Gopher/MassiveText rules:
-    word-count band, mean-word-length band, alphabetic-token fraction):
-    per-doc signals in floored micro-units + the keep verdict, all JVM
-    built-ins over the normalized token array."""
+    """Gopher-style corpus quality + repetition signals (public Gopher/
+    MassiveText rules: word-count band, mean-word-length band,
+    alphabetic-token fraction, duplicate n-gram fraction, type-token
+    ratio): per-doc signals in floored micro-units + the keep verdict, all
+    JVM built-ins over the normalized token array — one scan.
+
+    (Round 3 folds the former ``repetition_stats`` registry entry in here
+    as columns — same operators, one driver row.)"""
     toks = F.split(TS.norm_text(F.col("text")), " ")
     n = F.size(toks)
     sum_len = F.aggregate(
@@ -682,29 +715,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (mean_len_micro <= 10000000)
         & (alpha_micro >= 800000)
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        mean_len_micro.cast("long").alias("mean_word_len_micro"),
-        alpha_micro.cast("long").alias("alpha_frac_micro"),
-        keep.cast("long").alias("keep"),
-    )
-
-
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition signals (the Gopher repetition filters'
-    shape: duplicate n-gram fraction, type-token ratio): all positional
-    3-grams vs distinct 3-grams, distinct tokens vs tokens — floored micro
-    ratios, JVM built-ins only."""
-    toks = F.split(TS.norm_text(F.col("text")), " ")
-    n_tok = F.size(toks)
     tri = F.zip_with(
         F.zip_with(
-            F.slice(toks, 1, F.greatest(n_tok - 2, F.lit(0))),
-            F.slice(toks, 2, F.greatest(n_tok - 2, F.lit(0))),
+            F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-        F.slice(toks, 3, F.greatest(n_tok - 2, F.lit(0))),
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
     n_tri = F.size(tri)
@@ -713,11 +730,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000.0) * (n_tri - n_tri_d) / F.greatest(n_tri, F.lit(1))
     )
     ttr_micro = F.floor(
-        F.lit(1000000.0) * F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+        F.lit(1000000.0) * F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
+        mean_len_micro.cast("long").alias("mean_word_len_micro"),
+        alpha_micro.cast("long").alias("alpha_frac_micro"),
+        keep.cast("long").alias("keep"),
         n_tri.cast("long").alias("n_trigrams"),
         n_tri_d.cast("long").alias("n_trigrams_distinct"),
         rep_micro.cast("long").alias("rep_micro"),
@@ -760,17 +780,6 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus length distribution: 50-char buckets over normalized length."""
-    # explicit floor: DuckDB's CAST(double AS BIGINT) rounds, Spark truncates
-    bucket = F.floor(F.length(TS.norm_text(F.col("text"))) / 50).cast("long")
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup OUTPUT: the corpus (with injected exact copies) after
     removing non-canonical duplicates — one row per surviving doc_id (the
@@ -781,34 +790,6 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return canon.select("doc_id", "fp")
-
-
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization of the events stream: a new session starts
-    when a user is idle > 30 minutes; session_seq = cumulative count of
-    session starts per user (lag + window running sum)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact microsecond gap: timezone-free (works on NTZ) and identical in
-    # DuckDB's date_diff('microsecond', ...) — no truncation ambiguity
-    gap = F.expr(
-        "timestampdiff(MICROSECOND, lag(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
-    )
-    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
-    return (
-        _events(spark, sf_dir)
-        .withColumn("is_new", new_sess)
-        .withColumn(
-            "session_seq",
-            F.sum("is_new").over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ).cast("long"),
-        )
-        .select("event_id", "user_id", F.col("is_new").cast("long").alias("is_new"), "session_seq")
-    )
 
 
 def q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,37 +810,6 @@ def q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue_cents"
             ),
         )
-    )
-
-
-def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction + rollup (the engine's structured-metadata
-    path; json.dumps result parity, /root/reference/tools/infer/
-    predict_system.py:246-257)."""
-    e = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
-        e.withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex tokenization stats (letter runs / digit runs / single
-    symbols) — the sub-word analog of whitespace token counting."""
-    from paddleocr_spark.functions.textstats import norm_text
-
-    toks = F.regexp_extract_all(norm_text(F.col("text")), F.lit(_BPE_PAT))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
     )
 
 
@@ -1018,21 +968,6 @@ def q_table_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RTL unit re-ordering (pred_reverse analog,
-    /root/reference/ppocr/postprocess/rec_postprocess.py:82-96) — built-ins
-    only; exact DuckDB mirror."""
-    from paddleocr_spark.functions.words import pred_reverse_col
-
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    return p.select(
-        "p_partkey",
-        pred_reverse_col(F.concat(F.col("p_name"), F.lit(" #"), F.col("p_brand"))).alias(
-            "reversed"
-        ),
-    )
-
-
 _N_MEDIA = 300
 
 
@@ -1043,24 +978,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     clearly-marked deterministic STUB (md5-derived features — the real
     libraries are not in this container); the schema/batching/partitioning
     is the real contract. Oracle recomputes the md5 chain in SQL."""
-    from paddleocr_spark.operators.multimodal import extract_features, synth_media
+    from paddleocr_spark.operators.multimodal import (
+        extract_features,
+        resize_plan,
+        synth_media,
+    )
 
-    out = extract_features(synth_media(spark, _N_MEDIA).repartition(8))
+    media = synth_media(spark, _N_MEDIA)
+    out = extract_features(media.repartition(8))
     cols = [
         F.floor(F.col("features")[k] * 1e6).cast("long").alias(f"f{k}")
         for k in range(4)
     ]
-    return out.select("media_id", "kind", "decoder", *cols)
-
-
-def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize planning, pure SQL — the DetResizeForTest
-    limit-side math (/root/reference/ppocr/data/imaug/operators.py:268-305:
-    long side ≤ 736, round each side to a multiple of 32)."""
-    from paddleocr_spark.operators.multimodal import resize_plan, synth_media
-
-    return resize_plan(synth_media(spark, _N_MEDIA)).select(
-        "media_id", "kind", "resize_w", "resize_h"
+    # aspect-preserving resize planning, pure SQL — the DetResizeForTest
+    # limit-side math (/root/reference/ppocr/data/imaug/operators.py:268-305:
+    # long side ≤ 736, round each side to a multiple of 32). Round 3 folds
+    # the former ``media_resize_plan`` registry entry in here via a tiny
+    # broadcast self-join on media_id (both sides are metadata-sized).
+    plan = resize_plan(media).select("media_id", "resize_w", "resize_h")
+    return out.select("media_id", "kind", "decoder", *cols).join(
+        F.broadcast(plan), "media_id"
     )
 
 
@@ -1284,7 +1221,31 @@ def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry — exactly 50 entries so every query lands inside the
+    driver's 50-entry correctness window (the round-2 verdict's #1 item:
+    the 8 flagship ``extract_*`` queries were registered last and fell
+    outside it). The extraction family is first; the former
+    ``fingerprint_rolling``/``token_bpe``/``repetition_stats``/
+    ``json_props``/``sessionize``/``reading_order_band``/``rtl_reverse``/
+    ``media_resize_plan``/``length_histogram`` entries are folded into
+    ``text_stats``/``gopher_quality``/``metrics_rollup``/``turn_ordering``/
+    ``textnorm``/``media_features`` as extra columns (same operators, same
+    oracles — one driver row each)."""
     return {
+        # -- flagship extraction family (the product) -----------------------
+        "extract_flagship": q_extract_flagship,
+        "extract_spans": q_extract_spans,
+        "extract_paragraphs": q_extract_paragraphs,
+        "extract_formula": q_extract_formula,
+        "extract_plain_sql": q_extract_plain_sql,
+        "extract_walk": q_extract_walk,
+        "extract_routed": q_extract_routed,
+        "extract_kind_stats": q_extract_kind_stats,
+        "extract_markdown": q_extract_markdown,
+        "extract_conversation": q_extract_conversation,
+        "extract_tool_spans": q_extract_tool_spans,
+        "e2e_spotting": q_e2e_spotting,
+        # -- dedup / similarity / corpus-quality layer ----------------------
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1296,8 +1257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "ann_recall": q_ann_recall,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_embedding": q_dedup_embedding,
+        "sample_hash": q_sample_hash,
+        "quality_filter": q_quality_filter,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
+        # -- ordering / relational / spatial operators ----------------------
         "turn_ordering": q_turn_ordering,
-        "reading_order_band": q_reading_order_band,
         "metrics_rollup": q_metrics_rollup,
         "textnorm": q_textnorm,
         "spatial_join": q_spatial_join,
@@ -1311,38 +1278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_match": q_table_match,
         "table_match_master": q_table_match_master,
         "rec_metric": q_rec_metric,
-        "rtl_reverse": q_rtl_reverse,
-        "json_props": q_json_props,
         "broadcast_rollup": q_broadcast_rollup,
-        "fingerprint_rolling": q_fingerprint_rolling,
-        "sample_hash": q_sample_hash,
-        "quality_filter": q_quality_filter,
-        "gopher_quality": q_gopher_quality,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
-        "length_histogram": q_length_histogram,
-        "dedup_canonical": q_dedup_canonical,
-        "sessionize": q_sessionize,
-        "token_bpe": q_token_bpe,
-        "dedup_embedding": q_dedup_embedding,
+        # -- multimodal / words / table-similarity --------------------------
         "media_features": q_media_features,
-        "media_resize_plan": q_media_resize_plan,
         "media_frame_sample": q_media_frame_sample,
         "multisource_union": q_multisource_union,
         "word_segments": q_word_segments,
         "word_boxes": q_word_boxes,
         "table_teds": q_table_teds,
-        "extract_markdown": q_extract_markdown,
-        "extract_conversation": q_extract_conversation,
-        "extract_tool_spans": q_extract_tool_spans,
-        "extract_flagship": q_extract_flagship,
-        "extract_spans": q_extract_spans,
-        "extract_paragraphs": q_extract_paragraphs,
-        "extract_formula": q_extract_formula,
-        "extract_plain_sql": q_extract_plain_sql,
-        "extract_walk": q_extract_walk,
-        "extract_routed": q_extract_routed,
-        "extract_kind_stats": q_extract_kind_stats,
     }
 
 
@@ -1415,7 +1358,17 @@ SELECT doc_id,
          >= len(list_filter(toks, t -> list_contains([{_ES}], t))) THEN 'de'
     ELSE 'es'
   END AS lang_id,
-  md5(norm) AS fp
+  md5(norm) AS fp,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, t ->
+        CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT))),
+    (acc, v) -> (acc * 257 + v) % 2147483647) AS roll_fp,
+  len(regexp_extract_all(norm, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
+  len(list_distinct(regexp_extract_all(norm, '{_BPE_PAT}')))::BIGINT AS n_bpe_distinct
 FROM td
 """
 
@@ -1714,21 +1667,33 @@ FROM p WHERE cos >= 0.35
 """
 
     sql["turn_ordering"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(floor(value / 10) AS BIGINT) AS band,
+    date_diff('microsecond',
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts, band,
+    CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM b
+)
 SELECT event_id, user_id,
-  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS rn
-FROM events
-"""
-
-    sql["reading_order_band"] = """
-WITH b AS (SELECT event_id, user_id, ts, CAST(floor(value / 10) AS BIGINT) AS band FROM events)
-SELECT event_id, user_id, band,
-  row_number() OVER (PARTITION BY user_id ORDER BY band, ts, event_id)::BIGINT AS rn
-FROM b
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS rn,
+  band,
+  row_number() OVER (PARTITION BY user_id ORDER BY band, ts, event_id)::BIGINT AS band_rn,
+  is_new::BIGINT AS is_new,
+  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM s
 """
 
     sql["metrics_rollup"] = """
 SELECT event_type, count(*) AS n,
-  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
 
@@ -1939,56 +1904,6 @@ FROM lines l JOIN top t USING (page_id)
 WHERE l.y1 > t.table_top
 """
 
-    sql["e2e_metric"] = f"""
-WITH {_REGIONS},
-gt AS (
-  SELECT box_id AS gt_id, page_id, x0, y0, x1, y1,
-         md5(CAST(box_id AS VARCHAR)) AS gt_text
-  FROM regions
-),
-pred AS (
-  SELECT box_id AS pred_id, page_id,
-         x0 + box_id % 7 - 3 AS x0, y0 + box_id % 5 - 2 AS y0,
-         x1 + box_id % 7 - 3 AS x1, y1 + box_id % 5 - 2 AS y1,
-         CASE WHEN box_id % 4 = 0
-              THEN 'z' || substr(md5(CAST(box_id AS VARCHAR)), 2, 31)
-              ELSE md5(CAST(box_id AS VARCHAR)) END AS pred_text
-  FROM regions WHERE box_id % 10 <> 0
-),
-scored AS (
-  SELECT g.page_id, g.gt_id, p.pred_id, g.gt_text, p.pred_text,
-    CAST(floor(1000000.0 *
-      (greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
-       * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))
-      / ((g.x1 - g.x0) * (g.y1 - g.y0) + (p.x1 - p.x0) * (p.y1 - p.y0)
-         - greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
-           * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))) AS BIGINT) AS iou_micro
-  FROM gt g JOIN pred p USING (page_id)
-),
-thresholded AS (SELECT * FROM scored WHERE iou_micro >= 500000),
-best_for_gt AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY page_id, gt_id
-                                 ORDER BY iou_micro DESC, pred_id ASC) AS rk
-    FROM thresholded) WHERE rk = 1
-),
-matched AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY page_id, pred_id
-                                 ORDER BY gt_id ASC) AS rk2
-    FROM best_for_gt) WHERE rk2 = 1
-),
-m AS (
-  SELECT count(*)::BIGINT AS n_matched,
-         CAST(sum(levenshtein(gt_text, pred_text)) AS BIGINT) AS sum_ed,
-         CAST(sum(CASE WHEN levenshtein(gt_text, pred_text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
-  FROM matched
-)
-SELECT n_matched, sum_ed, n_exact,
-  1000000 * sum_ed // n_matched AS mean_ed_micro
-FROM m
-"""
-
     sql["kie_pairs"] = """
 WITH labeled AS (
   SELECT user_id, event_id, ts,
@@ -2089,20 +2004,6 @@ SELECT p_partkey,
 FROM p
 """
 
-    sql["fingerprint_rolling"] = f"""
-WITH {_TD}
-SELECT doc_id,
-  list_reduce(
-    list_prepend(CAST(0 AS BIGINT),
-      list_transform(toks, t ->
-        CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
-           + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
-           + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT))),
-    (acc, v) -> (acc * 257 + v) % 2147483647) AS roll_fp
-FROM td
-"""
-
     sql["sample_hash"] = """
 WITH h AS (
   SELECT doc_id,
@@ -2140,20 +2041,7 @@ sig AS (
     CAST(floor(1000000.0 * list_sum(list_transform(toks, t -> length(t)))
          / greatest(len(toks), 1)) AS BIGINT) AS mean_word_len_micro,
     CAST(floor(1000000.0 * len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
-         / greatest(len(toks), 1)) AS BIGINT) AS alpha_frac_micro
-  FROM td
-)
-SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
-  CAST(n_tokens >= 50 AND n_tokens <= 100000
-   AND mean_word_len_micro BETWEEN 3000000 AND 10000000
-   AND alpha_frac_micro >= 800000 AS BIGINT) AS keep
-FROM sig
-"""
-
-    sql["repetition_stats"] = f"""
-WITH {_TD},
-g AS (
-  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         / greatest(len(toks), 1)) AS BIGINT) AS alpha_frac_micro,
     CASE WHEN len(toks) >= 3
          THEN list_transform(generate_series(1, len(toks) - 2),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -2161,13 +2049,16 @@ g AS (
     len(list_distinct(toks))::BIGINT AS n_tok_d
   FROM td
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
+  CAST(n_tokens >= 50 AND n_tokens <= 100000
+   AND mean_word_len_micro BETWEEN 3000000 AND 10000000
+   AND alpha_frac_micro >= 800000 AS BIGINT) AS keep,
   len(tri)::BIGINT AS n_trigrams,
   len(list_distinct(tri))::BIGINT AS n_trigrams_distinct,
   CAST(floor(1000000.0 * (len(tri) - len(list_distinct(tri)))
        / greatest(len(tri), 1)) AS BIGINT) AS rep_micro,
   CAST(floor(1000000.0 * n_tok_d / greatest(n_tokens, 1)) AS BIGINT) AS ttr_micro
-FROM g
+FROM sig
 """
 
     sql["pii_scrub"] = rf"""
@@ -2198,14 +2089,6 @@ s3 AS (
 SELECT doc_id, n_emails, n_ips, n_digit_runs, md5(t) AS scrubbed_fp FROM s3
 """
 
-    sql["length_histogram"] = r"""
-WITH nd AS (
-  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents
-)
-SELECT CAST(floor(length(norm) / 50.0) AS BIGINT) AS bucket, count(*) AS n_docs
-FROM nd GROUP BY 1
-"""
-
     sql["dedup_canonical"] = f"""
 WITH {_TD},
 docs2 AS (
@@ -2217,24 +2100,6 @@ SELECT min(doc_id) AS doc_id, md5(norm) AS fp
 FROM docs2 GROUP BY md5(norm)
 """
 
-    sql["sessionize"] = """
-WITH g AS (
-  SELECT event_id, user_id, ts,
-    date_diff('microsecond',
-      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
-  FROM events
-),
-s AS (
-  SELECT event_id, user_id, ts,
-    CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
-  FROM g
-)
-SELECT event_id, user_id, is_new::BIGINT AS is_new,
-  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-FROM s
-"""
-
     sql["broadcast_rollup"] = """
 SELECT n_name, count(*) AS n_orders,
   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -2242,29 +2107,6 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
-"""
-
-    sql["json_props"] = """
-SELECT event_type, count(*) AS n,
-  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type
-"""
-
-    sql["token_bpe"] = rf"""
-WITH {_TD},
-tk AS (SELECT doc_id, regexp_extract_all(norm, '{_BPE_PAT}') AS toks2 FROM td)
-SELECT doc_id, len(toks2)::BIGINT AS n_bpe_tokens,
-       len(list_distinct(toks2))::BIGINT AS n_bpe_distinct
-FROM tk
-"""
-
-    sql["rtl_reverse"] = r"""
-SELECT p_partkey,
-  array_to_string(list_reverse(
-    regexp_extract_all(p_name || ' #' || p_brand, '([a-zA-Z0-9]+|\S)')), ' ') AS reversed
-FROM part
 """
 
     # --- multimodal plumbing mirrors (synthetic media table recomputed in
@@ -2285,29 +2127,25 @@ FROM part
     )
     sql["media_features"] = f"""
 WITH {_MEDIA_IDS},
-p AS (SELECT i, md5({payload_hex}) AS h FROM ids)
-SELECT CAST(i AS BIGINT) AS media_id, {_KIND} AS kind, 'fake' AS decoder,
-  {feat_cols}
-FROM p
-"""
-
-    sql["media_resize_plan"] = f"""
-WITH {_MEDIA_IDS},
+p AS (SELECT i, md5({payload_hex}) AS h FROM ids),
 m AS (
-  SELECT i, {_KIND} AS kind,
+  SELECT i,
     CASE WHEN i % 3 = 1 THEN NULL ELSE 64 + (i * 13) % 960 END AS w,
     CASE WHEN i % 3 = 1 THEN NULL ELSE 48 + (i * 7) % 540 END AS hgt
   FROM ids
 ),
 r AS (
-  SELECT i, kind, w, hgt,
-    CASE WHEN greatest(w, hgt) > 736 THEN 736 / greatest(w, hgt) ELSE 1.0 END AS ratio
+  SELECT i,
+    CASE WHEN greatest(w, hgt) > 736 THEN 736 / greatest(w, hgt) ELSE 1.0 END AS ratio,
+    w, hgt
   FROM m
 )
-SELECT CAST(i AS BIGINT) AS media_id, kind,
-  CAST(round(w * ratio / 32) * 32 AS INTEGER) AS resize_w,
-  CAST(round(hgt * ratio / 32) * 32 AS INTEGER) AS resize_h
-FROM r
+SELECT CAST(p.i AS BIGINT) AS media_id, {_KIND.replace("i %", "p.i %")} AS kind,
+  'fake' AS decoder,
+  {feat_cols},
+  CAST(round(r.w * r.ratio / 32) * 32 AS INTEGER) AS resize_w,
+  CAST(round(r.hgt * r.ratio / 32) * 32 AS INTEGER) AS resize_h
+FROM p JOIN r ON p.i = r.i
 """
 
     sql["media_frame_sample"] = f"""
@@ -2373,7 +2211,9 @@ SELECT doc_id,
     regexp_replace('<b>' || text || '</b>  x <i>y</i>' || chr(10) || '<sub>z</sub>',
                    '</?(?:b|i|em|strong|sub|sup|u)\s*/?>', '', 'g'),
     '\s+', ' ', 'g')) AS scrubbed,
-  translate('Ａｂｃ　１２３！？～ ' || text, '{q2b_from}', '{q2b_to}') AS q2b
+  translate('Ａｂｃ　１２３！？～ ' || text, '{q2b_from}', '{q2b_to}') AS q2b,
+  array_to_string(list_reverse(
+    regexp_extract_all(text, '([a-zA-Z0-9]+|\S)')), ' ') AS rtl
 FROM documents
 """
 
@@ -2414,8 +2254,9 @@ FROM words
     # be built (sf dir missing), the entries are omitted and the driver
     # falls back to the rows-only check.
     try:
-        ensure_golden(_ORACLE_SF_DIR)
-        _G = golden_dir(_ORACLE_SF_DIR)
+        _sf = _oracle_sf_dir()
+        ensure_golden(_sf)
+        _G = golden_dir(_sf)
     except Exception:
         return sql
 
@@ -2485,6 +2326,119 @@ SELECT role, COALESCE(tool, '') AS tool, count(*)::BIGINT AS n_turns,
   sum(text_chars)::BIGINT AS payload_chars
 FROM read_parquet('{_G}/corpus.parquet')
 GROUP BY role, COALESCE(tool, '')
+"""
+
+    # --- e2e spotting: full SQL re-derivation over the frozen corpus ------
+    # Unlike the extract_* readbacks above, these two oracles re-implement
+    # the spotting semantics from scratch in SQL (parse → band drop →
+    # collapse → integer confidence → threshold → banded order → greedy IoU
+    # match) over the raw payload text frozen in corpus.parquet — the
+    # strongest oracle form available for a corpus that cannot itself be
+    # synthesized in SQL.
+    from paddleocr_spark.config import DEFAULT_CONFIG as _CFG
+    from paddleocr_spark.operators.spotting import PDF_LINE_RE as _SPOT_RE
+    from paddleocr_spark.operators.spotting import _PX_PER_CHAR as _SPOT_PX
+
+    _spot_thresh = int(_CFG.drop_score * 1000000)
+    _SPOT_PARSE = rf"""
+pc AS (
+  SELECT conv_id, turn_idx, string_split(text, chr(10)) AS ls
+  FROM read_parquet('{_G}/corpus.parquet')
+  WHERE ltrim(text) LIKE 'PDFLIKE v1%'
+),
+pl AS (
+  SELECT conv_id, turn_idx, i - 1 AS line_idx, ls[i] AS line
+  FROM pc, unnest(generate_series(2, len(ls))) AS t(i)
+),
+pb AS (
+  -- TRY_CAST, not CAST: DuckDB may evaluate the projection speculatively
+  -- before the regexp_matches filter lands; non-matching lines then feed ''
+  -- to the cast. TRY_CAST -> NULL keeps it safe, and NULLs can't survive:
+  -- every group of a matched line is a non-empty digit run.
+  SELECT conv_id, turn_idx, line_idx::BIGINT AS line_idx,
+    TRY_CAST(regexp_extract(line, '{_SPOT_RE}', 1) AS BIGINT) AS page,
+    TRY_CAST(regexp_extract(line, '{_SPOT_RE}', 2) AS BIGINT) AS x0,
+    TRY_CAST(regexp_extract(line, '{_SPOT_RE}', 3) AS BIGINT) AS y0,
+    TRY_CAST(regexp_extract(line, '{_SPOT_RE}', 4) AS BIGINT) AS x1,
+    TRY_CAST(regexp_extract(line, '{_SPOT_RE}', 5) AS BIGINT) AS y1,
+    trim(regexp_replace(regexp_extract(line, '{_SPOT_RE}', 6), '\s+', ' ', 'g')) AS block_text
+  FROM pl WHERE regexp_matches(line, '{_SPOT_RE}')
+),
+pk AS (
+  SELECT *, length(block_text)::BIGINT AS n_chars,
+    CAST(CASE WHEN x1 - x0 <= 0 THEN 0
+         ELSE least(1000000, ({_SPOT_PX}000000 * length(block_text)) // (x1 - x0))
+         END AS BIGINT) AS score_micro
+  FROM pb
+  WHERE NOT (y1 <= {_CFG.header_y} OR y0 >= {_CFG.footer_y})
+    AND length(block_text) >= 1
+)"""
+
+    sql["e2e_spotting"] = rf"""
+WITH {_SPOT_PARSE}
+SELECT conv_id, turn_idx,
+  (row_number() OVER (PARTITION BY conv_id, turn_idx
+     ORDER BY page, y0 // {_CFG.y_band}, x0, line_idx) - 1)::BIGINT AS det_idx,
+  page,
+  x0 || ',' || y0 || ' ' || x1 || ',' || y0 || ' '
+     || x1 || ',' || y1 || ' ' || x0 || ',' || y1 AS poly,
+  block_text AS spot_text, score_micro
+FROM pk
+WHERE n_chars >= {_CFG.min_chars} AND score_micro >= {_spot_thresh}
+"""
+
+    sql["e2e_metric"] = rf"""
+WITH {_SPOT_PARSE},
+gt AS (
+  SELECT conv_id || ':' || turn_idx || ':' || page AS page_id,
+         line_idx AS gt_id, x0, y0, x1, y1, block_text AS gt_text
+  FROM pk
+),
+pred AS (
+  SELECT conv_id || ':' || turn_idx || ':' || page AS page_id,
+         line_idx AS pred_id, x0, y0, x1, y1, block_text AS pred_text
+  FROM pk
+  WHERE n_chars >= {_CFG.min_chars} AND score_micro >= {_spot_thresh}
+),
+scored AS (
+  SELECT g.page_id, g.gt_id, p.pred_id, g.gt_text, p.pred_text,
+    CAST(floor(1000000.0 *
+      (greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+       * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))
+      / ((g.x1 - g.x0) * (g.y1 - g.y0) + (p.x1 - p.x0) * (p.y1 - p.y0)
+         - greatest(least(g.x1, p.x1) - greatest(g.x0, p.x0), 0)
+           * greatest(least(g.y1, p.y1) - greatest(g.y0, p.y0), 0))) AS BIGINT) AS iou_micro
+  FROM gt g JOIN pred p USING (page_id)
+),
+thresholded AS (SELECT * FROM scored WHERE iou_micro >= 500000),
+best_for_gt AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, gt_id
+                                 ORDER BY iou_micro DESC, pred_id ASC) AS rk
+    FROM thresholded) WHERE rk = 1
+),
+matched AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id, pred_id
+                                 ORDER BY gt_id ASC) AS rk2
+    FROM best_for_gt) WHERE rk2 = 1
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_matched,
+         CAST(sum(levenshtein(gt_text, pred_text)) AS BIGINT) AS sum_ed,
+         CAST(sum(CASE WHEN levenshtein(gt_text, pred_text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+  FROM matched
+),
+c AS (
+  SELECT (SELECT count(*) FROM gt) AS n_gt,
+         (SELECT count(*) FROM pred) AS n_pred
+)
+SELECT n_gt::BIGINT AS n_gt, n_pred::BIGINT AS n_pred,
+  n_matched, sum_ed, n_exact,
+  1000000 * sum_ed // n_matched AS mean_ed_micro,
+  1000000 * n_matched // n_gt AS recall_micro,
+  1000000 * n_matched // n_pred AS precision_micro
+FROM m, c
 """
 
     # hyperplane-LSH bucketing (ann_lsh) keeps a rows-only check pending its

@@ -92,17 +92,33 @@ def merge_span_tokens(tokens: List[str]) -> List[str]:
     # ''.join re-assembles the same HTML, so only double-span cell FILLS are
     # lost there. Here the double-attribute case is checked first — the
     # evidently intended semantics.
-    while toks[i] != "</tbody>":
+    # Truncated streams (e.g. tokens ending '<td', ' rowspan=…' right before
+    # the appended '</tbody>') must degrade gracefully like the reference's
+    # try/except (table_master_match.py:604-612), not index past the list:
+    # every merge jump is bounded by the sentinel — the full slice must exist
+    # and not swallow '</tbody>' — else the token is emitted verbatim
+    # (round-2 ADVICE item #4).
+    def _mergeable(n: int) -> bool:
+        return i + n <= len(toks) and "</tbody>" not in toks[i : i + n]
+
+    while i < len(toks) and toks[i] != "</tbody>":
         t = toks[i]
         if (
             t == "<td"
             and i + 2 < len(toks)
             and is_span(toks[i + 1])
             and is_span(toks[i + 2])
+            and _mergeable(5)
         ):
             out.append("".join(toks[i : i + 5]))  # <td attr attr > + '</td>'
             i += 5
-        elif t == "<td" and i + 1 < len(toks) and is_span(toks[i + 1]):
+        elif (
+            t == "<td"
+            and i + 1 < len(toks)
+            and is_span(toks[i + 1])
+            and not (i + 2 < len(toks) and is_span(toks[i + 2]))
+            and _mergeable(4)
+        ):
             out.append("".join(toks[i : i + 4]))  # <td attr >  + '</td>'
             i += 4
         else:

@@ -19,7 +19,9 @@ the driver contract:
   compare becomes a hard golden-equality check of the flagship itself.
 
 Golden tables (per sf dir):
-- ``corpus.parquet``             — (conv_id, turn_idx, role, tool, text_chars)
+- ``corpus.parquet``             — (conv_id, turn_idx, role, tool, text_chars,
+  text) — the raw payload text is frozen so the e2e_spotting oracle can
+  re-parse it in SQL (an independent re-derivation, not a readback)
 - ``extract.parquet``            — default-config extraction: per-turn kind,
   span structs (score in floored micro-units), extracted_text, markdown
   (pure-Python mirror of operators/markdown.py, i.e. the
@@ -45,7 +47,10 @@ from .corpus import CORPUS_VERSION, generate_rows
 from .oracle import oracle_extract
 
 GOLDEN_ROOT = "/tmp/paddleocr_spark_golden"
-GOLDEN_VERSION = 3  # bump when oracle semantics / golden schemas change
+GOLDEN_VERSION = 4  # bump when oracle semantics / golden schemas change
+# v4 (round 3): corpus.parquet carries the raw payload ``text`` so the
+# e2e_spotting DuckDB oracle can re-parse payloads in SQL — an independent
+# re-derivation, not a frozen-result readback.
 
 PARA_CONFIG = ExtractConfig(merge_paragraphs=True)
 FORMULA_CONFIG = ExtractConfig(detect_formula=True)
@@ -121,7 +126,9 @@ def ensure_golden(sf_dir: str) -> str:
         "ORDER BY doc_id"
     ).fetchall()
 
-    corpus_rows = {k: [] for k in ("conv_id", "turn_idx", "role", "tool", "text_chars")}
+    corpus_rows = {
+        k: [] for k in ("conv_id", "turn_idx", "role", "tool", "text_chars", "text")
+    }
     ex_rows = {
         k: []
         for k in (
@@ -162,6 +169,7 @@ def ensure_golden(sf_dir: str) -> str:
         corpus_rows["role"].append(row["role"])
         corpus_rows["tool"].append(row["tool"])
         corpus_rows["text_chars"].append(len(row["text"]))
+        corpus_rows["text"].append(row["text"])
 
         res = oracle_extract(row["text"], DEFAULT_CONFIG)
         ex_rows["conv_id"].append(row["conv_id"])
@@ -250,6 +258,7 @@ def ensure_golden(sf_dir: str) -> str:
                 ("role", pa.string()),
                 ("tool", pa.string()),
                 ("text_chars", pa.int64()),
+                ("text", pa.string()),
             ]
         ),
     )

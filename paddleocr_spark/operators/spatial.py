@@ -59,7 +59,15 @@ def iou_micro(a_prefix: str = "a_", b_prefix: str = "b_"):
         F.col(f"{p}y1") - F.col(f"{p}y0")
     )
     union = area(a_prefix) + area(b_prefix) - inter
-    return F.floor(F.lit(1000000.0) * inter / union).cast("long")
+    # two degenerate (zero-area) boxes give union 0; IoU is then defined as 0
+    # (the reference's float path yields nan and never matches,
+    # ppocr/metrics/eval_det_iou.py) — under ANSI SQL a plain divide would
+    # abort the whole job instead.
+    return (
+        F.when(union <= 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * inter / union))
+        .cast("long")
+    )
 
 
 def det_match_pairs(

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -67,6 +68,21 @@ def find_iceberg_catalog(spark: SparkSession) -> str | None:
         ):
             return parts[3]
     return None
+
+
+_RUN_ID_RE = re.compile(r"[0-9A-Za-z_]+\Z")
+
+
+def _check_run_id(run_id: str) -> None:
+    """``run_id`` is interpolated into SQL text and temp-view names — allow
+    only identifier-safe characters so a crafted value can't break the
+    statement (round-2 ADVICE item #2). Defaults are uuid hex; this only
+    rejects caller-supplied exotica."""
+    if not _RUN_ID_RE.match(str(run_id)):
+        raise ValueError(
+            f"run_id {run_id!r} must match [0-9A-Za-z_]+ (it is embedded in "
+            "SQL statements and temp-view names)"
+        )
 
 
 class IcebergMergeSink:
@@ -113,6 +129,7 @@ class IcebergMergeSink:
 
     def write_group(self, out: DataFrame, entry: dict) -> None:
         self.ensure_data_table(out)
+        _check_run_id(entry["run_id"])
         view = f"_ckpt_batch_{entry['run_id']}_{entry['group_seq']}"
         out.createOrReplaceTempView(view)
         try:
@@ -126,6 +143,7 @@ class IcebergMergeSink:
             self.spark.catalog.dropTempView(view)
 
     def commit(self, entry: dict) -> None:
+        _check_run_id(entry["run_id"])
         self.spark.sql(
             f"INSERT INTO {self.lineage_table} VALUES ("
             f"'{entry['run_id']}', {entry['group_seq']}, "
@@ -193,6 +211,7 @@ def run_extract_job(
     ``<table>_lineage`` — same resume contract, snapshot-isolated commits.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    _check_run_id(run_id)  # embedded in SQL, view names and manifest names
 
     from ..sources.table import is_table_ref
 

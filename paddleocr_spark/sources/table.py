@@ -22,9 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
+_DATA_FILE_EXTS = {"parquet", "json", "jsonl", "csv", "orc", "avro", "txt"}
+
+
 def is_table_ref(source: str) -> bool:
-    """catalog.db.table references contain no path separators."""
-    return "/" not in source and "\\" not in source
+    """True only for dotted ``catalog.db.table``-style references.
+
+    A bare name with no separator at all (``job.py --out results``) is a
+    relative output directory, not a table — treating it as a table made the
+    parquet sink unreachable for relative paths (round-2 ADVICE item #1).
+    Dotted names ending in a data-file extension (``results.parquet``) are
+    also paths."""
+    if "/" in source or "\\" in source or "." not in source:
+        return False
+    return source.rsplit(".", 1)[-1].lower() not in _DATA_FILE_EXTS
 
 
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:

@@ -151,7 +151,7 @@ def extract_foreach_batch(
             cfg=cfg,
             n_buckets=n_buckets,
             group_size=n_buckets,
-            run_id=f"stream-{batch_id}",
+            run_id=f"stream_{batch_id}",
         )
 
     writer = (

@@ -7,12 +7,18 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb
 import pandas as pd
+
+if len(sys.argv) > 1:
+    # propagate the sf dir to the extract_* golden-relation oracles BEFORE
+    # oracle_sql() is called (they derive the golden path from it)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sys.argv[1]
 
 import __spark_entry__ as E
 from paddleocr_spark.session import get_spark

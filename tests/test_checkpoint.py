@@ -131,14 +131,45 @@ def test_uncommitted_group_dir_is_removed(spark, transcripts, tmp_path):
 
 
 def test_table_target_without_catalog_fails_loudly(spark, transcripts):
-    """An Iceberg-table output target must refuse clearly when no catalog is
-    configured — never silently write a relative directory."""
+    """A dotted Iceberg-table output target must refuse clearly when no
+    catalog is configured — never silently write a relative directory."""
     from paddleocr_spark.sinks.checkpoint import find_iceberg_catalog
 
     if find_iceberg_catalog(spark) is not None:  # pragma: no cover
         pytest.skip("an Iceberg catalog IS configured here")
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
-        run_extract_job(spark, transcripts, "ckpt_results_table", n_buckets=4)
+        run_extract_job(spark, transcripts, "somecatalog.db.ckpt_results", n_buckets=4)
+
+
+def test_is_table_ref_semantics():
+    """Only dotted catalog.db.table names are table refs; bare names and
+    data-file-extension paths are directories (round-2 ADVICE item #1:
+    ``job.py --out results`` must reach the parquet sink)."""
+    from paddleocr_spark.sources.table import is_table_ref
+
+    assert is_table_ref("local.db.results")
+    assert is_table_ref("cat.schema.tbl")
+    assert not is_table_ref("results")  # bare name → relative dir
+    assert not is_table_ref("results.parquet")  # data-file extension
+    assert not is_table_ref("out/results")
+    assert not is_table_ref("/tmp/out")
+
+
+def test_bare_name_out_dir_uses_parquet_sink(spark, transcripts, tmp_path, monkeypatch):
+    """`--out results` (bare relative name) goes through CheckpointWriter."""
+    monkeypatch.chdir(tmp_path)
+    s = run_extract_job(spark, transcripts, "results", n_buckets=4, group_size=4)
+    assert s["groups_run"] == 1
+    assert (tmp_path / "results").is_dir()
+
+
+def test_run_id_validation(spark, transcripts, tmp_path):
+    """A run_id with SQL-breaking characters is rejected up front (round-2
+    ADVICE item #2 — run_id is interpolated into SQL/view names)."""
+    with pytest.raises(ValueError, match="run_id"):
+        run_extract_job(
+            spark, transcripts, str(tmp_path / "o"), n_buckets=4, run_id="x'; DROP--"
+        )
 
 
 def test_iceberg_merge_sink_roundtrip(spark, transcripts):
