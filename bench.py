@@ -14,6 +14,13 @@ Env:
                       is fixed-cost dominated (scheduling + warmup residue
                       ~60% of wall) and the number measures the harness,
                       not the pipeline
+  BENCH_SAMPLES       timed samples per query (default 5). The host's
+                      lazily-restored memory makes single-shot walls swing
+                      2x on identical code (round-2 text_stats 0.80->1.72 s,
+                      ann_topk 0.97->2.38 s, byte-identical operators), so
+                      each query reports its MEDIAN wall with min/max
+                      alongside — dispersion is part of the contract, not a
+                      side channel.
 """
 
 from __future__ import annotations
@@ -52,12 +59,23 @@ def main() -> None:
             corpus_path
         )
 
+    samples = max(1, int(os.environ.get("BENCH_SAMPLES", "5")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(samples):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        walls.sort()
+        timings[name] = round(walls[len(walls) // 2], 3)  # median
+        spread[name] = {
+            "min": round(walls[0], 3),
+            "max": round(walls[-1], 3),
+            "n": len(walls),
+        }
 
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()
@@ -97,6 +115,8 @@ def main() -> None:
                 "turns": n_turns,
                 "turns_per_sec": tps,
                 "cpus": cpus,
+                "samples_per_query": samples,
+                "spread": spread,
             }
         )
     )

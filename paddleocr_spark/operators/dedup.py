@@ -22,7 +22,7 @@ map-side-combinable groupBy. No driver-side collection anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..functions.textstats import norm_text, tokens
 
@@ -133,11 +133,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    bucket_cap: int = 10000,
+    obs: "Observation | None" = None,
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ANY of the B band hashes.
 
     Band hash = md5(mh_{rb} || '|' || mh_{rb+1}); candidates via band-bucket
     self-join — the LSH scale path (no all-pairs comparison ever happens).
+
+    ``bucket_cap`` bounds per-bucket pair generation (skew guard; the default
+    is mirrored in the DuckDB oracle). Pass an ``Observation`` as ``obs`` to
+    make the cap OBSERVABLE: after any action over the result,
+    ``obs.get['capped_buckets']`` is the number of buckets that hit the cap
+    and ``obs.get['capped_ids_dropped']`` the ids silently excluded from
+    pair generation — zero extra passes (round-2 verdict item #5: silent
+    truncation reads as "covered everything" when it didn't).
     """
     r = MINHASH_K // LSH_BANDS
     sig = minhash_signatures(docs)
@@ -145,7 +157,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # then bucket-local pair generation (not a self-join: signatures would be
     # recomputed per join side, and LSH buckets are small by design — at
     # corpus scale collect_list per (band, hash) bucket is bounded, capped
-    # here at 10k ids as a skew guard).
+    # at ``bucket_cap`` ids as a skew guard).
     band_arr = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
@@ -155,9 +167,24 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_id", "bh"))
     buckets = (
         bands.groupBy("band_id", "bh")
-        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10000).alias("ids"))
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, bucket_cap).alias(
+                "ids"
+            ),
+        )
         .filter(F.size("ids") >= 2)
     )
+    if obs is not None:
+        capped = (F.col("bucket_size") > bucket_cap).cast("long")
+        buckets = buckets.observe(
+            obs,
+            F.sum(capped).alias("capped_buckets"),
+            F.sum(capped * (F.col("bucket_size") - bucket_cap)).alias(
+                "capped_ids_dropped"
+            ),
+        )
+    buckets = buckets.drop("bucket_size")
     pairs = buckets.select(
         F.explode(
             F.flatten(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, functions as F, types as T
 
 from ..config import ExtractConfig, DEFAULT_CONFIG
 from ..kernel import extract_batch
@@ -312,6 +312,7 @@ def conversation_document_chunked(
     df: DataFrame,
     turns_per_segment: int = 1000,
     text_col: str = "extracted_text",
+    obs: "Observation | None" = None,
 ) -> DataFrame:
     """Bounded-row conversation reassembly: one output row per
     ``turns_per_segment`` turns instead of one row per conversation.
@@ -324,9 +325,15 @@ def conversation_document_chunked(
     payload is bounded regardless of conversation length; consumers
     re-concatenate segments in segment_idx order (or stream them — each
     segment is already a coherent contiguous slice). Same single
-    map-side-combinable shuffle as the unchunked form."""
+    map-side-combinable shuffle as the unchunked form.
+
+    Pass an ``Observation`` as ``obs`` to make the chunking observable:
+    after any action, ``obs.get`` carries ``segments`` (output rows) and
+    ``overflow_segments`` (segments beyond a conversation's first — i.e.
+    how often the bound actually bit). Zero extra passes (round-2 verdict
+    item #5)."""
     seg = (F.col("turn_idx") / F.lit(turns_per_segment)).cast("long")
-    return (
+    out = (
         df.withColumn("segment_idx", seg)
         .groupBy("conv_id", "segment_idx")
         .agg(
@@ -344,3 +351,12 @@ def conversation_document_chunked(
             F.max("turn_idx").alias("max_turn_idx"),
         )
     )
+    if obs is not None:
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("segments"),
+            F.sum((F.col("segment_idx") > 0).cast("long")).alias(
+                "overflow_segments"
+            ),
+        )
+    return out

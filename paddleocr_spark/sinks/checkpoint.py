@@ -268,7 +268,13 @@ def run_extract_job(
                         "duplicate rows after its buckets are recomputed)"
                     )
 
-    totals = {"turns": 0, "spans": 0, "bytes": 0, "failures": 0}
+    totals = {
+        "turns": 0,
+        "spans": 0,
+        "bytes": 0,
+        "failures": 0,
+        "truncated_payloads": 0,
+    }
     job_t0 = time.time()
     seq0 = len(done)  # stable-ish sequence numbering across reruns
     for gi, buckets in enumerate(groups):
@@ -278,7 +284,20 @@ def run_extract_job(
         # path); at 100 TB pass salt=False — scan splits are already
         # byte-uniform and the pre-UDF shuffle would move the whole corpus
         # (docs/SCALE_100TB.md §2)
-        out = extract(sub.drop("bucket"), cfg=cfg, salt=salt).withColumn(
+        # input-side observation: payload-cap truncations (kernel.py
+        # extract_payload silently clips text to cfg.max_payload_chars — the
+        # row-level skew guard must be OBSERVABLE, not silent; round-2
+        # verdict item #5). Attached to the plan pre-UDF, so it rides the
+        # same action — zero extra passes, and the output schema is
+        # untouched.
+        in_obs = Observation(f"extract-in-{run_id}-{gi}")
+        sub = sub.drop("bucket").observe(
+            in_obs,
+            F.sum(
+                (F.length("text") > cfg.max_payload_chars).cast("long")
+            ).alias("truncated_payloads"),
+        )
+        out = extract(sub, cfg=cfg, salt=salt).withColumn(
             "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
         )
         obs = Observation(f"extract-{run_id}-{gi}")
@@ -314,6 +333,7 @@ def run_extract_job(
                 .parquet(os.path.join(w.data_dir, f"group={seq0 + gi:05d}"))
             )
         m = obs.get
+        m_in = in_obs.get
         entry = {
             "run_id": run_id,
             "group_seq": seq0 + gi,
@@ -324,6 +344,7 @@ def run_extract_job(
             "spans": int(m.get("spans") or 0),
             "bytes": int(m.get("bytes") or 0),
             "failures": int(m.get("failures") or 0),
+            "truncated_payloads": int(m_in.get("truncated_payloads") or 0),
             "committed_at": time.time(),
         }
         (iceberg_sink or w).commit(entry)

@@ -259,3 +259,80 @@ def test_lineage_df_and_compact_to(spark, transcripts, tmp_path):
     b = read_committed(spark, dst).select("conv_id", "turn_idx", "extracted_text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert len(os.listdir(os.path.join(dst, "data"))) == 1  # consolidated
+
+
+def test_truncation_counter_observed(spark, transcripts, tmp_path):
+    """The payload-cap skew guard (kernel.extract_payload clips text to
+    cfg.max_payload_chars) must be OBSERVABLE in the lineage metrics, not
+    silent (round-2 verdict item #5). Force it with a tiny cap and require
+    the counter in the manifest, the summary, and lineage_df()."""
+    from paddleocr_spark.config import ExtractConfig
+    from paddleocr_spark.sinks.checkpoint import lineage_df
+
+    out = str(tmp_path / "ckpt_trunc")
+    cap = 10
+    n_long = transcripts.filter("length(text) > 10").count()
+    assert n_long > 0  # the fixture must actually trip the guard
+    s = run_extract_job(
+        spark,
+        transcripts,
+        out,
+        cfg=ExtractConfig(max_payload_chars=cap),
+        n_buckets=4,
+        group_size=2,
+    )
+    assert s["truncated_payloads"] == n_long
+    entries = CheckpointWriter(out, 4).metrics()
+    assert sum(e["truncated_payloads"] for e in entries) == n_long
+    ldf = lineage_df(spark, out)
+    assert "truncated_payloads" in ldf.columns
+    # untruncated control: counter is zero, not merely absent
+    out2 = str(tmp_path / "ckpt_notrunc")
+    s2 = run_extract_job(spark, transcripts, out2, n_buckets=4, group_size=2)
+    assert s2["truncated_payloads"] == 0
+
+
+def test_lsh_bucket_cap_counter_observed(spark):
+    """Forcing the LSH band-bucket cap increments capped_buckets and
+    capped_ids_dropped via the attached Observation (zero extra passes)."""
+    from pyspark.sql import Observation
+
+    from paddleocr_spark.operators.dedup import minhash_lsh_pairs
+
+    # 6 identical docs share every band bucket; cap=4 forces 2 drops/bucket
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    obs = Observation("lsh-cap")
+    pairs = minhash_lsh_pairs(docs, bucket_cap=4, obs=obs)
+    n_pairs = pairs.count()
+    m = obs.get
+    assert m["capped_buckets"] >= 1
+    assert m["capped_ids_dropped"] >= 1
+    # capped generation: pairs only among the 4 kept ids per bucket
+    assert n_pairs == 6  # C(4,2)
+    # control: default cap is not hit, counters stay zero
+    obs2 = Observation("lsh-nocap")
+    minhash_lsh_pairs(docs, obs=obs2).count()
+    assert obs2.get["capped_buckets"] == 0
+    assert obs2.get["capped_ids_dropped"] == 0
+
+
+def test_chunked_reassembly_counter_observed(spark):
+    """conversation_document_chunked reports segments / overflow_segments
+    through the attached Observation."""
+    from pyspark.sql import Observation, functions as F
+
+    from paddleocr_spark.operators.extract import conversation_document_chunked
+
+    rows = [("c1", i, f"t{i}", 1) for i in range(25)] + [("c2", 0, "x", 1)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, extracted_text string, n_spans int"
+    )
+    obs = Observation("chunk")
+    out = conversation_document_chunked(df, turns_per_segment=10, obs=obs)
+    assert out.count() == 4  # c1: segs 0,1,2; c2: seg 0
+    m = obs.get
+    assert m["segments"] == 4
+    assert m["overflow_segments"] == 2  # c1's segments 1 and 2
