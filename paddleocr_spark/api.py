@@ -72,7 +72,7 @@ def register_sql_functions(
     def _make(col_builder, rtype):
         def fn(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             for texts in batches:
-                kinds, span_lists, extracted, n_spans, _ = extract_batch(texts, cfg)
+                kinds, span_lists, extracted, n_spans, _, _tr = extract_batch(texts, cfg)
                 yield col_builder(kinds, span_lists, extracted, n_spans)
 
         return F.pandas_udf(fn, rtype)

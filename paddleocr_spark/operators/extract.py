@@ -55,6 +55,11 @@ _EX_TYPE = T.StructType(
         T.StructField("spans", SPAN_TYPE),
         T.StructField("n_dropped", T.IntegerType()),
         T.StructField("extracted_text", T.StringType()),
+        # payload-cap flag, computed kernel-side (O(1) Python len) — a JVM
+        # length(text) CollectMetrics on the input measured +10% job wall
+        # (BENCH.md round-3); dropped from the public output unless
+        # extract(keep_truncated=True)
+        T.StructField("truncated", T.BooleanType()),
     ]
 )
 
@@ -66,7 +71,9 @@ def make_extract_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     @F.pandas_udf(_EX_TYPE)
     def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batches:
-            kinds, span_lists, extracted, _n, dropped = extract_batch(texts, cfg)
+            kinds, span_lists, extracted, _n, dropped, truncated = extract_batch(
+                texts, cfg
+            )
             yield pd.DataFrame(
                 {
                     "payload_kind": kinds,
@@ -85,6 +92,7 @@ def make_extract_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
                     ],
                     "n_dropped": pd.array(dropped, dtype="int32"),
                     "extracted_text": extracted,
+                    "truncated": truncated,
                 }
             )
 
@@ -97,6 +105,7 @@ def extract(
     salt: bool = True,
     num_partitions: int | None = None,
     sort_by_len: bool = False,
+    keep_truncated: bool = False,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) →
     + payload_kind, spans, extracted_text, n_spans, n_dropped.
@@ -127,7 +136,7 @@ def extract(
     # pay the same work twice — measured at ~25% of extraction wall time at
     # 4M turns. The JVM-assembly form still exists for span-level consumers
     # (operators/markdown.py renders from the spans array).
-    out = df.withColumn("_ex", extract_udf(F.col("text"))).select(
+    cols = [
         "conv_id",
         "turn_idx",
         "role",
@@ -137,7 +146,10 @@ def extract(
         F.col("_ex.spans").alias("spans"),
         F.col("_ex.n_dropped").alias("n_dropped"),
         F.col("_ex.extracted_text").alias("extracted_text"),
-    )
+    ]
+    if keep_truncated:
+        cols.append(F.col("_ex.truncated").alias("truncated"))
+    out = df.withColumn("_ex", extract_udf(F.col("text"))).select(*cols)
     return out.withColumn("n_spans", F.size("spans"))
 
 

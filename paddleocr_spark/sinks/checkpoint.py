@@ -284,20 +284,17 @@ def run_extract_job(
         # path); at 100 TB pass salt=False — scan splits are already
         # byte-uniform and the pre-UDF shuffle would move the whole corpus
         # (docs/SCALE_100TB.md §2)
-        # input-side observation: payload-cap truncations (kernel.py
-        # extract_payload silently clips text to cfg.max_payload_chars — the
-        # row-level skew guard must be OBSERVABLE, not silent; round-2
-        # verdict item #5). Attached to the plan pre-UDF, so it rides the
-        # same action — zero extra passes, and the output schema is
-        # untouched.
-        in_obs = Observation(f"extract-in-{run_id}-{gi}")
-        sub = sub.drop("bucket").observe(
-            in_obs,
-            F.sum(
-                (F.length("text") > cfg.max_payload_chars).cast("long")
-            ).alias("truncated_payloads"),
-        )
-        out = extract(sub, cfg=cfg, salt=salt).withColumn(
+        # payload-cap truncations (kernel.extract_payload clips text to
+        # cfg.max_payload_chars — the row-level skew guard must be
+        # OBSERVABLE, not silent; round-2 verdict item #5). The flag is
+        # computed KERNEL-side (O(1) Python len, rides the UDF output as a
+        # boolean column) and summed in the same output observation —
+        # measured A/B (BENCH.md round-3): an input-side CollectMetrics
+        # whose aggregate references the text column costs +10% job wall
+        # (116 vs 105 s at local[8]); a boolean-column sum is free.
+        out = extract(
+            sub.drop("bucket"), cfg=cfg, salt=salt, keep_truncated=True
+        ).withColumn(
             "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
         )
         obs = Observation(f"extract-{run_id}-{gi}")
@@ -307,7 +304,8 @@ def run_extract_job(
             F.sum("n_spans").alias("spans"),
             F.sum(F.length("extracted_text")).alias("bytes"),
             F.sum((F.col("n_spans") == 0).cast("long")).alias("failures"),
-        )
+            F.sum(F.col("truncated").cast("long")).alias("truncated_payloads"),
+        ).drop("truncated")
         # One parquet dir PER GROUP (partition-discovery naming, so
         # spark.read.parquet(data_dir) still sees one table): groups hold
         # disjoint bucket sets, so group-dir overwrite gives the same
@@ -333,7 +331,6 @@ def run_extract_job(
                 .parquet(os.path.join(w.data_dir, f"group={seq0 + gi:05d}"))
             )
         m = obs.get
-        m_in = in_obs.get
         entry = {
             "run_id": run_id,
             "group_seq": seq0 + gi,
@@ -344,7 +341,7 @@ def run_extract_job(
             "spans": int(m.get("spans") or 0),
             "bytes": int(m.get("bytes") or 0),
             "failures": int(m.get("failures") or 0),
-            "truncated_payloads": int(m_in.get("truncated_payloads") or 0),
+            "truncated_payloads": int(m.get("truncated_payloads") or 0),
             "committed_at": time.time(),
         }
         (iceberg_sink or w).commit(entry)

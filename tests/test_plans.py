@@ -223,3 +223,19 @@ def test_extract_routed_equals_extract(spark, transcripts):
     a = sorted(map(tuple, extract(transcripts).select(cols).collect()))
     b = sorted(map(tuple, routed.select(cols).collect()))
     assert a == b
+
+
+def test_spotting_plan_has_no_python_and_prunes(spark, transcripts):
+    """e2e_spotting is the only extraction-family operator that claims ZERO
+    Python anywhere in its plan (operators/spotting.py) — gate it: no
+    Arrow/Python eval nodes, exactly one Exchange (the per-turn ordering
+    window), and the window's shuffle is on the turn key."""
+    from paddleocr_spark.operators.spotting import e2e_spotting
+
+    plan = _plan(e2e_spotting(transcripts))
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # one shuffle: the reading-order window over (conv_id, turn_idx)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
