@@ -239,3 +239,60 @@ def test_spotting_plan_has_no_python_and_prunes(spark, transcripts):
     assert "CartesianProduct" not in plan, plan
     # one shuffle: the reading-order window over (conv_id, turn_idx)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, transcripts):
+    """Co-located storage is the 100 TB join story: two tables bucketed on
+    conv_id with the same bucket count must join with ZERO Exchange nodes —
+    the shuffle was paid once at write time. Also gate the negative: the
+    same files read WITHOUT the catalog bucket spec do shuffle."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    left = transcripts.select("conv_id", "turn_idx", "role").limit(500)
+    right = (
+        transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    write_bucketed(left, "t_bkt_left", n_buckets=8, keys=("conv_id",))
+    write_bucketed(
+        right, "t_bkt_right", n_buckets=8, keys=("conv_id",), sort_keys=("conv_id",)
+    )
+    # tiny test tables would take a broadcast join (which disables bucketed
+    # scans as pointless); at 100 TB neither side broadcasts — force the
+    # sort-merge path the bucketing exists for
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "t_bkt_left").join(
+            read_bucketed(spark, "t_bkt_right"), "conv_id"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 500
+        # negative control: reading the same data as plain parquet loses the
+        # bucket spec and the join plans an Exchange again
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED t_bkt_left")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        )
+        raw = spark.read.parquet(loc.replace("file:", ""))
+        plan2 = _plan(raw.join(read_bucketed(spark, "t_bkt_right"), "conv_id"))
+        assert "Exchange" in plan2, plan2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
