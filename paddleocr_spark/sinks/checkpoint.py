@@ -109,7 +109,7 @@ class IcebergMergeSink:
             f"CREATE TABLE IF NOT EXISTS {self.lineage_table} ("
             "run_id STRING, group_seq INT, buckets ARRAY<INT>, wall_s DOUBLE, "
             "turns BIGINT, spans BIGINT, bytes BIGINT, failures BIGINT, "
-            "committed_at TIMESTAMP) USING iceberg"
+            "truncated_payloads BIGINT, committed_at TIMESTAMP) USING iceberg"
         )
 
     def committed_buckets(self) -> set[int]:
@@ -149,7 +149,8 @@ class IcebergMergeSink:
             f"'{entry['run_id']}', {entry['group_seq']}, "
             f"array({', '.join(map(str, entry['buckets']))}), {entry['wall_s']}, "
             f"{entry['turns']}, {entry['spans']}, {entry['bytes']}, "
-            f"{entry['failures']}, current_timestamp())"
+            f"{entry['failures']}, {entry.get('truncated_payloads', 0)}, "
+            "current_timestamp())"
         )
 
 
@@ -445,3 +446,32 @@ def compact_to(
         )
         total_rows += n
     return {"run_id": run_id, "groups": len(groups), "rows": total_rows}
+
+
+def publish_bucketed(
+    spark: SparkSession,
+    src_out: str,
+    table: str,
+    n_buckets: int = 64,
+    keys=("conv_id",),
+    sort_keys=("conv_id", "turn_idx"),
+) -> int:
+    """Publish a completed checkpoint dir as a BUCKETED catalog table — the
+    hand-off from the resumable write layout (group dirs + manifest,
+    optimized for exactly-once incremental writes) to the serving layout
+    (bucketBy(N, conv_id), optimized for shuffle-free downstream joins;
+    sinks/bucketed.py).
+
+    One shuffle, paid here once: every later equi-join or groupBy on the
+    bucket key over ``table`` plans with no Exchange
+    (tests/test_plans.py::test_bucketed_join_has_no_exchange). Reads only
+    manifest-committed groups (read_committed), so a concurrent or crashed
+    writer can never leak uncommitted rows into the published table.
+    Returns the published row count."""
+    from .bucketed import write_bucketed
+
+    data = read_committed(spark, src_out).drop("group", "bucket")
+    write_bucketed(
+        data, table, n_buckets=n_buckets, keys=keys, sort_keys=sort_keys
+    )
+    return spark.table(table).count()

@@ -336,3 +336,22 @@ def test_chunked_reassembly_counter_observed(spark):
     m = obs.get
     assert m["segments"] == 4
     assert m["overflow_segments"] == 2  # c1's segments 1 and 2
+
+
+def test_publish_bucketed_from_checkpoint(spark, transcripts, tmp_path):
+    """Publishing a checkpoint dir as a bucketed table keeps row-level
+    content and yields a catalog table whose conv_id joins need no shuffle
+    (the deep gate for that lives in test_plans; here: correctness of the
+    hand-off and exclusion of uncommitted groups)."""
+    from paddleocr_spark.sinks.checkpoint import publish_bucketed
+
+    out = str(tmp_path / "ckpt_pub")
+    run_extract_job(spark, transcripts, out, n_buckets=8, group_size=4)
+    try:
+        n = publish_bucketed(spark, out, "t_published", n_buckets=8)
+        assert n == transcripts.count()
+        tbl = spark.table("t_published")
+        assert "bucket" not in tbl.columns and "group" not in tbl.columns
+        assert tbl.select("conv_id", "turn_idx").distinct().count() == n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_published")

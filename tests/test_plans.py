@@ -296,3 +296,28 @@ def test_bucketed_join_has_no_exchange(spark, transcripts):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS t_bkt_left")
         spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, transcripts):
+    """Aggregating a bucketed table ON its bucket key needs no shuffle
+    either — partial and final aggregation collapse into the bucketed
+    scan's distribution."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    write_bucketed(
+        transcripts.select("conv_id", "turn_idx", "role"),
+        "t_bkt_agg",
+        n_buckets=8,
+        keys=("conv_id",),
+    )
+    try:
+        agg = read_bucketed(spark, "t_bkt_agg").groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = _plan(agg)
+        assert "Exchange" not in plan, plan
+        assert agg.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
