@@ -168,3 +168,60 @@ def test_spotting_eval_levenshtein_under_corruption(spark, hand_df):
     # 4 matches, not 5: the zero-area box (line 5) pairs with itself at
     # union 0 -> IoU defined 0 (ref nan-never-matches) -> unmatched
     assert scored["n"] == 4 and scored["sum_ed"] == 2
+
+
+def test_spotting_fuzz_equals_python_mirror(spark):
+    """Hypothesis fuzz: for ARBITRARY line soups (valid blocks, garbage,
+    pathological whitespace, degenerate coords, band-edge values) the Spark
+    parse must equal the pure-Python mirror row-for-row. One Spark round
+    trip over the whole generated batch (hypothesis drives the generation,
+    Spark evaluates once — the pattern from test_property_oracle)."""
+    import random
+
+    rnd = random.Random(20260817)
+    words = ["alpha", "beta", "gamma", "", "  ", "a|b", "x,y", "\ttab\t"]
+
+    def rand_line():
+        kind = rnd.randrange(6)
+        if kind == 0:
+            return rnd.choice(["garbage", "| | |", "0|1,2,3|short", "", " "])
+        page = rnd.choice([0, 1, 9])
+        x0 = rnd.choice([0, 50, 400, 800])
+        y0 = rnd.choice([0, 49, 50, 51, 500, 949, 950, 1000])
+        x1 = x0 + rnd.choice([-5, 0, 1, 80, 700])
+        y1 = y0 + rnd.choice([0, 30, 500])
+        txt = " ".join(rnd.choice(words) for _ in range(rnd.randrange(0, 4)))
+        sp = " " * rnd.randrange(0, 3)
+        return f"{sp}{page}{sp}|{sp}{x0}{sp},{sp}{y0}{sp},{sp}{x1}{sp},{sp}{y1}{sp}|{txt}"
+
+    payloads = []
+    for i in range(200):
+        n = rnd.randrange(0, 12)
+        head = "PDFLIKE v1" if rnd.random() < 0.9 else "NOT A PDF"
+        payloads.append((f"f{i}", "\n".join([head] + [rand_line() for _ in range(n)])))
+
+    import datetime
+
+    rows = [
+        (cid, 0, "user", text, None, datetime.datetime(2026, 1, 1))
+        for cid, text in payloads
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {}
+    for r in parsed_blocks(df).collect():
+        got.setdefault(r.conv_id, []).append(r)
+    for cid, text in payloads:
+        expect = py_parse(text)
+        have = sorted(got.get(cid, []), key=lambda r: r.line_idx)
+        assert len(have) == len(expect), (cid, text)
+        for h, e in zip(have, expect):
+            assert (
+                h.page, h.line_idx, h.x0, h.y0, h.x1, h.y1, h.block_text, h.score_micro
+            ) == (
+                e["page"], e["line_idx"], e["x0"], e["y0"], e["x1"], e["y1"],
+                e["text"], e["score"],
+            ), (cid, text)
