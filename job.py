@@ -48,6 +48,12 @@ def main() -> None:
     p.add_argument("--layout-mode", choices=("xycut", "walk"), default="xycut",
                    help="pdf-like reading order: XY-cut (default) or the full "
                    "sorted_layout_boxes stateful walk")
+    p.add_argument("--publish", default=None, metavar="TABLE",
+                   help="after the job completes, publish the committed "
+                   "checkpoint data as a bucketed catalog table "
+                   "(bucketBy(--n-buckets, conv_id)) — downstream equi-joins "
+                   "and groupBys on conv_id then plan with no Exchange "
+                   "(sinks/bucketed.py, docs/SCALE_100TB.md)")
     args = p.parse_args()
 
     spark = (
@@ -81,6 +87,13 @@ def main() -> None:
         group_size=args.group_size,
         salt=not args.no_salt,
     )
+    if args.publish:
+        from paddleocr_spark.sinks.checkpoint import publish_bucketed
+
+        summary["published_rows"] = publish_bucketed(
+            spark, args.out, args.publish, n_buckets=args.n_buckets
+        )
+        summary["published_table"] = args.publish
     print(json.dumps(summary))
 
 
