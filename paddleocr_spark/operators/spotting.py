@@ -144,7 +144,15 @@ def spotting_eval(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFra
     signal is box-level recall — what the score_thresh + min_chars policy
     drops. The Levenshtein path under genuine corruption is exercised in
     tests/ (synthetic one-char corruptions, the pre-round-3 form of this
-    query)."""
+    query).
+
+    Scale note: gt and pred are two filters of the SAME parsed relation, so
+    each side of the match join re-computes the parse (Catalyst does not
+    share subplans across join sides). Fine for an eval metric run on a
+    sample; for a full-corpus 100 TB evaluation, materialize
+    ``parsed_blocks`` once (checkpoint/table) and feed both sides from it —
+    the operator accepts any DataFrame with the parsed schema via the
+    ``gt_all`` seam below."""
     from .spatial import det_match_pairs
 
     page_key = F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), F.col("page").cast("string"))
