@@ -699,7 +699,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM built-ins over the normalized token array — one scan.
 
     (Round 3 folds the former ``repetition_stats`` registry entry in here
-    as columns — same operators, one driver row.)"""
+    as columns — same operators, one driver row — and adds ``tier``: a
+    FineWeb-style 3-level quality routing on top of the keep verdict.
+    Tier 2 = keep AND low repetition AND high lexical diversity (the
+    "route to high-quality mix" bucket), tier 1 = keep but fails the high
+    bar, tier 0 = dropped. At 100 TB this is the column a curriculum /
+    mixing stage partitions on, so it belongs in the same single scan as
+    the signals rather than a second pass.)"""
     toks = F.split(TS.norm_text(F.col("text")), " ")
     n = F.size(toks)
     sum_len = F.aggregate(
@@ -732,6 +738,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr_micro = F.floor(
         F.lit(1000000.0) * F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
     )
+    tier = (
+        F.when(keep & (rep_micro <= 100000) & (ttr_micro >= 300000), F.lit(2))
+        .when(keep, F.lit(1))
+        .otherwise(F.lit(0))
+    )
     return _docs(spark, sf_dir).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -742,6 +753,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tri_d.cast("long").alias("n_trigrams_distinct"),
         rep_micro.cast("long").alias("rep_micro"),
         ttr_micro.cast("long").alias("ttr_micro"),
+        tier.cast("long").alias("tier"),
     )
 
 
@@ -2049,6 +2061,7 @@ sig AS (
     len(list_distinct(toks))::BIGINT AS n_tok_d
   FROM td
 )
+, out AS (
 SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
   CAST(n_tokens >= 50 AND n_tokens <= 100000
    AND mean_word_len_micro BETWEEN 3000000 AND 10000000
@@ -2059,6 +2072,10 @@ SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
        / greatest(len(tri), 1)) AS BIGINT) AS rep_micro,
   CAST(floor(1000000.0 * n_tok_d / greatest(n_tokens, 1)) AS BIGINT) AS ttr_micro
 FROM sig
+)
+SELECT *, CAST(CASE WHEN keep = 1 AND rep_micro <= 100000 AND ttr_micro >= 300000 THEN 2
+                    WHEN keep = 1 THEN 1 ELSE 0 END AS BIGINT) AS tier
+FROM out
 """
 
     sql["pii_scrub"] = rf"""
