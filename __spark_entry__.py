@@ -705,7 +705,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "route to high-quality mix" bucket), tier 1 = keep but fails the high
     bar, tier 0 = dropped. At 100 TB this is the column a curriculum /
     mixing stage partitions on, so it belongs in the same single scan as
-    the signals rather than a second pass.)"""
+    the signals rather than a second pass. ``mix_keep`` is that mixing
+    stage's decision at rates (0, 0.5, 1.0) — the deterministic
+    hash-stratified sample from ``operators/mix.py curriculum_sample``,
+    exposed as a column so the driver exact-checks the sampling verdict
+    per document.)"""
     toks = F.split(TS.norm_text(F.col("text")), " ")
     n = F.size(toks)
     sum_len = F.aggregate(
@@ -743,7 +747,10 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(keep, F.lit(1))
         .otherwise(F.lit(0))
     )
-    return _docs(spark, sf_dir).select(
+    from paddleocr_spark.operators.mix import tier_rate_predicate
+
+    mix_keep = tier_rate_predicate((0.0, 0.5, 1.0), tier_col="tier", id_col="doc_id")
+    return _docs(spark, sf_dir).withColumn("tier", tier).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         mean_len_micro.cast("long").alias("mean_word_len_micro"),
@@ -753,7 +760,8 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tri_d.cast("long").alias("n_trigrams_distinct"),
         rep_micro.cast("long").alias("rep_micro"),
         ttr_micro.cast("long").alias("ttr_micro"),
-        tier.cast("long").alias("tier"),
+        F.col("tier").cast("long").alias("tier"),
+        mix_keep.cast("long").alias("mix_keep"),
     )
 
 
@@ -2073,9 +2081,16 @@ SELECT doc_id, n_tokens, mean_word_len_micro, alpha_frac_micro,
   CAST(floor(1000000.0 * n_tok_d / greatest(n_tokens, 1)) AS BIGINT) AS ttr_micro
 FROM sig
 )
+, tiered AS (
 SELECT *, CAST(CASE WHEN keep = 1 AND rep_micro <= 100000 AND ttr_micro >= 300000 THEN 2
                     WHEN keep = 1 THEN 1 ELSE 0 END AS BIGINT) AS tier
 FROM out
+)
+SELECT *,
+  CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+     < CASE tier WHEN 0 THEN 0 WHEN 1 THEN 128 ELSE 256 END AS BIGINT) AS mix_keep
+FROM tiered
 """
 
     sql["pii_scrub"] = rf"""
