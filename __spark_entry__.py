@@ -709,57 +709,23 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's decision at rates (0, 0.5, 1.0) — the deterministic
     hash-stratified sample from ``operators/mix.py curriculum_sample``,
     exposed as a column so the driver exact-checks the sampling verdict
-    per document.)"""
-    toks = F.split(TS.norm_text(F.col("text")), " ")
-    n = F.size(toks)
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
-    mean_len_micro = F.floor(F.lit(1000000.0) * sum_len / F.greatest(n, F.lit(1)))
-    alpha_micro = F.floor(F.lit(1000000.0) * n_alpha / F.greatest(n, F.lit(1)))
-    keep = (
-        (n >= 50)
-        & (n <= 100000)
-        & (mean_len_micro >= 3000000)
-        & (mean_len_micro <= 10000000)
-        & (alpha_micro >= 800000)
-    )
-    tri = F.zip_with(
-        F.zip_with(
-            F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
-            F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
-        lambda ab, c: F.concat(ab, F.lit(" "), c),
-    )
-    n_tri = F.size(tri)
-    n_tri_d = F.size(F.array_distinct(tri))
-    rep_micro = F.floor(
-        F.lit(1000000.0) * (n_tri - n_tri_d) / F.greatest(n_tri, F.lit(1))
-    )
-    ttr_micro = F.floor(
-        F.lit(1000000.0) * F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
-    )
-    tier = (
-        F.when(keep & (rep_micro <= 100000) & (ttr_micro >= 300000), F.lit(2))
-        .when(keep, F.lit(1))
-        .otherwise(F.lit(0))
-    )
+    per document. Expressions live in ``functions/quality.py`` — the
+    curation pipeline (plans/curate.py) reuses the same definitions.)"""
+    from paddleocr_spark.functions.quality import quality_columns
     from paddleocr_spark.operators.mix import tier_rate_predicate
 
+    q = quality_columns(F.col("text"))
     mix_keep = tier_rate_predicate((0.0, 0.5, 1.0), tier_col="tier", id_col="doc_id")
-    return _docs(spark, sf_dir).withColumn("tier", tier).select(
+    return _docs(spark, sf_dir).withColumn("tier", q["tier"]).select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
-        mean_len_micro.cast("long").alias("mean_word_len_micro"),
-        alpha_micro.cast("long").alias("alpha_frac_micro"),
-        keep.cast("long").alias("keep"),
-        n_tri.cast("long").alias("n_trigrams"),
-        n_tri_d.cast("long").alias("n_trigrams_distinct"),
-        rep_micro.cast("long").alias("rep_micro"),
-        ttr_micro.cast("long").alias("ttr_micro"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        q["mean_word_len_micro"].cast("long").alias("mean_word_len_micro"),
+        q["alpha_frac_micro"].cast("long").alias("alpha_frac_micro"),
+        q["keep"].cast("long").alias("keep"),
+        q["n_trigrams"].cast("long").alias("n_trigrams"),
+        q["n_trigrams_distinct"].cast("long").alias("n_trigrams_distinct"),
+        q["rep_micro"].cast("long").alias("rep_micro"),
+        q["ttr_micro"].cast("long").alias("ttr_micro"),
         F.col("tier").cast("long").alias("tier"),
         mix_keep.cast("long").alias("mix_keep"),
     )

@@ -48,6 +48,18 @@ def main() -> None:
     p.add_argument("--layout-mode", choices=("xycut", "walk"), default="xycut",
                    help="pdf-like reading order: XY-cut (default) or the full "
                    "sorted_layout_boxes stateful walk")
+    p.add_argument("--curate", default=None, metavar="DIR",
+                   help="after extraction, run the curation chain over the "
+                   "committed output (quality tier → exact dedup → curriculum "
+                   "mix → sequence packing → deterministic shuffled shards) "
+                   "and write training shards to DIR (plans/curate.py)")
+    p.add_argument("--curate-max-tokens", type=int, default=2048)
+    p.add_argument("--curate-shards", type=int, default=16)
+    p.add_argument("--pack-mode", choices=("split", "greedy"), default="split",
+                   help="split = GPT-style concat-and-split (zero-Python "
+                   "window); greedy = no-split FirstFit per hash group")
+    p.add_argument("--mix-rates", default="0.0,0.5,1.0",
+                   help="per-tier keep fractions for the curriculum sample")
     p.add_argument("--publish", default=None, metavar="TABLE",
                    help="after the job completes, publish the committed "
                    "checkpoint data as a bucketed catalog table "
@@ -87,6 +99,18 @@ def main() -> None:
         group_size=args.group_size,
         salt=not args.no_salt,
     )
+    if args.curate:
+        from paddleocr_spark.plans.curate import run_curate
+        from paddleocr_spark.sinks.checkpoint import read_committed
+
+        summary["curate"] = run_curate(
+            read_committed(spark, args.out),
+            args.curate,
+            rates=tuple(float(r) for r in args.mix_rates.split(",")),
+            max_tokens=args.curate_max_tokens,
+            n_shards=args.curate_shards,
+            pack_mode=args.pack_mode,
+        )
     if args.publish:
         from paddleocr_spark.sinks.checkpoint import publish_bucketed
 

@@ -1,0 +1,110 @@
+"""Composed curation pipeline: extracted turns → training shards.
+
+The stage a user of this engine actually runs after extraction — the
+pipeline the reference's ppstructure "predict → recovery → save" chain
+becomes at corpus scale (``ppstructure/predict_system.py:240-276`` runs
+per-image extract→order→save; here the same chain continues through
+corpus-level curation):
+
+    extracted turns (read_committed / any DataFrame with extracted_text)
+      → quality signals + tier           (functions/quality.py, one scan)
+      → exact dedup, canonical-only      (md5 fingerprint window, 1 shuffle)
+      → curriculum sample by tier        (operators/mix.py, filter-only)
+      → sequence packing                 (operators/pack.py, 1 shuffle)
+      → deterministic shuffled shards    (sinks/shards.py, 1 shuffle)
+
+Every stage is hash-deterministic (no rand), so the whole pipeline yields
+byte-identical shards at any parallelism. Stage counts ride plan-attached
+``Observation``s: zero extra passes — all of them materialize during the
+single shard-write action.
+
+Shuffle budget at 100 TB: exactly three — dedup fingerprint, pack group,
+shard key. Quality/mix are filter/project (fuse into the scan); the
+pack→text join is on the doc key (co-partitionable; with the bucketed-table
+publish path, sinks/bucketed.py, it plans Exchange-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, Window, functions as F
+
+from ..functions.quality import quality_columns
+from ..operators.mix import curriculum_sample
+from ..operators.pack import pack_greedy, pack_split
+from ..sinks.shards import export_shards
+
+
+def run_curate(
+    extracted: DataFrame,
+    out_dir: str,
+    rates: tuple = (0.0, 0.5, 1.0),
+    max_tokens: int = 2048,
+    n_shards: int = 16,
+    n_groups: int = 256,
+    pack_mode: str = "split",
+    text_col: str = "extracted_text",
+) -> dict:
+    """Run the curation chain over ``extracted`` (needs conv_id, turn_idx and
+    ``text_col``); writes shards to ``out_dir`` and returns stage metrics."""
+    uid = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    q = quality_columns(F.col(text_col))
+
+    obs_in = Observation("curate_in")
+    tiered = (
+        extracted.select(
+            uid.alias("doc_uid"),
+            F.col(text_col).alias("text"),
+            q["tier"].cast("int").alias("tier"),
+            q["n_tokens"].cast("long").alias("n_tokens"),
+        )
+        .observe(
+            obs_in,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("tier") == 2).cast("long")).alias("tier2"),
+            F.sum((F.col("tier") == 1).cast("long")).alias("tier1"),
+        )
+    )
+
+    # exact dedup, canonical survivor only: min uid per normalized-text
+    # fingerprint (operators/dedup.py exact_dedup reports groups; curation
+    # needs the surviving rows, so the min rides a window — same single
+    # shuffle on the 32-byte key)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    w = Window.partitionBy("fp")
+    obs_dedup = Observation("curate_dedup")
+    canon = (
+        tiered.withColumn("fp", fp)
+        .withColumn("_min_uid", F.min("doc_uid").over(w))
+        .where(F.col("doc_uid") == F.col("_min_uid"))
+        .drop("fp", "_min_uid")
+        .observe(obs_dedup, F.count(F.lit(1)).alias("rows_canonical"))
+    )
+
+    obs_mix = Observation("curate_mix")
+    mixed = curriculum_sample(canon, rates, tier_col="tier", id_col="doc_uid").observe(
+        obs_mix, F.count(F.lit(1)).alias("rows_mixed")
+    )
+
+    pack_fn = pack_split if pack_mode == "split" else pack_greedy
+    packed = pack_fn(
+        mixed, max_tokens, n_groups=n_groups, id_col="doc_uid"
+    )
+    # re-attach text + tier for the shard payload (equi-join on the doc key)
+    final = packed.join(mixed.select("doc_uid", "tier", "text"), "doc_uid")
+
+    pos_col = "pack_offset" if pack_mode == "split" else "pack_pos"
+    manifest = export_shards(
+        final, out_dir, n_shards=n_shards, id_col="pack_id",
+        extra_order=(pos_col, "doc_uid"),
+    )
+
+    return {
+        "out_dir": out_dir,
+        "pack_mode": pack_mode,
+        "max_tokens": max_tokens,
+        "shards": manifest["n_shards"],
+        "rows_written": manifest["total_rows"],
+        **{k: int(v) for k, v in obs_in.get.items()},
+        **{k: int(v) for k, v in obs_dedup.get.items()},
+        **{k: int(v) for k, v in obs_mix.get.items()},
+    }
