@@ -152,10 +152,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph-level dedup signals over the corpus with
-    injected near-duplicates: per doc, how many 20-token chunks also occur
-    in another document (operators/dedup.py paragraph_dedup_signals) —
-    exact DuckDB oracle."""
-    return DD.paragraph_dedup_signals(DD.with_near_dups(_docs(spark, sf_dir)))
+    injected near-duplicates (per doc, how many 20-token chunks also occur
+    in another document — operators/dedup.py paragraph_dedup_signals),
+    JOINED with the exact-substring span-dedup signals (Lee et al. 2022
+    suffix-array dedup at resolution 25 tokens — operators/dedup.py
+    substring_dup_spans, ``ss_*`` columns incl. the cleaned ``ss_kept_text``)
+    — one driver row per doc covering both dedup granularities, exact DuckDB
+    oracle for every column."""
+    d2 = DD.with_near_dups(_docs(spark, sf_dir))
+    return DD.paragraph_dedup_signals(d2).join(
+        DD.substring_dup_spans(d2), "doc_id"
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1442,6 +1449,10 @@ FROM grams JOIN bench USING (phrase)
 GROUP BY doc_id
 """
 
+    # paragraph-level (20-token chunk) signals + exact-substring (25-token
+    # window, Lee-et-al-2022-style) span-dedup signals, mirrored column for
+    # column against paragraph_dedup_signals ⋈ substring_dup_spans.
+    L = 25
     sql["dedup_paragraph"] = f"""
 WITH {_TD2_NEAR},
 ch AS (
@@ -1452,13 +1463,67 @@ ch AS (
 ),
 own AS (
   SELECT chunk_hash, count(DISTINCT doc_id) AS n_owner FROM ch GROUP BY chunk_hash
+),
+para AS (
+  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+    CAST(sum(CASE WHEN n_owner > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+    CAST(floor(1000000.0 * sum(CASE WHEN n_owner > 1 THEN 1 ELSE 0 END)
+         / count(*)) AS BIGINT) AS dup_micro
+  FROM ch JOIN own USING (chunk_hash)
+  GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i+1 : i+{L}], ' ')) AS whash
+  FROM td2, unnest(generate_series(0, len(toks) - {L})) AS t(i)
+  WHERE len(toks) >= {L}
+),
+duph AS (SELECT whash FROM w GROUP BY whash HAVING count(*) >= 2),
+lagd AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM w JOIN duph USING (whash)
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(CASE WHEN prev IS NULL OR pos - prev > {L} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM lagd
+),
+sp AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos) + {L} AS e, count(*) AS nw
+  FROM isl GROUP BY doc_id, isl
+),
+spa AS (
+  SELECT doc_id, count(*) AS ss_spans, sum(e - s) AS ss_dup_tokens,
+         sum(nw) AS ss_dup_windows
+  FROM sp GROUP BY doc_id
+),
+ti AS (
+  SELECT doc_id, g.idx AS idx, toks[g.idx] AS tok
+  FROM td2, unnest(generate_series(1, len(toks))) AS g(idx)
+),
+kept AS (
+  SELECT ti.doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY idx), '') AS ss_kept_text
+  FROM ti
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sp
+    WHERE sp.doc_id = ti.doc_id AND ti.idx - 1 >= sp.s AND ti.idx - 1 < sp.e)
+  GROUP BY ti.doc_id
 )
-SELECT doc_id, count(*)::BIGINT AS n_chunks,
-  CAST(sum(CASE WHEN n_owner > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-  CAST(floor(1000000.0 * sum(CASE WHEN n_owner > 1 THEN 1 ELSE 0 END)
-       / count(*)) AS BIGINT) AS dup_micro
-FROM ch JOIN own USING (chunk_hash)
-GROUP BY doc_id
+SELECT para.doc_id, para.n_chunks, para.n_dup_chunks, para.dup_micro,
+  len(td2.toks)::BIGINT AS ss_total_tokens,
+  greatest(len(td2.toks) - {L} + 1, 0)::BIGINT AS ss_windows,
+  coalesce(spa.ss_dup_windows, 0)::BIGINT AS ss_dup_windows,
+  coalesce(spa.ss_spans, 0)::BIGINT AS ss_spans,
+  coalesce(spa.ss_dup_tokens, 0)::BIGINT AS ss_dup_tokens,
+  CAST(floor(1000000.0 * coalesce(spa.ss_dup_tokens, 0) / len(td2.toks))
+       AS BIGINT) AS ss_dup_micro,
+  coalesce(kept.ss_kept_text, '') AS ss_kept_text
+FROM para
+JOIN td2 USING (doc_id)
+LEFT JOIN spa USING (doc_id)
+LEFT JOIN kept USING (doc_id)
 """
 
     hexval = (

@@ -271,3 +271,120 @@ def paragraph_dedup_signals(docs: DataFrame, chunk: int = 20) -> DataFrame:
         .cast("long")
         .alias("dup_micro"),
     )
+
+
+EXSUB_WINDOW = 25  # default duplicated-substring window length (tokens)
+
+
+def substring_dup_spans(docs: DataFrame, window: int = EXSUB_WINDOW) -> DataFrame:
+    """Exact-substring span dedup (the suffix-array dedup of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", re-expressed
+    for Spark): any ``window``-token span whose text occurs >= 2 times in the
+    corpus (anywhere, including within the same document) is a duplicated
+    window; overlapping/adjacent duplicated windows merge into maximal
+    duplicated spans, which are removed from the kept text.
+
+    A suffix array is a single-machine structure; the distributed equivalent
+    for a fixed minimum match length L is sliding-window hashing: a span of
+    length >= L repeats iff every L-window inside it repeats, so the set of
+    maximal duplicated spans found by merging duplicated L-windows equals the
+    suffix-array answer truncated at resolution L.
+
+    Shape at 100 TB: hashing is O(tokens * L) map-side work (inherent to the
+    method); the only shuffles are a groupBy on the 32-byte window hash
+    (map-side combinable count) and doc_id-keyed windows/joins for the
+    interval merge. No self-join on documents, no text moves after hashing,
+    no Python anywhere (plan-gated in tests/test_pipeline_ops.py).
+
+    Returns one row per input doc:
+      doc_id, ss_total_tokens, ss_windows, ss_dup_windows, ss_spans,
+      ss_dup_tokens, ss_dup_micro, ss_kept_text
+    (integers + strings only -> exact cross-engine equality; reference
+    analog: fragment-overlap merge in tools/infer/utility.py:980-1027 merges
+    overlapping *boxes*, this merges overlapping duplicated token intervals).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("ss_total_tokens", F.size("toks").cast("long"))
+
+    starts = F.when(
+        F.col("ss_total_tokens") >= window,
+        F.sequence(F.lit(0), (F.col("ss_total_tokens") - window).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    w = (
+        base.select("doc_id", "toks", F.explode(starts).alias("pos"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.array_join(F.slice("toks", F.col("pos") + 1, window), " ")).alias("whash"),
+        )
+    )
+    dup_hashes = (
+        w.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("whash")
+    )
+    dpos = w.join(dup_hashes, "whash").select("doc_id", "pos")
+
+    ordw = Window.partitionBy("doc_id").orderBy("pos")
+    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = (
+        dpos.withColumn("prev", F.lag("pos").over(ordw))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > window),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("isl", F.sum("new_isl").over(cum))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + window).alias("e"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ss_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("ss_dup_tokens"),
+        F.sum("nw").alias("ss_dup_windows"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+    )
+
+    joined = base.join(per_doc, "doc_id", "left")
+    spans_arr = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    idxs = F.sequence(F.lit(0), (F.col("ss_total_tokens") - 1).cast("int"))
+    kept_idx = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            spans_arr, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    kept_text = F.array_join(
+        F.transform(kept_idx, lambda i: F.get("toks", i)), " "
+    )
+    return joined.select(
+        "doc_id",
+        "ss_total_tokens",
+        F.greatest(F.col("ss_total_tokens") - window + 1, F.lit(0))
+        .cast("long")
+        .alias("ss_windows"),
+        F.coalesce(F.col("ss_dup_windows"), F.lit(0)).cast("long").alias("ss_dup_windows"),
+        F.coalesce(F.col("ss_spans"), F.lit(0)).cast("long").alias("ss_spans"),
+        F.coalesce(F.col("ss_dup_tokens"), F.lit(0)).cast("long").alias("ss_dup_tokens"),
+        F.floor(
+            F.lit(1000000)
+            * F.coalesce(F.col("ss_dup_tokens"), F.lit(0))
+            / F.col("ss_total_tokens")
+        )
+        .cast("long")
+        .alias("ss_dup_micro"),
+        kept_text.alias("ss_kept_text"),
+    )
