@@ -28,6 +28,7 @@ from paddleocr_spark.functions import textstats as TS
 from paddleocr_spark.golden import ensure_golden, golden_dir
 from paddleocr_spark.operators import ann as ANN
 from paddleocr_spark.operators import dedup as DD
+from paddleocr_spark.operators import select as SEL
 from paddleocr_spark.plans.flagship import flagship
 
 # The extract_* oracles read the frozen golden relations for the sf dir
@@ -121,10 +122,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (Round 3 folds the former ``fingerprint_rolling`` and ``token_bpe``
     registry entries in here as columns — same operators, one driver row —
-    to fit the registry inside the driver's 50-query correctness window.)"""
+    to fit the registry inside the driver's 50-query correctness window.
+    Round-3 session 2 adds ``dsir_micro``: the DSIR-style hashed-token
+    importance score of each doc against the corpus's own lang='en' slice
+    as the target distribution — operators/select.py importance_scores.)"""
     t = F.col("text")
     bpe = F.regexp_extract_all(TS.norm_text(t), F.lit(_BPE_PAT))
-    return _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir)
+    base = d.select(
         "doc_id",
         TS.token_count(t).cast("long").alias("n_tokens"),
         F.length(TS.norm_text(t)).cast("long").alias("n_chars_norm"),
@@ -136,6 +141,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
     )
+    dsir = SEL.importance_scores(
+        d.withColumn("is_target", F.col("lang") == "en")
+    )
+    return base.join(dsir, "doc_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,8 +1340,33 @@ sh AS (
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
+    # dsir_micro mirrors operators/select.py importance_scores: hashed token
+    # buckets (md5[:8] mod 256), add-1-smoothed target/raw micro-ratio
+    # weights (target slice = documents.lang = 'en'), floored mean weight
+    # per doc. Division order matches Spark exactly (all correctly-rounded
+    # IEEE ops → bit-equal).
     sql["text_stats"] = f"""
-WITH {_TD}
+WITH {_TD},
+feats AS (
+  SELECT td.doc_id,
+         CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) % 256 AS bucket,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_t
+  FROM td JOIN documents d USING (doc_id), unnest(td.toks) AS u(tok)
+),
+cnt AS (
+  SELECT bucket, sum(is_t) AS t_cnt, count(*) AS r_cnt FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM cnt),
+wt AS (
+  SELECT bucket,
+    CAST(floor(1000000.0 * ((t_cnt + 1) / (t_tot + 256))
+         / ((r_cnt + 1) / (r_tot + 256))) AS BIGINT) AS w_micro
+  FROM cnt, tot
+),
+ds AS (
+  SELECT doc_id, CAST(floor(sum(w_micro) / count(*)) AS BIGINT) AS dsir_micro
+  FROM feats JOIN wt USING (bucket) GROUP BY doc_id
+)
 SELECT doc_id,
   len(toks)::BIGINT AS n_tokens,
   length(norm)::BIGINT AS n_chars_norm,
@@ -1361,8 +1395,9 @@ SELECT doc_id,
            + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT))),
     (acc, v) -> (acc * 257 + v) % 2147483647) AS roll_fp,
   len(regexp_extract_all(norm, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
-  len(list_distinct(regexp_extract_all(norm, '{_BPE_PAT}')))::BIGINT AS n_bpe_distinct
-FROM td
+  len(list_distinct(regexp_extract_all(norm, '{_BPE_PAT}')))::BIGINT AS n_bpe_distinct,
+  ds.dsir_micro
+FROM td JOIN ds USING (doc_id)
 """
 
     sql["dedup_exact"] = f"""

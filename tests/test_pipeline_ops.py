@@ -246,3 +246,33 @@ def test_substring_dup_spans_plan(spark):
     plan = DD.substring_dup_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_importance_scores_dsir(spark):
+    """DSIR-style hashed importance scoring: docs made of target-slice
+    vocabulary must outscore docs made of non-target vocabulary, every doc
+    gets a score, and the weight table is bounded by the bucket count."""
+    from paddleocr_spark.operators import select as SEL
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "alpha beta gamma delta", True),
+        (3, "zork quux blarg frotz", False),
+        (4, "alpha beta gamma alpha", False),   # raw doc, target-like text
+        (5, "zork quux blarg zork", False),     # raw doc, non-target text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    wt = SEL.importance_weights(df)
+    assert wt.count() <= SEL.DSIR_BUCKETS
+    out = {r.doc_id: r.dsir_micro for r in SEL.importance_scores(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # target-vocabulary doc scores strictly higher than non-target one
+    assert out[4] > out[5]
+    # plan: no Python eval, no cartesian (the 1-row totals join is a
+    # broadcast nested loop over a literal single row — allowed)
+    plan = (
+        SEL.importance_scores(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
