@@ -156,7 +156,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_lsh_pairs(DD.with_near_dups(_docs(spark, sf_dir)))
+    """MinHash-LSH candidate pairs + the connected-component each pair
+    belongs to (``comp`` = min doc_id transitively reachable): near-duplicacy
+    is transitive, so the remove stage keys on components, not pairs —
+    operators/dedup.py connected_components (large-star/small-star)."""
+    pairs = DD.minhash_lsh_pairs(DD.with_near_dups(_docs(spark, sf_dir)))
+    cc = DD.connected_components(pairs).withColumnRenamed("doc_id", "doc_a")
+    return pairs.join(cc, "doc_a").select("doc_a", "doc_b", "comp")
 
 
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,8 +1449,13 @@ SELECT doc_a, doc_b, n_inter, jac_micro FROM scored WHERE jac_micro >= 500000
     # bucket ids are sorted and capped at 10k exactly like the Spark side
     # (operators/dedup.py minhash_lsh_pairs skew guard) — the mirror must
     # truncate identically or parity breaks on corpora with mega-buckets
+    # comp = connected component of the pair graph (min reachable doc_id):
+    # exact via recursive reachability CTE — the Spark side computes the same
+    # thing with large-star/small-star rounds (operators/dedup.py
+    # connected_components), so cross-engine equality proves the star
+    # iteration converged to true components.
     sql["dedup_minhash"] = f"""
-WITH {_TD2_NEAR}, {_SHINGLES2},
+WITH RECURSIVE {_TD2_NEAR}, {_SHINGLES2},
 mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
 buckets AS (
@@ -1453,10 +1464,24 @@ buckets AS (
 ),
 members AS (
   SELECT band_id, bh, unnest(ids) AS d FROM buckets WHERE len(ids) >= 2
-)
-SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
-FROM members a JOIN members b
-  ON a.band_id = b.band_id AND a.bh = b.bh AND a.d < b.d
+),
+pairs AS (
+  SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
+  FROM members a JOIN members b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.d < b.d
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+),
+cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+SELECT p.doc_a, p.doc_b, cc.comp
+FROM pairs p JOIN cc ON cc.id = p.doc_a
 """
 
     sql["decontaminate"] = r"""

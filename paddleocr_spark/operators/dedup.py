@@ -273,6 +273,101 @@ def paragraph_dedup_signals(docs: DataFrame, chunk: int = 20) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the stage between
+    near-dup PAIR generation (minhash_lsh_pairs / ngram_jaccard_pairs /
+    embedding_near_dup_pairs) and the actual REMOVE decision: duplicates are
+    transitive (A~B, B~C ⇒ {A,B,C} is one group), so survivors must be picked
+    per *component*, not per pair — pair-local keep-min drops too little.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — NOT naive min-label
+    propagation. Propagation needs diameter(G) rounds (a chain of n near-dup
+    docs, common with templated boilerplate, needs n rounds); star rounds
+    provably converge in O(log² n) and in practice 2–4 rounds on LSH graphs
+    (bucket pair-gen emits cliques, so components start near-star-shaped).
+
+    Per round: two map-side-combinable groupBys (min per node) + an equi-join
+    back to the edge list — shuffles only on node ids. Convergence is checked
+    with a 2-value checksum aggregate (count + sum of xxhash64(edge)), one
+    tiny action per round; lineage is cut per round with localCheckpoint (on
+    a real cluster: reliable checkpoint dir). No cartesian anywhere.
+
+    Input: (doc_a, doc_b) rows, doc_a ≠ doc_b. Output: one row per node that
+    appears in any pair — (doc_id, comp) with comp = min doc_id reachable.
+    Deterministic: every step is a min.
+
+    Reference analog: ``merge_fragmented`` chains overlapping box fragments
+    transitively (/root/reference/tools/infer/utility.py:980-1027); this is
+    the same transitive closure over document near-duplicacy.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).distinct()
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: xxhash64 is a full-range long and ANSI mode
+            # (on by default here) raises on long-sum overflow
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        dire = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = dire.groupBy("u").agg(F.min("v").alias("m"))
+        lower = dire.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfe = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            lower.unionByName(selfe)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: edges are stars (u, root) with root = component min
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().join(
+        edges.select(F.col("u").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("comp")
+    ).unionByName(roots.select("doc_id", F.col("doc_id").alias("comp")))
+
+
 EXSUB_WINDOW = 25  # default duplicated-substring window length (tokens)
 
 
