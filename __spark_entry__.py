@@ -234,9 +234,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantization ANN (probe-limited exact re-rank) — exact
     DuckDB oracle: centroid assignment, probe selection and re-rank are all
     deterministic double arithmetic (sequential folds), so the full cascade
-    is mirrored in SQL. Recall vs brute force is measured by ann_recall."""
-    return ANN.ivf_cosine_topk(_emb(spark, sf_dir)).withColumn(
+    is mirrored in SQL. Recall vs brute force is measured by ann_recall.
+
+    Folded columns (registry stays at 50): per-candidate SemDeDup verdicts
+    (operators/ann.py semdedup_verdicts — cluster-scoped semantic dedup,
+    Abbas et al. 2023) over the SAME first-16 codebook: sem_cluster,
+    cent_sim_scaled, sem_rank, sem_keep. The verdicts are computed over the
+    FULL corpus (full-corpus parity is pytest-gated vs a pure-Python mirror
+    in tests/test_semdedup.py); this row drives them through the driver's
+    exact check on the IVF candidate projection."""
+    emb = _emb(spark, sf_dir)
+    ivf = ANN.ivf_cosine_topk(emb).withColumn(
         "rank_k", F.col("rank_k").cast("long")
+    )
+    sem = ANN.semdedup_verdicts(emb).withColumnRenamed("vec_id", "cand_id")
+    return ivf.join(sem, "cand_id").select(
+        "q_id",
+        "cand_id",
+        "rank_k",
+        "cos_scaled",
+        "sem_cluster",
+        "cent_sim_scaled",
+        "sem_rank",
+        "sem_keep",
     )
 
 
@@ -1702,10 +1722,52 @@ ivf_ranked AS (
   FROM ivf_scored
 )"""
 
+    # SemDeDup mirror (operators/ann.py semdedup_verdicts): same first-16
+    # codebook, members ranked by scaled centroid-sim ASC (paper keeps LOW
+    # centroid similarity), dropped iff a lower-ranked cluster member has
+    # floor(cos*1e9) >= tau_scaled — all integer comparisons after the same
+    # sequential double folds, so exact.
+    _SEM_TAU = 200_000_000
+    _SEM_CTES = f"""
+sasg0 AS (
+  SELECT b.vec_id, c.cent_id, {_cos('b.e', 'c.ce')} AS s,
+    row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY {_cos('b.e', 'c.ce')} DESC, c.cent_id ASC) AS rk
+  FROM base b CROSS JOIN cents c
+),
+sasg AS (
+  SELECT vec_id, cent_id AS sem_cluster,
+         CAST(floor(s * 1e9) AS BIGINT) AS cent_sim_scaled
+  FROM sasg0 WHERE rk = 1
+),
+sranked AS (
+  SELECT vec_id, sem_cluster, cent_sim_scaled,
+    CAST(row_number() OVER (PARTITION BY sem_cluster
+                            ORDER BY cent_sim_scaled ASC, vec_id ASC) AS BIGINT)
+      AS sem_rank
+  FROM sasg
+),
+sdrop AS (
+  SELECT DISTINCT hb.vec_id
+  FROM sranked ha JOIN sranked hb
+    ON ha.sem_cluster = hb.sem_cluster AND ha.sem_rank < hb.sem_rank
+  JOIN base ea ON ea.vec_id = ha.vec_id
+  JOIN base eb ON eb.vec_id = hb.vec_id
+  WHERE CAST(floor({_cos('ea.e', 'eb.e')} * 1e9) AS BIGINT) >= {_SEM_TAU}
+),
+sem AS (
+  SELECT r.vec_id, r.sem_cluster, r.cent_sim_scaled, r.sem_rank,
+    CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS sem_keep
+  FROM sranked r LEFT JOIN sdrop d ON d.vec_id = r.vec_id
+)"""
+
     sql["ann_ivf"] = f"""
-WITH {_IVF_CTES}
-SELECT q_id, cand_id, rank_k::BIGINT AS rank_k, cos_scaled
-FROM ivf_ranked WHERE rank_k <= 10
+WITH {_IVF_CTES},
+{_SEM_CTES}
+SELECT i.q_id, i.cand_id, i.rank_k::BIGINT AS rank_k, i.cos_scaled,
+       s.sem_cluster, s.cent_sim_scaled, s.sem_rank, s.sem_keep
+FROM ivf_ranked i JOIN sem s ON s.vec_id = i.cand_id
+WHERE i.rank_k <= 10
 """
 
     sql["ann_recall"] = f"""

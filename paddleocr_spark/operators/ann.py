@@ -219,6 +219,100 @@ def lsh_cosine_topk(
     )
 
 
+def semdedup_verdicts(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    tau_scaled: int = 200_000_000,  # cos ≥ 0.2 in 1e9 units
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster-scoped semantic
+    dedup — per-vector KEEP/DROP verdicts, the remove-stage input.
+
+    Pipeline shape (the published algorithm, re-expressed relational):
+    1. assign every vector to its nearest centroid — broadcast codebook
+       (first ``n_centroids`` vectors, the deterministic stand-in for an
+       offline-trained k-means codebook, exactly as ``ivf_cosine_topk``);
+       the corpus never shuffles for the assignment.
+    2. rank cluster members by similarity-to-centroid ASCENDING (the paper
+       keeps examples with LOW centroid similarity), ties by vec_id; the
+       rank key is the 1e9-scaled integer so ordering is cross-engine exact.
+    3. a vector is DROPPED iff some lower-ranked member of ITS cluster has
+       cosine ≥ tau with it (the paper's triangular max-sim test) — a
+       cluster-keyed equi-join, never all-pairs: within-cluster pairwise is
+       SemDeDup's published cost model (k chosen so n/k stays bounded; at
+       10^9 vectors k ~ 10^5 keeps clusters ~10^4).
+
+    The threshold compares floor(cos·1e9) as integers so the verdict is
+    bit-portable. Output: (vec_id, sem_cluster, cent_sim_scaled, sem_rank,
+    sem_keep) — integers only.
+    """
+    base = emb.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    sim = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    scored = base.join(cents, how="cross").withColumn("_sim", sim)
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("_sim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(aw))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "vec_id",
+            "e",
+            F.col("cent_id").alias("sem_cluster"),
+            F.floor(F.col("_sim") * F.lit(1e9))
+            .cast("long")
+            .alias("cent_sim_scaled"),
+        )
+    )
+    rw = Window.partitionBy("sem_cluster").orderBy(
+        F.col("cent_sim_scaled").asc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("sem_rank", F.row_number().over(rw).cast("long"))
+    a = ranked.select(
+        F.col("sem_cluster").alias("cl"),
+        F.col("sem_rank").alias("ra"),
+        F.col("e").alias("ea"),
+    )
+    b = ranked.select(
+        F.col("sem_cluster").alias("cl"),
+        F.col("vec_id").alias("vb"),
+        F.col("sem_rank").alias("rb"),
+        F.col("e").alias("eb"),
+    )
+    pair_cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    drops = (
+        a.join(b, "cl")
+        .where(F.col("ra") < F.col("rb"))
+        .where(
+            F.floor(pair_cos * F.lit(1e9)).cast("long") >= F.lit(tau_scaled)
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return ranked.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "sem_cluster",
+        "cent_sim_scaled",
+        "sem_rank",
+        F.when(F.col("_dropped").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sem_keep"),
+    )
+
+
 def band_buckets(e, n_bands: int, band_planes: int, dim: int, tag: str):
     """Array of per-band hyperplane sign-bucket strings for vector column
     ``e`` — the banded (multi-table) form of the LSH bucket: a pair is a

@@ -1,0 +1,94 @@
+"""SemDeDup (cluster-scoped semantic dedup) — full-corpus parity vs an
+independent pure-Python mirror, non-vacuous verdict mix, and plan shape."""
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_spark.operators.ann import semdedup_verdicts
+
+TAU_SCALED = 200_000_000
+N_CENTROIDS = 16
+
+
+def _mirror(vectors):
+    """Pure-Python SemDeDup: dict vec_id -> (cluster, cent_sim_scaled,
+    rank, keep). Sequential left-to-right float sums mirror the Spark fold."""
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    cents = {i: vectors[i] for i in range(N_CENTROIDS)}
+    assign = {}
+    for vid, e in vectors.items():
+        best = max(
+            cents.items(), key=lambda kv: (cos(e, kv[1]), -kv[0])
+        )  # max sim, tie -> smaller cent_id
+        assign[vid] = (best[0], math.floor(cos(e, best[1]) * 1e9))
+    clusters = {}
+    for vid, (cl, cs) in assign.items():
+        clusters.setdefault(cl, []).append((cs, vid))
+    out = {}
+    for cl, members in clusters.items():
+        members.sort()  # (cent_sim_scaled ASC, vec_id ASC)
+        for j, (cs, vid) in enumerate(members):
+            dropped = any(
+                math.floor(cos(vectors[pvid], vectors[vid]) * 1e9)
+                >= TAU_SCALED
+                for _, pvid in members[:j]
+            )
+            out[vid] = (cl, cs, j + 1, 0 if dropped else 1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_vectors(sf_dir):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return {
+        vid: [float(x) for x in e]
+        for vid, e in zip(
+            tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()
+        )
+    }
+
+
+def test_semdedup_full_corpus_matches_mirror(spark, sf_dir, emb_vectors):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (
+            r["sem_cluster"],
+            r["cent_sim_scaled"],
+            r["sem_rank"],
+            r["sem_keep"],
+        )
+        for r in semdedup_verdicts(emb, N_CENTROIDS, TAU_SCALED).collect()
+    }
+    want = _mirror(emb_vectors)
+    assert got == want
+
+
+def test_semdedup_verdict_mix_nonvacuous(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = semdedup_verdicts(emb).collect()
+    kept = sum(r["sem_keep"] for r in rows)
+    assert 0 < kept < len(rows), f"vacuous verdict mix: {kept}/{len(rows)}"
+    # rank-1 members (lowest centroid sim per cluster) are never dropped
+    assert all(r["sem_keep"] == 1 for r in rows if r["sem_rank"] == 1)
+
+
+def test_semdedup_plan_no_corpus_cartesian(spark, sf_dir):
+    """The only nested-loop join allowed is the broadcast of the 16-row
+    codebook; the within-cluster pair test must plan as an equi-join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = semdedup_verdicts(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), "within-cluster pair generation must be an equi-join"
