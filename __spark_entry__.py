@@ -144,7 +144,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = SEL.importance_scores(
         d.withColumn("is_target", F.col("lang") == "en")
     )
-    return base.join(dsir, "doc_id")
+    bm25 = SEL.bm25_scores(d, _BM25_TERMS)
+    return base.join(dsir, "doc_id").join(bm25, "doc_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +695,10 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
+
+# BM25 probe query (operators/select.py bm25_scores): literal terms spanning
+# high/mid corpus document frequency so the score mix is non-trivial
+_BM25_TERMS = ("join", "window", "spark")
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,8 +1376,49 @@ def oracle_sql() -> dict[str, str]:
     # weights (target slice = documents.lang = 'en'), floored mean weight
     # per doc. Division order matches Spark exactly (all correctly-rounded
     # IEEE ops → bit-equal).
+    # bm25_micro mirrors operators/select.py bm25_scores: rational idf
+    # (ln is not correctly rounded cross-engine; documented divergence),
+    # every float literal injected via repr() so both engines parse the
+    # bit-identical double, expression order identical left-to-right.
+    from paddleocr_spark.operators.select import BM25_B, BM25_K1
+
+    _k1, _b, _k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    _bm_tf = ",\n    ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    _bm_df = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    _bm_contrib = " + ".join(
+        f"((CAST(nd AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {_k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {_k1} * (1.0 - {_b}"
+        f" + {_b} * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE)"
+        f" / CAST(av AS DOUBLE)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    _BM25_CTES = f"""
+bmbase AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+    {_bm_tf}
+  FROM td
+),
+bmstats AS (
+  SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS av, {_bm_df}
+  FROM bmbase
+),
+bm AS (
+  SELECT doc_id,
+    CAST(floor(({_bm_contrib}) * 1000000.0) AS BIGINT) AS bm25_micro
+  FROM bmbase, bmstats
+)"""
+
     sql["text_stats"] = f"""
 WITH {_TD},
+{_BM25_CTES},
 feats AS (
   SELECT td.doc_id,
          CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) % 256 AS bucket,
@@ -1422,8 +1468,9 @@ SELECT doc_id,
     (acc, v) -> (acc * 257 + v) % 2147483647) AS roll_fp,
   len(regexp_extract_all(norm, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
   len(list_distinct(regexp_extract_all(norm, '{_BPE_PAT}')))::BIGINT AS n_bpe_distinct,
-  ds.dsir_micro
-FROM td JOIN ds USING (doc_id)
+  ds.dsir_micro,
+  bm.bm25_micro
+FROM td JOIN ds USING (doc_id) JOIN bm USING (doc_id)
 """
 
     sql["dedup_exact"] = f"""

@@ -73,6 +73,77 @@ def importance_weights(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 retrieval score of every document against a literal query
+    term set — the ranked-retrieval primitive of a corpus analytics engine
+    (score-threshold selection is the same drop_score shape as above, with a
+    query-conditional relevance weight instead of a corpus prior).
+
+    Portability: the classic BM25 idf is ln((N-df+0.5)/(df+0.5)); ``ln`` is
+    not correctly rounded and differs across engines in the last ulp, so the
+    driver-checked form uses the RATIONAL idf (N-df+0.5)/(df+0.5) — same
+    evidence, monotone in df — and every remaining op (+,*,/ on doubles in a
+    fixed left-to-right order) is correctly-rounded IEEE → bit-equal across
+    engines. floor(score·1e6) is emitted. The log form is a one-line swap
+    where cross-engine bit-equality isn't needed (documented divergence, as
+    with the DSIR micro-ratio weights).
+
+    Scale shape (100 TB): per-term tf columns are array filters in ONE
+    projection (terms are a tiny literal set — no explode, no shuffle); the
+    corpus-level stats (N, total tokens, per-term df) are a single map-side
+    combinable aggregate whose 1-row result is broadcast back. The only full
+    pass over text is the tf projection.
+
+    Returns (doc_id, bm25_micro).
+    """
+    toks = tokens(F.col("text"))
+    def _tf(term: str):
+        lit = F.lit(term)
+        # one-arg lambda: a (x, i) signature would make F.filter pass the
+        # element INDEX as the second argument
+        return F.size(F.filter(toks, lambda x: x == lit)).cast("long")
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)]
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").alias("av"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.join(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dl = F.col("dl").cast("double")
+        nd = F.col("nd").cast("double")
+        av = F.col("av").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = (nd - df + F.lit(0.5)) / (df + F.lit(0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * dl * nd / av
+        )
+        contrib = idf * (tf * F.lit(k1 + 1.0)) / denom
+        score = contrib if score is None else score + contrib
+    return j.select(
+        "doc_id",
+        F.floor(score * F.lit(1e6)).cast("long").alias("bm25_micro"),
+    )
+
+
 def importance_scores(
     docs: DataFrame, target_col: str = "is_target", buckets: int = DSIR_BUCKETS
 ) -> DataFrame:
