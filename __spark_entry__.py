@@ -29,6 +29,7 @@ from paddleocr_spark.golden import ensure_golden, golden_dir
 from paddleocr_spark.operators import ann as ANN
 from paddleocr_spark.operators import dedup as DD
 from paddleocr_spark.operators import select as SEL
+from paddleocr_spark.operators import sketch as SK
 from paddleocr_spark.plans.flagship import flagship
 
 # The extract_* oracles read the frozen golden relations for the sf dir
@@ -322,9 +323,14 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict_system.py:246-257) — one scan, one map-side-combinable groupBy.
 
     (Round 3 folds the former ``json_props`` registry entry in here as
-    columns — same operators, one driver row.)"""
+    columns — same operators, one driver row. Round-3 session 3 folds the
+    deterministic-sketch summary in as constant columns: 64-bucket HLL over
+    document fingerprints (power sum + raw estimate vs the exact distinct
+    count) and count-min point estimates for three probe tokens vs their
+    true counts — operators/sketch.py; the sketches are fixed-size mergeable
+    state, the 100 TB substitute for key-shuffling exact counts.)"""
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
+    rollup = (
         _events(spark, sf_dir)
         .withColumn("k", k)
         .groupBy("event_type")
@@ -336,6 +342,22 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+    docs = _docs(spark, sf_dir)
+    norm = TS.norm_text(F.col("text"))
+    hll = SK.hll_summary(docs, norm)
+    truth = docs.agg(
+        F.countDistinct(F.md5(norm)).cast("long").alias("n_distinct_true")
+    )
+    toks = docs.select(F.explode(TS.tokens(F.col("text"))).alias("tok"))
+    cm = SK.cm_sketch(toks, F.col("tok"))
+    summary = hll.join(truth)
+    for i, t in enumerate(_BM25_TERMS):
+        est = SK.cm_estimate(cm, t).withColumnRenamed("cm_est", f"cm_est{i}")
+        true_c = toks.agg(
+            F.sum((F.col("tok") == t).cast("long")).alias(f"cm_true{i}")
+        )
+        summary = summary.join(est).join(true_c)
+    return rollup.join(F.broadcast(summary))
 
 
 def q_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,13 +1930,94 @@ SELECT event_id, user_id,
 FROM s
 """
 
-    sql["metrics_rollup"] = """
-SELECT event_type, count(*) AS n,
-  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type
+    # sketch-summary mirror (operators/sketch.py): HLL rho via hex-string
+    # scan (no log2/bit_length — portable), registers capped at 40, power
+    # sum as integer bit-shifts; count-min probe buckets injected as the
+    # same md5-derived literals the Spark plan uses.
+    from paddleocr_spark.operators.sketch import (
+        CM_DEPTH as _CMD,
+        HLL_ALPHA as _HALPHA,
+        HLL_M as _HM,
+        RHO_CAP as _RCAP,
+        cm_bucket_literal as _cmb,
+    )
+
+    _hll_numer = repr(_HALPHA * _HM * _HM * float(1 << _RCAP))
+    _cm_probe_sqls = []
+    for _i, _t in enumerate(_BM25_TERMS):
+        _conds = " OR ".join(
+            f"(j = {_j} AND bucket = {_cmb(_t, _j)})" for _j in range(_CMD)
+        )
+        _cm_probe_sqls.append(
+            f"est{_i} AS (SELECT min(c)::BIGINT AS cm_est{_i} FROM cm WHERE {_conds}),\n"
+            f"tru{_i} AS (SELECT CAST(sum(CASE WHEN tok = '{_t}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS cm_true{_i} FROM tk)"
+        )
+    _cm_probes = ",\n".join(_cm_probe_sqls)
+    _cm_cross = " CROSS JOIN ".join(
+        f"est{_i} CROSS JOIN tru{_i}" for _i in range(len(_BM25_TERMS))
+    )
+    _cm_cols = ", ".join(
+        f"cm_est{_i}, cm_true{_i}" for _i in range(len(_BM25_TERMS))
+    )
+    sql["metrics_rollup"] = rf"""
+WITH roll AS (
+  SELECT event_type, count(*) AS n,
+    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+  FROM events GROUP BY event_type
+),
+nrm AS (
+  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents
+),
+hx AS (SELECT md5(norm) AS h FROM nrm),
+hr AS (
+  SELECT CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % {_HM} AS bucket,
+    least(
+      CASE WHEN length(regexp_replace(substr(h, 3, 14), '^0*', '')) = 0
+           THEN 57
+           ELSE length(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) * 4
+                + CASE substr(regexp_replace(substr(h, 3, 14), '^0*', ''), 1, 1)
+                    WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                    WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                    WHEN '7' THEN 1 ELSE 0 END
+                + 1
+      END, {_RCAP})::BIGINT AS rho
+  FROM hx
+),
+regs AS (SELECT bucket, max(rho) AS register FROM hr GROUP BY bucket),
+hll AS (
+  SELECT count(*)::BIGINT AS hll_buckets_used,
+    CAST(sum(1::BIGINT << ({_RCAP} - register))
+         + ({_HM} - count(*)) * (1::BIGINT << {_RCAP}) AS BIGINT)
+      AS hll_sum_scaled
+  FROM regs
+),
+hll2 AS (
+  SELECT hll_buckets_used, hll_sum_scaled,
+    CAST(floor({_hll_numer} / CAST(hll_sum_scaled AS DOUBLE)) AS BIGINT)
+      AS hll_est
+  FROM hll
+),
+truth AS (
+  SELECT count(DISTINCT md5(norm))::BIGINT AS n_distinct_true FROM nrm
+),
+tk AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM nrm),
+cm AS (
+  SELECT j,
+    CAST(('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8)) AS BIGINT)
+      % {SK.CM_WIDTH} AS bucket,
+    count(*) AS c
+  FROM tk, unnest([0, 1, 2, 3]) AS tj(j)
+  GROUP BY 1, 2
+),
+{_cm_probes}
+SELECT roll.*, hll2.hll_buckets_used, hll2.hll_sum_scaled, hll2.hll_est,
+       truth.n_distinct_true, {_cm_cols}
+FROM roll CROSS JOIN hll2 CROSS JOIN truth CROSS JOIN {_cm_cross}
 """
 
     _LINES = """
