@@ -127,10 +127,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-3 session 2 adds ``dsir_micro``: the DSIR-style hashed-token
     importance score of each doc against the corpus's own lang='en' slice
     as the target distribution — operators/select.py importance_scores.)"""
+    d = _docs(spark, sf_dir)
+    base = _text_stats_base(d)
+    dsir = SEL.importance_scores(
+        d.withColumn("is_target", F.col("lang") == "en")
+    )
+    bm25 = SEL.bm25_scores(d, _BM25_TERMS)
+    return base.join(dsir, "doc_id").join(bm25, "doc_id")
+
+
+def _text_stats_base(d: DataFrame) -> DataFrame:
+    """The per-doc text-stats projection WITHOUT the selection-scoring joins
+    (dsir/bm25) — split out so bench.py's longitudinal ``text_stats`` key
+    keeps timing the same computation it timed in rounds 1–3 (the scoring
+    folds get their own bench key)."""
     t = F.col("text")
     bpe = F.regexp_extract_all(TS.norm_text(t), F.lit(_BPE_PAT))
-    d = _docs(spark, sf_dir)
-    base = d.select(
+    return d.select(
         "doc_id",
         TS.token_count(t).cast("long").alias("n_tokens"),
         F.length(TS.norm_text(t)).cast("long").alias("n_chars_norm"),
@@ -142,11 +155,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
     )
-    dsir = SEL.importance_scores(
-        d.withColumn("is_target", F.col("lang") == "en")
-    )
-    bm25 = SEL.bm25_scores(d, _BM25_TERMS)
-    return base.join(dsir, "doc_id").join(bm25, "doc_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

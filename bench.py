@@ -90,24 +90,69 @@ def main() -> None:
 
     # secondary operator benchmarks (training-data pipeline layer); each gets
     # the same untimed warmup pass as extract so codegen/JIT compilation is
-    # not billed to the steady-state number
+    # not billed to the steady-state number.
+    #
+    # LONGITUDINAL CONTRACT: the legacy keys (text_stats, dedup_minhash,
+    # ann_topk) are PINNED to the exact computations benched in rounds 1–3
+    # so per-key walls stay comparable across rounds. Capability folded into
+    # the driver registry later (dsir/bm25 scoring joins on text_stats,
+    # connected components on dedup_minhash, semdedup/sketch columns) is
+    # benched under its own NEW key below — a key never changes meaning.
     import __spark_entry__ as E
+    from paddleocr_spark.operators import ann as ANN
+    from paddleocr_spark.operators import dedup as DD
+    from paddleocr_spark.operators import select as SEL
+    from paddleocr_spark.operators import sketch as SK
+    from paddleocr_spark.functions import textstats as TS
 
-    for name, q in (
-        ("text_stats", E.q_text_stats),
-        ("dedup_minhash", E.q_dedup_minhash),
-        ("ann_topk", E.q_ann_topk),
-    ):
-        _noop(q(spark, sf_dir).limit(512))
-        timed(name, lambda q=q: _noop(q(spark, sf_dir)))
+    def _docs(s=spark):
+        return s.read.parquet(f"{sf_dir}/documents.parquet")
 
-    total = round(sum(timings.values()), 3)
+    def _emb(s=spark):
+        return s.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    legacy = {
+        "text_stats": lambda: E._text_stats_base(_docs()),
+        "dedup_minhash": lambda: DD.minhash_lsh_pairs(
+            DD.with_near_dups(_docs())
+        ),
+        "ann_topk": lambda: E.q_ann_topk(spark, sf_dir),
+    }
+    new_ops = {
+        "dedup_cc": lambda: DD.connected_components(
+            DD.minhash_lsh_pairs(DD.with_near_dups(_docs()))
+        ),
+        "text_select": lambda: SEL.importance_scores(
+            _docs().withColumn("is_target", F.col("lang") == "en")
+        ).join(SEL.bm25_scores(_docs(), E._BM25_TERMS), "doc_id"),
+        "semdedup": lambda: ANN.semdedup_verdicts(_emb()),
+        "sketch": lambda: SK.hll_summary(
+            _docs(), TS.norm_text(F.col("text"))
+        ).join(
+            SK.cm_sketch(
+                _docs().select(
+                    F.explode(TS.tokens(F.col("text"))).alias("tok")
+                ),
+                F.col("tok"),
+            ).agg(F.sum("c").alias("cm_mass"))
+        ),
+    }
+    for name, build in {**legacy, **new_ops}.items():
+        _noop(build().limit(512))
+        timed(name, lambda b=build: _noop(b()))
+
+    # headline total stays the sum of the four round-1 keys (comparable
+    # across BENCH_r*.json); value_all adds the new-operator keys
+    legacy_keys = ("extract", "text_stats", "dedup_minhash", "ann_topk")
+    total = round(sum(timings[k] for k in legacy_keys), 3)
+    total_all = round(sum(timings.values()), 3)
     tps = round(n_turns / timings["extract"], 1) if timings["extract"] else 0.0
     print(
         json.dumps(
             {
                 "metric": "extracted turns/sec (full pipeline, noop sink)",
                 "value": total,
+                "value_all": total_all,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
