@@ -846,13 +846,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup OUTPUT: the corpus (with injected exact copies) after
     removing non-canonical duplicates — one row per surviving doc_id (the
-    remove stage that follows pair identification)."""
+    remove stage that follows pair identification).
+
+    Folded column (round-3 session 3): ``bloom_ref_hit`` — membership of
+    each survivor's fingerprint in a Bloom filter built over a reference
+    slice (doc_id % 3 == 0 of the original corpus): the cross-RUN dedup
+    primitive — yesterday's corpus reduced to a broadcastable 8 KiB bitmap
+    instead of a join side (operators/sketch.py bloom_build/bloom_probe)."""
     d = DD.with_exact_dups(_docs(spark, sf_dir))
     from paddleocr_spark.functions.textstats import fingerprint
 
     fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return canon.select("doc_id", "fp")
+    ref = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("rfp")
+    )
+    bloom = SK.bloom_build(ref, F.col("rfp"))
+    return SK.bloom_probe(
+        canon.select("doc_id", "fp"), F.col("fp"), bloom, "bloom_ref_hit"
+    )
 
 
 def q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2432,15 +2444,57 @@ s3 AS (
 SELECT doc_id, n_emails, n_ips, n_digit_runs, md5(t) AS scrubbed_fp FROM s3
 """
 
+    # bloom_ref_hit mirror (operators/sketch.py bloom_build/bloom_probe):
+    # same md5-salted bit positions, 32-bit words, bit_or bitmap, all-K-bits
+    # membership test.
+    from paddleocr_spark.operators.sketch import (
+        BLOOM_BITS as _BB,
+        BLOOM_K as _BK,
+        BLOOM_WORD as _BW,
+    )
+
+    def _bpos(expr: str, j: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('bloom{j}:' || {expr}), 1, 8)) AS BIGINT)"
+            f" % {_BB}"
+        )
+
+    _bpos_union = " UNION ALL ".join(
+        f"SELECT {_bpos('fp', j)} AS pos FROM ref" for j in range(_BK)
+    )
+    _probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, {_bpos('fp', j)} AS pos FROM canon"
+        for j in range(_BK)
+    )
     sql["dedup_canonical"] = f"""
 WITH {_TD},
 docs2 AS (
   SELECT doc_id, norm FROM td
   UNION ALL
   SELECT doc_id + 100000, norm FROM td
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id, md5(norm) AS fp
+  FROM docs2 GROUP BY md5(norm)
+),
+ref AS (SELECT md5(norm) AS fp FROM td WHERE doc_id % 3 = 0),
+bpos AS ({_bpos_union}),
+bloom AS (
+  SELECT CAST(floor(pos / {_BW}.0) AS BIGINT) AS word,
+         bit_or(1::BIGINT << CAST(pos % {_BW} AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS ({_probe_union}),
+probed AS (
+  SELECT p.doc_id,
+    CASE WHEN ((coalesce(b.bits, 0) >> CAST(p.pos % {_BW} AS INTEGER)) & 1) = 1
+         THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN bloom b
+    ON b.word = CAST(floor(p.pos / {_BW}.0) AS BIGINT)
 )
-SELECT min(doc_id) AS doc_id, md5(norm) AS fp
-FROM docs2 GROUP BY md5(norm)
+SELECT c.doc_id, c.fp, CAST(min(pr.hit) AS BIGINT) AS bloom_ref_hit
+FROM canon c JOIN probed pr ON pr.doc_id = c.doc_id
+GROUP BY c.doc_id, c.fp
 """
 
     sql["broadcast_rollup"] = """

@@ -111,6 +111,77 @@ def hll_summary(df: DataFrame, col) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 16  # m = 65536 bits
+BLOOM_WORD = 32  # 32-bit words: masks stay far from the int64 sign bit
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD
+BLOOM_K = 4
+
+
+def _bloom_positions(col):
+    """Array of BLOOM_K bit positions for a value column (md5-salted)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_BITS
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, col) -> DataFrame:
+    """Bloom-filter bitmap over the values of ``col`` as a (word, bits)
+    relation (≤ 2048 rows of 32-bit words) — the fixed-size mergeable
+    summary that lets a 100 TB run answer "was this document in yesterday's
+    corpus?" WITHOUT joining yesterday's corpus: bitmaps or-merge across
+    shards and runs, and the whole filter broadcasts (8 KiB).
+
+    One explode (×K rows) + one groupBy of ≤ BLOOM_WORDS groups
+    (map-side-combinable bit_or)."""
+    pos = F.explode(_bloom_positions(col)).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / BLOOM_WORD).cast("long").alias("word"),
+            (F.col("pos") % BLOOM_WORD).alias("bit"),
+        )
+        .select(
+            "word",
+            F.expr("shiftleft(cast(1 as bigint), cast(bit as int))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, col, bloom: DataFrame, out: str = "bloom_hit") -> DataFrame:
+    """Membership verdict per input row: 1 iff ALL K bits of ``col`` are set
+    in ``bloom`` (no false negatives; false positives at the standard
+    (K·n/m)^K rate). The bloom side is broadcast; the probe is a K-row
+    explode + equi-join + all-bits groupBy — never a join against the
+    reference corpus itself."""
+    keyed = df.select(
+        "*", F.posexplode(_bloom_positions(col)).alias("_j", "_pos")
+    ).select(
+        *df.columns,
+        "_j",
+        (F.col("_pos") / BLOOM_WORD).cast("long").alias("word"),
+        (F.col("_pos") % BLOOM_WORD).cast("int").alias("bit"),
+    )
+    probed = keyed.join(F.broadcast(bloom), "word", "left").withColumn(
+        "_hit",
+        F.when(
+            F.expr("(shiftright(coalesce(bits, 0L), bit) & 1) = 1"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return probed.groupBy(*df.columns).agg(F.min("_hit").alias(out))
+
+
 def _cm_bucket_col(tok, j: int):
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 8), 16, 10)
