@@ -368,6 +368,21 @@ def connected_components(
     ).unionByName(roots.select("doc_id", F.col("doc_id").alias("comp")))
 
 
+def remove_near_duplicates(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The near-dup REMOVE stage end-to-end: given the corpus and its
+    candidate pair graph, keep exactly one document per connected component
+    (the component-minimum doc_id) plus every unpaired document.
+
+    One anti-join against the loser set (component members that are not the
+    representative) — the loser set is component-graph-sized, far smaller
+    than the corpus, so the anti-join broadcasts at any realistic dup rate.
+    """
+    losers = connected_components(pairs).filter(
+        F.col("doc_id") != F.col("comp")
+    ).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
 EXSUB_WINDOW = 25  # default duplicated-substring window length (tokens)
 
 

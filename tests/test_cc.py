@@ -9,6 +9,7 @@ import pytest
 from paddleocr_spark.operators.dedup import (
     connected_components,
     minhash_lsh_pairs,
+    remove_near_duplicates,
     with_near_dups,
 )
 
@@ -99,3 +100,21 @@ def test_cc_covers_all_pair_nodes_on_corpus(spark, sf_dir):
     want = _uf_components([(r["doc_a"], r["doc_b"]) for r in rows])
     assert got == want
     assert all(c <= n for n, c in got.items())
+
+
+def test_remove_near_duplicates_end_to_end(spark, sf_dir):
+    """Survivors = every unpaired doc + exactly the component minimum of
+    each duplicate group; mutated copies (doc_id+100000) never outlive
+    their originals when paired with them."""
+    docs = with_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pairs = minhash_lsh_pairs(docs)
+    survivors = {
+        r["doc_id"] for r in remove_near_duplicates(docs, pairs).collect()
+    }
+    comp = _uf_components(
+        [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    )
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    want = {d for d in all_ids if d not in comp or comp[d] == d}
+    assert survivors == want
+    assert len(survivors) < len(all_ids)  # the injected near-dups collapse
