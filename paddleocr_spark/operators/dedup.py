@@ -349,14 +349,23 @@ def connected_components(
         )
 
     prev = _checksum(edges)
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges))
         if checkpoint:
             edges = edges.localCheckpoint(eager=True)
         cur = _checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # star rounds provably converge in O(log² n); exhausting the budget
+        # means the input violates assumptions (e.g. self-loops) — refuse
+        # loudly rather than return labels from a non-star edge set
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     # converged: edges are stars (u, root) with root = component min
     roots = edges.select(F.col("v").alias("doc_id")).distinct().join(
         edges.select(F.col("u").alias("doc_id")).distinct(),

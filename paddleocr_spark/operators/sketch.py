@@ -48,7 +48,6 @@ _HEX_ZEROS = {
 
 
 def _digit_zeros(d):
-    expr = F.lit(None).cast("long")
     out = F.lit(0).cast("long")
     for digit, z in _HEX_ZEROS.items():
         out = F.when(d == digit, F.lit(z).cast("long")).otherwise(out)
@@ -162,7 +161,10 @@ def bloom_probe(df: DataFrame, col, bloom: DataFrame, out: str = "bloom_hit") ->
     in ``bloom`` (no false negatives; false positives at the standard
     (K·n/m)^K rate). The bloom side is broadcast; the probe is a K-row
     explode + equi-join + all-bits groupBy — never a join against the
-    reference corpus itself."""
+    reference corpus itself.
+
+    ``df``'s rows must be distinct (the verdict re-groups by all of ``df``'s
+    columns): probe a keyed projection like (doc_id, fp), not raw text."""
     keyed = df.select(
         "*", F.posexplode(_bloom_positions(col)).alias("_j", "_pos")
     ).select(
