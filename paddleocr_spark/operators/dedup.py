@@ -274,7 +274,10 @@ def paragraph_dedup_signals(docs: DataFrame, chunk: int = 20) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 50, checkpoint: bool = True
+    pairs: DataFrame,
+    max_iter: int = 50,
+    checkpoint: bool = True,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the stage between
     near-dup PAIR generation (minhash_lsh_pairs / ngram_jaccard_pairs /
@@ -350,15 +353,20 @@ def connected_components(
 
     prev = _checksum(edges)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges))
         if checkpoint:
             edges = edges.localCheckpoint(eager=True)
+        rounds += 1
         cur = _checksum(edges)
         if cur == prev:
             converged = True
             break
         prev = cur
+    if stats is not None:  # observability: round count + final edge count
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev[0]
     if not converged:
         # star rounds provably converge in O(log² n); exhausting the budget
         # means the input violates assumptions (e.g. self-loops) — refuse
