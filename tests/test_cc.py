@@ -79,11 +79,13 @@ def test_cc_long_chain_converges_fast(spark):
     max_iter=12 would be exceeded by any propagation-style implementation."""
     pairs = [(i, i + 1) for i in range(256)]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    stats = {}
     got = {
         r["doc_id"]: r["comp"]
-        for r in connected_components(df, max_iter=12).collect()
+        for r in connected_components(df, max_iter=12, stats=stats).collect()
     }
     assert got == {i: 0 for i in range(257)}
+    assert 1 <= stats["rounds"] <= 12 and stats["final_edges"] == 256
 
 
 def test_cc_covers_all_pair_nodes_on_corpus(spark, sf_dir):
