@@ -92,3 +92,36 @@ def test_semdedup_plan_no_corpus_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), "within-cluster pair generation must be an equi-join"
+
+
+def test_semdedup_exact_duplicate_vectors_tie_break(spark):
+    """Duplicated embeddings force exact cent_sim ties (vec_id breaks them)
+    and cos = 1.0 pairs: exactly one of each duplicate set survives, and it
+    is the lowest-ranked (lowest vec_id among equals)."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = []
+    vid = 0
+    for v in base:
+        for _ in range(3):  # three exact copies of each vector
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semdedup_verdicts(emb, N_CENTROIDS, TAU_SCALED).collect()
+    }
+    want = _mirror({i: v for i, v in rows})
+    assert {k: (v["sem_cluster"], v["cent_sim_scaled"], v["sem_rank"], v["sem_keep"]) for k, v in got.items()} == want
+    # the two later-ranked copies of each triple are ALWAYS dropped (the
+    # first copy precedes them in-cluster with cos = 1.0 >= tau); the first
+    # copy itself may still be dropped by an unrelated earlier neighbor —
+    # that is the paper's any-earlier-item rule, not a per-group rule
+    for g in range(40):
+        trio = sorted(
+            (got[g * 3 + j] for j in range(3)), key=lambda t: t["sem_rank"]
+        )
+        assert trio[1]["sem_keep"] == 0 and trio[2]["sem_keep"] == 0
+    assert any(v["sem_keep"] == 1 for v in got.values())
