@@ -19,7 +19,8 @@ byte-identical shards at any parallelism. Stage counts ride plan-attached
 single shard-write action.
 
 Shuffle budget at 100 TB: exactly three — dedup fingerprint, pack group,
-shard key. Quality/mix are filter/project (fuse into the scan); the
+shard key (``near_dedup=True`` adds the MinHash-LSH shuffles and the CC
+star rounds — the documented price of transitive near-dup removal). Quality/mix are filter/project (fuse into the scan); the
 pack→text join is on the doc key (co-partitionable; with the bucketed-table
 publish path, sinks/bucketed.py, it plans Exchange-free).
 """
@@ -43,9 +44,16 @@ def run_curate(
     n_groups: int = 256,
     pack_mode: str = "split",
     text_col: str = "extracted_text",
+    near_dedup: bool = False,
 ) -> dict:
     """Run the curation chain over ``extracted`` (needs conv_id, turn_idx and
-    ``text_col``); writes shards to ``out_dir`` and returns stage metrics."""
+    ``text_col``); writes shards to ``out_dir`` and returns stage metrics.
+
+    ``near_dedup=True`` inserts the near-duplicate REMOVE stage after exact
+    dedup: MinHash-LSH candidate pairs → connected components → one survivor
+    per component (operators/dedup.py). Adds the LSH shuffles plus the
+    star-round iterations (eager: the CC convergence loop runs when this
+    function is called); the metrics gain ``rows_near_canonical``."""
     uid = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
     q = quality_columns(F.col(text_col))
 
@@ -80,6 +88,22 @@ def run_curate(
         .observe(obs_dedup, F.count(F.lit(1)).alias("rows_canonical"))
     )
 
+    near_stats: dict = {}
+    if near_dedup:
+        from ..operators.dedup import minhash_lsh_pairs, remove_near_duplicates
+
+        pairs = minhash_lsh_pairs(
+            canon.select(F.col("doc_uid").alias("doc_id"), "text")
+        )
+        canon = remove_near_duplicates(
+            canon.withColumnRenamed("doc_uid", "doc_id"), pairs
+        ).withColumnRenamed("doc_id", "doc_uid")
+        obs_near = Observation("curate_near")
+        canon = canon.observe(
+            obs_near, F.count(F.lit(1)).alias("rows_near_canonical")
+        )
+        near_stats["_obs"] = obs_near
+
     obs_mix = Observation("curate_mix")
     mixed = curriculum_sample(canon, rates, tier_col="tier", id_col="doc_uid").observe(
         obs_mix, F.count(F.lit(1)).alias("rows_mixed")
@@ -106,5 +130,10 @@ def run_curate(
         "rows_written": manifest["total_rows"],
         **{k: int(v) for k, v in obs_in.get.items()},
         **{k: int(v) for k, v in obs_dedup.get.items()},
+        **(
+            {k: int(v) for k, v in near_stats["_obs"].get.items()}
+            if near_stats
+            else {}
+        ),
         **{k: int(v) for k, v in obs_mix.get.items()},
     }

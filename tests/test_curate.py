@@ -104,3 +104,37 @@ def test_curate_parallelism_invariant(spark, extracted, tmp_path):
         a = pq.read_table(f1, columns=["doc_uid"])["doc_uid"].to_pylist()
         b = pq.read_table(f2, columns=["doc_uid"])["doc_uid"].to_pylist()
         assert a == b  # byte-identical shard order at any parallelism
+
+
+def test_curate_near_dedup_removes_mutated_copies(spark, extracted, tmp_path):
+    """near_dedup=True: a mutated near-copy (last tokens dropped) of every
+    row collapses into its original's component, so rows_near_canonical
+    falls below rows_canonical and shards stay deterministic."""
+    import pyspark.sql.functions as F
+
+    toks = F.split(F.col("extracted_text"), " ")
+    mutated = extracted.select(
+        F.concat(F.col("conv_id"), F.lit("-near")).alias("conv_id"),
+        "turn_idx",
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("extracted_text"),
+    )
+    both = extracted.unionByName(mutated)
+    m = run_curate(
+        both, str(tmp_path / "near"), max_tokens=120, n_shards=2,
+        n_groups=8, near_dedup=True,
+    )
+    assert "rows_near_canonical" in m
+    assert m["rows_near_canonical"] < m["rows_canonical"], (
+        "near-dup removal must collapse the injected mutated copies"
+    )
+    # exact-dup stage can't see the mutations; near-dup stage must
+    assert m["rows_canonical"] > m["rows_near_canonical"] >= 1
+    # determinism: same input, same out
+    m2 = run_curate(
+        both, str(tmp_path / "near2"), max_tokens=120, n_shards=2,
+        n_groups=8, near_dedup=True,
+    )
+    assert m2["rows_near_canonical"] == m["rows_near_canonical"]
+    assert m2["rows_written"] == m["rows_written"]
