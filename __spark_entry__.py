@@ -1816,7 +1816,10 @@ ivf_ranked AS (
     # centroid similarity), dropped iff a lower-ranked cluster member has
     # floor(cos*1e9) >= tau_scaled — all integer comparisons after the same
     # sequential double folds, so exact.
-    _SEM_TAU = 200_000_000
+    # tau imported from the operator module so the mirror can never silently
+    # diverge from semdedup_verdicts' default (ADVICE r03)
+    from paddleocr_spark.operators.ann import SEM_TAU_SCALED as _SEM_TAU
+
     _SEM_CTES = f"""
 sasg0 AS (
   SELECT b.vec_id, c.cent_id, {_cos('b.e', 'c.ce')} AS s,
@@ -1963,13 +1966,20 @@ FROM s
     )
 
     _hll_numer = repr(_HALPHA * _HM * _HM * float(1 << _RCAP))
+    _cm_js = ", ".join(map(str, range(_CMD)))  # depth list derived from CM_DEPTH
     _cm_probe_sqls = []
     for _i, _t in enumerate(_BM25_TERMS):
-        _conds = " OR ".join(
-            f"(j = {_j} AND bucket = {_cmb(_t, _j)})" for _j in range(_CMD)
+        # a missing (j, bucket) row means counter 0 — coalesce each depth
+        # lookup to 0 before the min (mirrors sketch.cm_estimate exactly)
+        _lookups = ", ".join(
+            f"coalesce(min(CASE WHEN j = {_j} AND bucket = {_cmb(_t, _j)}"
+            f" THEN c END), 0) AS d{_j}"
+            for _j in range(_CMD)
         )
+        _least = "least(" + ", ".join(f"d{_j}" for _j in range(_CMD)) + ")"
         _cm_probe_sqls.append(
-            f"est{_i} AS (SELECT min(c)::BIGINT AS cm_est{_i} FROM cm WHERE {_conds}),\n"
+            f"est{_i} AS (SELECT CAST({_least} AS BIGINT) AS cm_est{_i}"
+            f" FROM (SELECT {_lookups} FROM cm)),\n"
             f"tru{_i} AS (SELECT CAST(sum(CASE WHEN tok = '{_t}' THEN 1 ELSE 0 END)"
             f" AS BIGINT) AS cm_true{_i} FROM tk)"
         )
@@ -2031,7 +2041,7 @@ cm AS (
     CAST(('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8)) AS BIGINT)
       % {SK.CM_WIDTH} AS bucket,
     count(*) AS c
-  FROM tk, unnest([0, 1, 2, 3]) AS tj(j)
+  FROM tk, unnest([{_cm_js}]) AS tj(j)
   GROUP BY 1, 2
 ),
 {_cm_probes}

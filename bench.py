@@ -105,11 +105,15 @@ def main() -> None:
     from paddleocr_spark.operators import sketch as SK
     from paddleocr_spark.functions import textstats as TS
 
-    def _docs(s=spark):
-        return s.read.parquet(f"{sf_dir}/documents.parquet")
+    # Route through the entry-module readers (which apply _par's repartition)
+    # so a single-row-group parquet doesn't serialize the whole key on one
+    # core — keeps per-key walls comparable to the rounds-1–3 numbers, which
+    # were timed via q_* wrappers that read through the same helpers.
+    def _docs():
+        return E._docs(spark, sf_dir)
 
-    def _emb(s=spark):
-        return s.read.parquet(f"{sf_dir}/embeddings.parquet")
+    def _emb():
+        return E._emb(spark, sf_dir)
 
     legacy = {
         "text_stats": lambda: E._text_stats_base(_docs()),

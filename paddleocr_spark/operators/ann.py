@@ -219,10 +219,13 @@ def lsh_cosine_topk(
     )
 
 
+SEM_TAU_SCALED = 200_000_000  # cos ≥ 0.2 in 1e9 units (shared with the oracle mirror)
+
+
 def semdedup_verdicts(
     emb: DataFrame,
     n_centroids: int = 16,
-    tau_scaled: int = 200_000_000,  # cos ≥ 0.2 in 1e9 units
+    tau_scaled: int = SEM_TAU_SCALED,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster-scoped semantic
@@ -257,17 +260,25 @@ def semdedup_verdicts(
         * F.sqrt(_dot(F.col("ce"), F.col("ce")))
     )
     scored = base.join(cents, how="cross").withColumn("_sim", sim)
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("_sim").desc(), F.col("cent_id").asc()
+    # Nearest-centroid argmax as a map-side-combinable max_by: the former
+    # row_number() window partitioned by vec_id exchanged all n_centroids
+    # candidate rows per vector (a 16× shuffle-volume tax on the assignment
+    # stage at 10^9 vectors); max_by partial-aggregates before the exchange,
+    # so exactly ONE row per vector crosses the wire. Tie-break matches the
+    # old window ordering (_sim DESC, cent_id ASC) via the lexicographic
+    # (_sim, -cent_id) ordering struct.
+    best = F.max_by(
+        F.struct(F.col("cent_id"), F.col("_sim"), F.col("e")),
+        F.struct(F.col("_sim").alias("s"), (-F.col("cent_id")).alias("nc")),
     )
     assigned = (
-        scored.withColumn("_rk", F.row_number().over(aw))
-        .filter(F.col("_rk") == 1)
+        scored.groupBy("vec_id")
+        .agg(best.alias("_b"))
         .select(
             "vec_id",
-            "e",
-            F.col("cent_id").alias("sem_cluster"),
-            F.floor(F.col("_sim") * F.lit(1e9))
+            F.col("_b.e").alias("e"),
+            F.col("_b.cent_id").alias("sem_cluster"),
+            F.floor(F.col("_b._sim") * F.lit(1e9))
             .cast("long")
             .alias("cent_sim_scaled"),
         )

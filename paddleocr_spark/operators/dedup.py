@@ -391,13 +391,17 @@ def remove_near_duplicates(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     (the component-minimum doc_id) plus every unpaired document.
 
     One anti-join against the loser set (component members that are not the
-    representative) — the loser set is component-graph-sized, far smaller
-    than the corpus, so the anti-join broadcasts at any realistic dup rate.
+    representative). The loser set is component-graph-sized, far smaller than
+    the corpus at any realistic dup rate — but at a pathological duplicate
+    rate (e.g. a mirrored corpus) it approaches corpus size, so we do NOT
+    force a broadcast hint: AQE (enabled in session.py) converts the anti-join
+    to a broadcast at runtime when the built side is actually small, and falls
+    back to a hash join instead of OOMing the driver when it isn't.
     """
     losers = connected_components(pairs).filter(
         F.col("doc_id") != F.col("comp")
     ).select("doc_id")
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 EXSUB_WINDOW = 25  # default duplicated-substring window length (tokens)
@@ -487,16 +491,43 @@ def substring_dup_spans(docs: DataFrame, window: int = EXSUB_WINDOW) -> DataFram
     spans_arr = F.coalesce(
         F.col("spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
     )
-    idxs = F.sequence(F.lit(0), (F.col("ss_total_tokens") - 1).cast("int"))
-    kept_idx = F.filter(
-        idxs,
-        lambda i: ~F.exists(
-            spans_arr, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    # Complement-slice reconstruction: the spans are sorted, disjoint and
+    # strictly separated (island merge guarantees s_next > e_prev), so the
+    # kept text is the concatenation of the token slices BETWEEN consecutive
+    # spans plus the tail after the last one — O(tokens + spans) per doc,
+    # replacing the former per-token sequence+exists scan that paid
+    # O(tokens * spans) on long documents.
+    kept_parts = F.aggregate(
+        spans_arr,
+        F.struct(
+            F.lit(0).cast("bigint").alias("p"),
+            F.array().cast("array<array<string>>").alias("parts"),
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("p"),
+            F.concat(
+                acc["parts"],
+                F.array(
+                    F.slice(
+                        "toks",
+                        (acc["p"] + 1).cast("int"),
+                        (sp["s"] - acc["p"]).cast("int"),
+                    )
+                ),
+            ).alias("parts"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.array(
+                F.slice(
+                    F.col("toks"),
+                    (acc["p"] + 1).cast("int"),
+                    (F.col("ss_total_tokens") - acc["p"]).cast("int"),
+                )
+            ),
         ),
     )
-    kept_text = F.array_join(
-        F.transform(kept_idx, lambda i: F.get("toks", i)), " "
-    )
+    kept_text = F.array_join(F.flatten(kept_parts), " ")
     return joined.select(
         "doc_id",
         "ss_total_tokens",

@@ -223,11 +223,27 @@ def cm_sketch(df: DataFrame, tok_col) -> DataFrame:
 
 def cm_estimate(sketch: DataFrame, token: str):
     """Point-frequency estimate for a literal token: min over the sketch's
-    CM_DEPTH rows at the token's buckets (an upper bound on the true count).
-    Returns a 1-row DataFrame (cm_est)."""
-    cond = None
+    CM_DEPTH counters at the token's buckets (an upper bound on the true
+    count). A (j, bucket) row absent from the sketch relation means that
+    counter is ZERO, so each depth lookup coalesces to 0 before the min —
+    otherwise an unseen/rare probe token's estimate would be inflated to the
+    min over only the *present* rows (or NULL if all four are absent),
+    deviating from count-min semantics. Returns a 1-row DataFrame (cm_est)."""
+    per_depth = []
     for j in range(CM_DEPTH):
         b = cm_bucket_literal(token, j)
-        c = (F.col("j") == j) & (F.col("bucket") == b)
-        cond = c if cond is None else cond | c
-    return sketch.filter(cond).agg(F.min("c").cast("long").alias("cm_est"))
+        per_depth.append(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("j") == j) & (F.col("bucket") == b), F.col("c")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_d{j}")
+        )
+    return sketch.agg(*per_depth).select(
+        F.least(*[F.col(f"_d{j}") for j in range(CM_DEPTH)]).alias("cm_est")
+    )

@@ -248,6 +248,39 @@ def test_substring_dup_spans_plan(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_substring_dup_spans_long_doc(spark):
+    """Long-doc scale case (r03 verdict #5): 50k tokens, 500 duplicated
+    spans. The complement-slice reconstruction is O(tokens + spans); the old
+    per-token sequence+exists scan paid O(tokens × spans). Structure: 1000
+    alternating 50-token blocks — even blocks globally-unique tokens, odd
+    blocks the same repeated 50-token phrase, so every window fully inside an
+    odd block is duplicated (26 per block, merging to exactly one span per
+    block) and every window touching a unique token is not. Kept text is
+    therefore exactly the unique blocks, in order — asserted byte-exact."""
+    import time
+
+    blocks = []
+    for b in range(1000):
+        if b % 2 == 0:
+            blocks.append([f"a{b * 50 + j}" for j in range(50)])
+        else:
+            blocks.append([f"dup{j}" for j in range(50)])
+    toks = [t for blk in blocks for t in blk]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    t0 = time.time()
+    o = DD.substring_dup_spans(df, window=25).collect()[0]
+    wall = time.time() - t0
+    assert o.ss_total_tokens == 50000
+    assert o.ss_windows == 50000 - 25 + 1
+    assert o.ss_spans == 500 and o.ss_dup_tokens == 25000
+    assert o.ss_dup_windows == 500 * 26
+    want_kept = " ".join(
+        t for blk in blocks for t in blk if blk[0].startswith("a")
+    )
+    assert o.ss_kept_text == want_kept
+    assert wall < 120, f"long-doc reconstruction too slow: {wall:.1f}s"
+
+
 def test_importance_scores_dsir(spark):
     """DSIR-style hashed importance scoring: docs made of target-slice
     vocabulary must outscore docs made of non-target vocabulary, every doc

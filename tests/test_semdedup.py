@@ -94,6 +94,23 @@ def test_semdedup_plan_no_corpus_cartesian(spark, sf_dir):
     ), "within-cluster pair generation must be an equi-join"
 
 
+def test_semdedup_assignment_no_window_exchange(spark, sf_dir):
+    """Scale gate (r03 verdict #4): the nearest-centroid assignment must be a
+    map-side-combinable max_by aggregate, NOT a row_number window over the
+    corpus×16 scored cross product. The only Window in the whole plan is the
+    per-cluster sem_rank (one input row per vector)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = semdedup_verdicts(emb)._jdf.queryExecution().executedPlan().toString()
+    # every Window node must be the sem_rank one (partitioned by
+    # sem_cluster); none may partition by vec_id (the old assignment shape)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(sem_cluster" in line, line
+    assert "partial_max_by" in plan, (
+        "assignment must plan as a map-side-combinable max_by aggregate"
+    )
+
+
 def test_semdedup_exact_duplicate_vectors_tie_break(spark):
     """Duplicated embeddings force exact cent_sim ties (vec_id breaks them)
     and cos = 1.0 pairs: exactly one of each duplicate set survives, and it
