@@ -62,7 +62,7 @@ def register_sql_functions(
     """Register the kernel for ``spark.sql`` use. Returns the names.
 
     - ``ps_extract_text(text)``  → extracted_text string
-    - ``ps_payload_kind(text)``  → 'html' | 'pdf' | 'plain'
+    - ``ps_payload_kind(text)``  → 'html' | 'pdf' | 'pdf_real' | 'plain'
     - ``ps_n_spans(text)``       → number of kept spans
     """
     from pyspark.sql import functions as F, types as T

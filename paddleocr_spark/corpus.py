@@ -8,7 +8,8 @@ ts timestamp)`` — by deriving payloads from the driver's
 produced by the pure-Python generator (pytest goldens) and the distributed
 Spark generator (mapInPandas) at any parallelism.
 
-Payload mix per turn (FIXTURES.md §2): 55% HTML / 25% PDF-like / 20% plain.
+Payload mix per turn (FIXTURES.md §2): 50% HTML / 20% PDF-like / 15% real
+``%PDF-`` byte streams / 15% plain.
 Skew (FIXTURES.md §1): doc_id % 97 == 0 → 100× the median turn count, which
 is what the salted repartition in operators/extract.py has to defuse.
 """
@@ -27,7 +28,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3  # v3: real %PDF- payloads join the mix (SPEC §3b)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -138,6 +139,113 @@ def _make_pdflike(rng: random.Random, words: List[str]) -> str:
     return "\n".join(lines)
 
 
+def _pdf_str(s: str) -> str:
+    """Escape a text for a PDF literal string."""
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def _make_realpdf(rng: random.Random, words: List[str]) -> str:
+    """A deterministic real PDF (uncompressed text objects, SPEC §3b):
+    classic skeleton (catalog/pages/page objects, MediaBox, xref-less
+    trailer) with one content stream per page exercising Tj/TJ/hex/escape
+    show forms, Td/TD/Tm/T*/' positioning, header+footer bands, optional
+    two-column layout, an occasional /Filter stream (skipped) and occasional
+    truncation (unterminated-stream path)."""
+    letter = rng.random() < 0.8
+    mb_w, mb_h = (612, 792) if letter else (595, 842)
+    n_pages = 2 if rng.random() < 0.20 else 1
+
+    def show(sent: str) -> str:
+        roll = rng.random()
+        if roll < 0.45:
+            return f"({_pdf_str(sent)}) Tj"
+        if roll < 0.65:  # TJ with a kerning-space join
+            ws = sent.split(" ")
+            cut = rng.randint(1, max(1, len(ws) - 1))
+            a, b = " ".join(ws[:cut]), " ".join(ws[cut:])
+            return f"[({_pdf_str(a)}) {-rng.randint(180, 400)} ({_pdf_str(b)})] TJ"
+        if roll < 0.80:  # hex string
+            return "<" + "".join(f"{ord(c):02X}" for c in sent) + "> Tj"
+        if roll < 0.90:  # parens + octal escapes in the text
+            return f"(\\({_pdf_str(sent)}\\) \\050oct\\051) Tj"
+        # two consecutive shows on one line
+        ws = sent.split(" ")
+        cut = max(1, len(ws) // 2)
+        return (
+            f"({_pdf_str(' '.join(ws[:cut]))}) Tj"
+            f" ( {_pdf_str(' '.join(ws[cut:]))}) Tj"
+        )
+
+    streams = []
+    for _page in range(n_pages):
+        fs = rng.choice((9, 10, 12))
+        ll = fs + rng.randint(3, 6)
+        ops = ["BT"]
+        if rng.random() < 0.7:  # header band
+            ops += [f"/F1 8 Tf 72 {mb_h - 26} Td",
+                    f"({_pdf_str(_sent(rng, words, 3))} header) Tj"]
+        ops.append("ET")
+        if rng.random() < 0.35:  # two columns, one BT block each, Tm-positioned
+            for x in (72, 330):
+                ops.append("BT")
+                ops.append(f"/F1 {fs} Tf {ll} TL 1 0 0 1 {x} {mb_h - 92} Tm")
+                for li in range(rng.randint(2, 4)):
+                    if li:
+                        ops.append("T*")
+                    ops.append(show(_sent(rng, words, rng.randint(3, 5))))
+                ops.append("ET")
+        else:  # single column
+            ops.append("BT")
+            ops.append(f"/F1 {fs} Tf {ll} TL 72 {mb_h - 92} Td")
+            for li in range(rng.randint(3, 6)):
+                if li:
+                    r = rng.random()
+                    if r < 0.5:
+                        ops.append("T*")
+                    elif r < 0.8:
+                        ops.append(f"0 -{ll} Td")
+                    else:
+                        ops.append(f"({_pdf_str(_sent(rng, words, rng.randint(4, 8)))}) '")
+                        continue
+                ops.append(show(_sent(rng, words, rng.randint(4, 10))))
+            ops.append("ET")
+        if rng.random() < 0.7:  # footer band
+            ops += ["BT", "/F1 8 Tf 72 18 Td",
+                    f"(page {_page} footer) Tj", "ET"]
+        else:
+            ops.append("BT ET")
+        streams.append("\n".join(ops))
+
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{' '.join(f'{3 + i} 0 R' for i in range(n_pages))}]"
+        f" /Count {n_pages} /MediaBox [0 0 {mb_w} {mb_h}] >>",
+    ]
+    first_content = 3 + n_pages
+    for i in range(n_pages):
+        objs.append(f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R >>")
+
+    parts = ["%PDF-1.4"]
+    for i, body in enumerate(objs):
+        parts.append(f"{i + 1} 0 obj\n{body}\nendobj")
+    for i, content in enumerate(streams):
+        parts.append(
+            f"{first_content + i} 0 obj\n<< /Length {len(content)} >>\n"
+            f"stream\n{content}\nendstream\nendobj"
+        )
+    if rng.random() < 0.08:  # a compressed stream: skipped, counted dropped
+        parts.append(
+            f"{first_content + n_pages} 0 obj\n"
+            "<< /Length 12 /Filter /FlateDecode >>\n"
+            "stream\nxxxxGARBLEDxx\nendstream\nendobj"
+        )
+    parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
+    doc = "\n".join(parts)
+    if rng.random() < 0.07:  # truncated payload → must not error
+        doc = doc[: rng.randint(len(doc) // 2, len(doc) - 1)]
+    return doc
+
+
 def _make_plain(rng: random.Random, words: List[str]) -> str:
     paras = []
     for _ in range(rng.randint(1, 5)):
@@ -159,10 +267,12 @@ def payload_for(doc_id: int, rep: int, turn_idx: int, words: List[str]) -> str:
     h = _h(f"{conv_id_for(doc_id, rep)}:{turn_idx}")
     rng = random.Random(h)
     r = h % 100
-    if r < 55:
+    if r < 50:
         return _make_html(rng, words)
-    if r < 80:
+    if r < 70:
         return _make_pdflike(rng, words)
+    if r < 85:
+        return _make_realpdf(rng, words)
     return _make_plain(rng, words)
 
 

@@ -1,4 +1,4 @@
-from .sniff import sniff_kind, sniff_kind_col, PDF_MAGIC
+from .sniff import sniff_kind, sniff_kind_col, PDF_MAGIC, PDF_REAL_MAGIC
 from .textnorm import (
     decode_entities,
     collapse_ws,
@@ -16,6 +16,7 @@ __all__ = [
     "sniff_kind",
     "sniff_kind_col",
     "PDF_MAGIC",
+    "PDF_REAL_MAGIC",
     "decode_entities",
     "collapse_ws",
     "scrub_style_tags",

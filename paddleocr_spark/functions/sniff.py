@@ -5,9 +5,10 @@ The reference routes crops through a cheap classifier before recognition
 regions on ``region["label"]`` (/root/reference/ppstructure/predict_system.py:161-179).
 The engine's analog is a prefix+structure sniff on the payload:
 
-    'pdf'   — starts with 'PDFLIKE v1'
-    'html'  — an HTML-looking tag within the first 4096 chars
-    'plain' — everything else
+    'pdf'      — starts with 'PDFLIKE v1' (the synthetic mini-format)
+    'pdf_real' — starts with '%PDF-' (real byte-stream PDFs, SPEC §3b)
+    'html'     — an HTML-looking tag within the first 4096 chars
+    'plain'    — everything else
 
 Exists in two equivalent forms: pure Python (kernel/oracle) and a Spark Column
 expression using only built-ins, so routing stays in whole-stage codegen.
@@ -24,6 +25,7 @@ _HTML_SNIFF = (
 _HTML_SNIFF_RE = re.compile(_HTML_SNIFF, re.IGNORECASE)
 
 PDF_MAGIC = "PDFLIKE v1"
+PDF_REAL_MAGIC = "%PDF-"
 
 
 def sniff_kind(text) -> str:
@@ -32,6 +34,8 @@ def sniff_kind(text) -> str:
     s = text.lstrip()
     if s.startswith(PDF_MAGIC):
         return "pdf"
+    if s.startswith(PDF_REAL_MAGIC):
+        return "pdf_real"
     if _HTML_SNIFF_RE.search(text[:4096]):
         return "html"
     return "plain"
@@ -45,6 +49,7 @@ def sniff_kind_col(col):
     return (
         F.when(col.isNull(), F.lit("plain"))
         .when(F.ltrim(col).startswith(PDF_MAGIC), F.lit("pdf"))
+        .when(F.ltrim(col).startswith(PDF_REAL_MAGIC), F.lit("pdf_real"))
         .when(head.rlike("(?i)" + _HTML_SNIFF), F.lit("html"))
         .otherwise(F.lit("plain"))
     )

@@ -47,10 +47,12 @@ from .corpus import CORPUS_VERSION, generate_rows
 from .oracle import oracle_extract
 
 GOLDEN_ROOT = "/tmp/paddleocr_spark_golden"
-GOLDEN_VERSION = 4  # bump when oracle semantics / golden schemas change
+GOLDEN_VERSION = 5  # bump when oracle semantics / golden schemas change
 # v4 (round 3): corpus.parquet carries the raw payload ``text`` so the
 # e2e_spotting DuckDB oracle can re-parse payloads in SQL — an independent
 # re-derivation, not a frozen-result readback.
+# v5 (round 4): real %PDF- payloads (kind pdf_real, SPEC §3b) join the corpus
+# mix; the pdf-variant golden gates cover both pdf kinds.
 
 PARA_CONFIG = ExtractConfig(merge_paragraphs=True)
 FORMULA_CONFIG = ExtractConfig(detect_formula=True)
@@ -192,9 +194,9 @@ def ensure_golden(sf_dir: str) -> str:
             ]
         )
 
-        # merge_paragraphs only changes the pdf path; html/plain results are
+        # merge_paragraphs only changes the pdf paths; html/plain results are
         # identical by construction (config gates _oracle_para_merge only)
-        if res["kind"] == "pdf":
+        if res["kind"] in ("pdf", "pdf_real"):
             res_p = oracle_extract(row["text"], PARA_CONFIG)
         else:
             res_p = res
@@ -219,8 +221,8 @@ def ensure_golden(sf_dir: str) -> str:
         )
         formula_rows["extracted_text"].append(res_f["extracted_text"])
 
-        # layout_mode="walk" only changes the pdf ordering path
-        if res["kind"] == "pdf":
+        # layout_mode="walk" only changes the pdf ordering paths
+        if res["kind"] in ("pdf", "pdf_real"):
             res_w = oracle_extract(row["text"], WALK_CONFIG)
         else:
             res_w = res

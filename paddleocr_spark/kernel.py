@@ -21,6 +21,7 @@ from .config import ExtractConfig, DEFAULT_CONFIG
 from .functions.sniff import sniff_kind
 from .functions.htmltok import html_blocks
 from .functions.pdflike import pdflike_spans
+from .functions.realpdf import realpdf_spans
 from .functions.textnorm import collapse_ws, squeeze_newlines
 
 _PARA_SPLIT_RE = re.compile(r"\n\s*\n")
@@ -78,6 +79,8 @@ def extract_payload(text, cfg: ExtractConfig = DEFAULT_CONFIG):
         text = text[: cfg.max_payload_chars]
     if kind == "pdf":
         raw, n_dropped = pdflike_spans(text, cfg)
+    elif kind == "pdf_real":
+        raw, n_dropped = realpdf_spans(text, cfg)
     elif kind == "html":
         raw2, n_dropped = html_blocks(text, cfg)
         raw = [(k, t, s, None) for (k, t, s) in raw2]

@@ -47,8 +47,11 @@ def _decode(s: str) -> str:
 def oracle_sniff(text) -> str:
     if text is None:
         return "plain"
-    if text.lstrip().startswith("PDFLIKE v1"):
+    s = text.lstrip()
+    if s.startswith("PDFLIKE v1"):
         return "pdf"
+    if s.startswith("%PDF-"):
+        return "pdf_real"
     return "html" if HTML_SNIFF_RE.search(text[:4096]) else "plain"
 
 
@@ -371,6 +374,274 @@ def _oracle_para_merge(ordered, cfg: ExtractConfig):
     return out
 
 
+# --- real-PDF path (SPEC §3b) — independent re-derivation -------------------
+# The kernel (functions/realpdf.py) interprets content streams with a
+# single-pass hand-rolled character scanner; the oracle tokenizes the whole
+# stream into a token list with regex chunking FIRST, then interprets the
+# list — two passes, different string decoding, same contract.
+
+RPDF_MEDIABOX_RE = re.compile(  # format-spec literal (shared by definition)
+    r"/MediaBox\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]"
+)
+_RPDF_STREAM_RE = re.compile(r"stream\r?\n")
+_RPDF_NUM_RE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)\Z")
+_RPDF_RUN_RE = re.compile(r"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+_RPDF_STRCHUNK_RE = re.compile(r"\\([0-7]{1,3}|\n|.)|([()])|([^\\()]+)", re.DOTALL)
+_RPDF_HEXBODY_RE = re.compile(r"[^>]*")
+_RPDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\x08", "f": "\x0c"}
+_RPDF_WS = "\x00\t\n\x0c\r "
+
+
+def _rpdf_mediabox(text: str):
+    m = RPDF_MEDIABOX_RE.search(text)
+    if m:
+        try:
+            a, b, c, d = map(float, m.groups())
+        except ValueError:
+            return 612.0, 792.0
+        if c - a > 0 and d - b > 0:
+            return c - a, d - b
+    return 612.0, 792.0
+
+
+def _rpdf_tokens(content: str):
+    """Pass 1: content → token list. Tokens: ('num', f) ('str', s) ('name', s)
+    ('op', s) ('arrs',) ('arre',). Unterminated string ends the scan."""
+    toks, i, n = [], 0, len(content)
+    while i < n:
+        ch = content[i]
+        if ch in _RPDF_WS or ch in "{}":
+            i += 1
+            continue
+        if ch == "%":
+            nl = content.find("\n", i)
+            i = n if nl < 0 else nl + 1
+            continue
+        if ch == "(":
+            parts, depth, i = [], 1, i + 1
+            terminated = False
+            while i < n:
+                m = _RPDF_STRCHUNK_RE.match(content, i)
+                if m is None:
+                    break
+                i = m.end()
+                esc, paren, plain = m.groups()
+                if plain is not None:
+                    parts.append(plain)
+                elif paren == "(":
+                    depth += 1
+                    parts.append("(")
+                elif paren == ")":
+                    depth -= 1
+                    if depth == 0:
+                        terminated = True
+                        break
+                    parts.append(")")
+                elif esc == "\n":
+                    pass  # line continuation
+                elif esc[0] in "01234567":
+                    parts.append(chr(int(esc, 8) % 256))
+                else:
+                    parts.append(_RPDF_ESC.get(esc, esc))
+            toks.append(("str", "".join(parts)))
+            if not terminated:
+                break
+            continue
+        if ch == "<":
+            if content[i : i + 2] == "<<":
+                i += 2
+                continue
+            body = _RPDF_HEXBODY_RE.match(content, i + 1).group(0)
+            i = min(i + 1 + len(body) + 1, n)
+            hx = "".join(c for c in body if c in "0123456789abcdefABCDEF")
+            if len(hx) % 2:
+                hx += "0"
+            toks.append(
+                ("str", "".join(chr(int(hx[k : k + 2], 16)) for k in range(0, len(hx), 2)))
+            )
+            continue
+        if ch == ">":
+            i += 2 if content[i : i + 2] == ">>" else 1
+            continue
+        if ch == "[":
+            toks.append(("arrs",))
+            i += 1
+            continue
+        if ch == "]":
+            toks.append(("arre",))
+            i += 1
+            continue
+        if ch == "/":
+            m = _RPDF_RUN_RE.match(content, i + 1)
+            toks.append(("name", m.group(0) if m else ""))
+            i = i + 1 + (len(m.group(0)) if m else 0)
+            continue
+        m = _RPDF_RUN_RE.match(content, i)
+        if m is None:  # stray delimiter (e.g. an unmatched ')') — skip it
+            i += 1
+            continue
+        run = m.group(0)
+        i = m.end()
+        if _RPDF_NUM_RE.match(run):
+            toks.append(("num", float(run)))
+        else:
+            toks.append(("op", run))
+    return toks
+
+
+def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig):
+    """Pass 2: token list → line boxes in canonical top-left coordinates."""
+    import math
+
+    sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
+    boxes = []
+    state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False}
+    buf = []
+    stack = []
+    arr = None
+
+    def flush():
+        txt = "".join(buf)
+        if txt.strip():
+            adv = 0.5 * state["fs"] * len(txt)
+            boxes.append(
+                (
+                    int(math.floor(state["x"] * sx + 0.5)),
+                    int(math.floor((mb_h - state["y"] - state["fs"]) * sy + 0.5)),
+                    int(math.floor((state["x"] + adv) * sx + 0.5)),
+                    int(math.floor((mb_h - state["y"]) * sy + 0.5)),
+                    len(boxes),
+                    txt,
+                )
+            )
+        buf.clear()
+
+    def tail_nums(k):
+        if len(stack) >= k and all(t[0] == "num" for t in stack[-k:]):
+            return [t[1] for t in stack[-k:]]
+        return None
+
+    for tok in toks:
+        kindt = tok[0]
+        if kindt in ("num", "str", "name"):
+            (arr if arr is not None else stack).append(tok)
+            continue
+        if kindt == "arrs":
+            if arr is None:
+                arr = []
+            continue
+        if kindt == "arre":
+            if arr is not None:
+                stack.append(("arr", arr))
+                arr = None
+            continue
+        op = tok[1]
+        if arr is not None:
+            continue  # operators inside an open array: ignored
+        if op == "BT":
+            if state["in"]:
+                flush()
+            state.update(x=0.0, y=0.0, lead=0.0)
+            state["in"] = True
+        elif state["in"]:
+            if op == "Tf" and stack and stack[-1][0] == "num":
+                flush()
+                state["fs"] = stack[-1][1]
+            elif op == "Td":
+                v = tail_nums(2)
+                if v:
+                    flush()
+                    state["x"] += v[0]
+                    state["y"] += v[1]
+            elif op == "TD":
+                v = tail_nums(2)
+                if v:
+                    flush()
+                    state["lead"] = -v[1]
+                    state["x"] += v[0]
+                    state["y"] += v[1]
+            elif op == "TL" and stack and stack[-1][0] == "num":
+                state["lead"] = stack[-1][1]
+            elif op == "Tm":
+                v = tail_nums(6)
+                if v:
+                    flush()
+                    state["x"], state["y"] = v[4], v[5]
+            elif op == "T*":
+                flush()
+                state["y"] -= state["lead"]
+            elif op == "Tj" and stack and stack[-1][0] == "str":
+                buf.append(stack[-1][1])
+            elif op in ("'", '"') and stack and stack[-1][0] == "str":
+                flush()
+                state["y"] -= state["lead"]
+                buf.append(stack[-1][1])
+            elif op == "TJ" and stack and stack[-1][0] == "arr":
+                buf.append(
+                    "".join(
+                        el[1]
+                        if el[0] == "str"
+                        else (" " if el[0] == "num" and el[1] <= -180 else "")
+                        for el in stack[-1][1]
+                    )
+                )
+            elif op == "ET":
+                flush()
+                state["in"] = False
+        stack = []
+    if state["in"]:
+        flush()
+    return boxes
+
+
+def _oracle_realpdf(text: str, cfg: ExtractConfig):
+    mb_w, mb_h = _rpdf_mediabox(text)
+    pages, dropped, page = {}, 0, 0
+    min_pos = 0
+    for m in _RPDF_STREAM_RE.finditer(text):
+        if m.start() < min_pos:
+            continue  # inside a previously consumed stream body
+        if not text[: m.start()].rstrip(_RPDF_WS).endswith(">>"):
+            continue
+        end = text.find("endstream", m.end())
+        if end < 0:
+            dropped += 1
+            break
+        d0 = text.rfind("<<", 0, m.start())
+        params = text[d0 : m.start()] if d0 >= 0 else ""
+        min_pos = end + len("endstream")
+        if "/Filter" in params:
+            dropped += 1
+            continue
+        content = text[m.end() : end]
+        if "BT" not in content:
+            continue
+        boxes = _rpdf_interpret(_rpdf_tokens(content), mb_w, mb_h, cfg)
+        for b in boxes:
+            if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
+                dropped += 1
+            else:
+                pages.setdefault(page, []).append(b)
+        page += 1
+
+    spans = []
+    for p in sorted(pages):
+        if cfg.layout_mode == "walk":
+            ordered = _oracle_layout_walk(pages[p], cfg.page_w)
+        else:
+            ordered = _oracle_xycut(pages[p], cfg)
+        if cfg.merge_paragraphs:
+            ordered = _oracle_para_merge(ordered, cfg)
+        for x0, y0, x1, y1, i, t in ordered:
+            clean = _norm(t)
+            if len(clean) < cfg.min_chars:
+                if clean:
+                    dropped += 1
+                continue
+            spans.append(("para", clean, 1.0, [x0, y0, x1, y1]))
+    return spans, dropped
+
+
 def _oracle_plain(text: str, cfg: ExtractConfig):
     spans, dropped = [], 0
     for para in re.split(r"\n\s*\n", text):
@@ -412,6 +683,8 @@ def oracle_extract(text, cfg: ExtractConfig = DEFAULT_CONFIG):
         raw, dropped = [], 0
     elif kind == "pdf":
         raw, dropped = _oracle_pdf(text, cfg)
+    elif kind == "pdf_real":
+        raw, dropped = _oracle_realpdf(text, cfg)
     elif kind == "html":
         raw, dropped = _oracle_html(text, cfg)
     else:
