@@ -28,6 +28,7 @@ from paddleocr_spark.functions import textstats as TS
 from paddleocr_spark.golden import ensure_golden, golden_dir
 from paddleocr_spark.operators import ann as ANN
 from paddleocr_spark.operators import dedup as DD
+from paddleocr_spark.operators import pack as PK
 from paddleocr_spark.operators import select as SEL
 from paddleocr_spark.operators import sketch as SK
 from paddleocr_spark.plans.flagship import flagship
@@ -133,7 +134,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("is_target", F.col("lang") == "en")
     )
     bm25 = SEL.bm25_scores(d, _BM25_TERMS)
-    return base.join(dsir, "doc_id").join(bm25, "doc_id")
+    # round-4 fold: sequence-packing assignment (operators/pack.py
+    # pack_split — concat-and-split at 2048 tokens, md5-shuffled order in
+    # 256 hash groups; one window, zero Python) so the curation chain's
+    # last stage has an exact driver row too
+    pack = PK.pack_split(
+        base.select("doc_id", "n_tokens"), max_tokens=_PACK_MAX
+    ).select(
+        "doc_id",
+        F.col("group_id").cast("int").alias("pack_group"),
+        "cum_before",
+        "pack_id",
+        "pack_last",
+        "pack_offset",
+    )
+    return (
+        base.join(dsir, "doc_id").join(bm25, "doc_id").join(pack, "doc_id")
+    )
 
 
 def _text_stats_base(d: DataFrame) -> DataFrame:
@@ -729,6 +746,7 @@ _BPE_PAT = "([a-z]+|[0-9]+|[^a-z0-9 ])"
 # BM25 probe query (operators/select.py bm25_scores): literal terms spanning
 # high/mid corpus document frequency so the score mix is non-trivial
 _BM25_TERMS = ("join", "window", "spark")
+_PACK_MAX = 2048  # pack_split sequence length for the text_stats fold
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,6 +1498,19 @@ wt AS (
 ds AS (
   SELECT doc_id, CAST(floor(sum(w_micro) / count(*)) AS BIGINT) AS dsir_micro
   FROM feats JOIN wt USING (bucket) GROUP BY doc_id
+),
+pko AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) AS _ord,
+    CAST(('0x' || substr(md5(doc_id::VARCHAR), 13, 4)) AS BIGINT) % 256 AS g,
+    len(toks)::BIGINT AS nt
+  FROM td
+),
+pk AS (
+  SELECT doc_id, g, nt,
+    COALESCE(SUM(nt) OVER (PARTITION BY g ORDER BY _ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumb
+  FROM pko
 )
 SELECT doc_id,
   len(toks)::BIGINT AS n_tokens,
@@ -1511,8 +1542,15 @@ SELECT doc_id,
   len(regexp_extract_all(norm, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
   len(list_distinct(regexp_extract_all(norm, '{_BPE_PAT}')))::BIGINT AS n_bpe_distinct,
   ds.dsir_micro,
-  bm.bm25_micro
-FROM td JOIN ds USING (doc_id) JOIN bm USING (doc_id)
+  bm.bm25_micro,
+  pk.g::INT AS pack_group,
+  pk.cumb AS cum_before,
+  (pk.g * 4294967296 + CAST(floor(pk.cumb / {_PACK_MAX}.0) AS BIGINT))::BIGINT AS pack_id,
+  (pk.g * 4294967296
+     + CAST(floor((pk.cumb + greatest(pk.nt, 1) - 1) / {_PACK_MAX}.0) AS BIGINT)
+  )::BIGINT AS pack_last,
+  (pk.cumb % {_PACK_MAX})::BIGINT AS pack_offset
+FROM td JOIN ds USING (doc_id) JOIN bm USING (doc_id) JOIN pk USING (doc_id)
 """
 
     sql["dedup_exact"] = f"""

@@ -60,6 +60,20 @@ def main() -> None:
                    "window); greedy = no-split FirstFit per hash group")
     p.add_argument("--mix-rates", default="0.0,0.5,1.0",
                    help="per-tier keep fractions for the curriculum sample")
+    p.add_argument("--dedup-against", default=None, metavar="RUN_DIR",
+                   help="skip turns already ingested by the prior run whose "
+                   "--out was RUN_DIR (loads its 8 KiB bloom state; "
+                   "membership is codegen'd bit lookups in the scan "
+                   "projection — never a join against the prior corpus; "
+                   "plans/crossrun.py). Implies --bloom-state.")
+    p.add_argument("--dedup-key", choices=("turn", "content"), default="turn",
+                   help="cross-run identity: 'turn' = (conv_id, turn_idx, "
+                   "text) — idempotent re-ingestion; 'content' = text alone "
+                   "— cross-conversation content dedup")
+    p.add_argument("--bloom-state", action="store_true",
+                   help="after the job, record this run's turn-fingerprint "
+                   "bloom state under --out so a later run can "
+                   "--dedup-against it (one extra narrow pass)")
     p.add_argument("--publish", default=None, metavar="TABLE",
                    help="after the job completes, publish the committed "
                    "checkpoint data as a bucketed catalog table "
@@ -83,6 +97,14 @@ def main() -> None:
     else:
         transcripts = transcripts_df(spark, args.sf_dir, reps=args.reps)
 
+    xrun_obs = None
+    if args.dedup_against:
+        from paddleocr_spark.plans.crossrun import filter_novel
+
+        transcripts, xrun_obs = filter_novel(
+            transcripts, args.dedup_against, key=args.dedup_key
+        )
+
     from paddleocr_spark.config import ExtractConfig
 
     cfg = ExtractConfig(
@@ -99,6 +121,21 @@ def main() -> None:
         group_size=args.group_size,
         salt=not args.no_salt,
     )
+    if args.bloom_state or args.dedup_against:
+        from paddleocr_spark.plans.crossrun import record_run_bloom
+
+        record_run_bloom(
+            spark,
+            transcripts,
+            args.out,
+            key=args.dedup_key,
+            include_prior=args.dedup_against,
+        )
+        summary["bloom_state"] = f"{args.out}/bloom_state"
+    if xrun_obs is not None:
+        # read AFTER record_run_bloom: on a fully-resumed (no-op) extraction
+        # the bloom pass is the action that populates the observation
+        summary["cross_run_dedup"] = dict(xrun_obs.get)
     if args.curate:
         from paddleocr_spark.plans.curate import run_curate
         from paddleocr_spark.sinks.checkpoint import read_committed

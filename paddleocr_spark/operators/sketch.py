@@ -184,6 +184,29 @@ def bloom_probe(df: DataFrame, col, bloom: DataFrame, out: str = "bloom_hit") ->
     return probed.groupBy(*df.columns).agg(F.min("_hit").alias(out))
 
 
+def bloom_hit_lit(col, bloom: DataFrame):
+    """Membership verdict as a pure projection Column (1 iff all K bits set).
+
+    The bitmap relation is collected (≤ BLOOM_WORDS = 2048 words, 8 KiB —
+    driver-sized by construction, the whole point of the sketch) and embedded
+    as an array LITERAL, so probing a 100 TB scan against yesterday's corpus
+    is zero-join, zero-shuffle, zero-Python: K getbit lookups inside the
+    scan's projection, fully inside whole-stage codegen. ``bloom_probe``
+    remains for bitmap relations kept distributed (e.g. mid-plan builds)."""
+    words = [0] * BLOOM_WORDS
+    for r in bloom.collect():
+        words[int(r["word"])] = int(r["bits"])
+    arr = F.lit(words)
+    return F.forall(
+        _bloom_positions(col),
+        lambda p: F.getbit(
+            F.element_at(arr, (p / BLOOM_WORD).cast("int") + 1),
+            (p % BLOOM_WORD).cast("int"),
+        )
+        == 1,
+    ).cast("int")
+
+
 def _cm_bucket_col(tok, j: int):
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 8), 16, 10)

@@ -132,7 +132,11 @@ def e2e_spotting(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFram
     )
 
 
-def spotting_eval(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+def spotting_eval(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    materialize: bool = True,
+) -> DataFrame:
     """End-to-end spotting evaluation of ``e2e_spotting`` against the
     full-fidelity parse as ground truth (/root/reference/tools/end2end/
     eval_end2end.py:66-170): boxes matched geometrically (IoU ≥ 0.5,
@@ -146,17 +150,23 @@ def spotting_eval(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFra
     tests/ (synthetic one-char corruptions, the pre-round-3 form of this
     query).
 
-    Scale note: gt and pred are two filters of the SAME parsed relation, so
-    each side of the match join re-computes the parse (Catalyst does not
-    share subplans across join sides). Fine for an eval metric run on a
-    sample; for a full-corpus 100 TB evaluation, materialize
-    ``parsed_blocks`` once (checkpoint/table) and feed both sides from it —
-    the operator accepts any DataFrame with the parsed schema via the
-    ``gt_all`` seam below."""
+    Scale note: gt and pred are two filters of the SAME parsed relation, and
+    Catalyst does not share subplans across join sides — an unmaterialized
+    plan re-computes the full parse on BOTH sides of the match join (and
+    again under the two count aggregates). ``materialize=True`` (default,
+    the round-3 verdict's seam-as-default item) eagerly localCheckpoints the
+    parsed relation once, so every consumer reads the post-parse blocks —
+    which carry no raw payload text, i.e. the cached relation is the SMALL
+    side of the tradeoff (unlike extract_routed's measured persist loss,
+    where caching meant materializing the full text column). Opt out with
+    ``materialize=False`` only when the input is a trivial sample and plan
+    laziness matters more than the double parse."""
     from .spatial import det_match_pairs
 
     page_key = F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), F.col("page").cast("string"))
     gt_all = parsed_blocks(df, cfg).withColumn("page_id", page_key)
+    if materialize:
+        gt_all = gt_all.localCheckpoint(eager=True)
     gt = gt_all.select(
         "page_id",
         F.col("line_idx").alias("box_id"),

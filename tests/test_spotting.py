@@ -136,6 +136,31 @@ def test_spotting_eval_deterministic_recognizer(spark, hand_df):
     assert m["recall_micro"] == (10**6 * 3) // 5
 
 
+def test_spotting_eval_materializes_parse_once(spark, hand_df):
+    """Scale gate (r03 verdict #6): with the default materialize=True the
+    parsed relation is eagerly localCheckpointed, so the join DAG reads the
+    checkpointed blocks — ZERO parse work (regexp/posexplode) anywhere in
+    the executed plan. With materialize=False the parse appears on both join
+    sides (the documented laziness tradeoff)."""
+    plan_mat = (
+        spotting_eval(hand_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan_mat
+    assert "regexp_extract" not in plan_mat and "posexplode" not in plan_mat
+    plan_lazy = (
+        spotting_eval(hand_df, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan_lazy.count("posexplode") >= 2  # the re-parse this avoids
+    # identical metrics either way
+    assert (
+        spotting_eval(hand_df).collect()
+        == spotting_eval(hand_df, materialize=False).collect()
+    )
+
+
 def test_spotting_eval_levenshtein_under_corruption(spark, hand_df):
     """The Levenshtein path with genuine text corruption (the pre-round-3
     synthetic form of e2e_metric): corrupt one matched pred text and the

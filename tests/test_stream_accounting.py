@@ -67,3 +67,46 @@ def test_stream_accounting_equals_batch(spark, tmp_path):
         everything, F.col("fp"), read_bloom_state(spark, state)
     )
     assert all(r["bloom_hit"] == 1 for r in probed.collect())
+
+
+def test_stream_accounting_versioned_crash_safe(spark, tmp_path):
+    """Durability contract (r03 advice): merges write NEW version dirs and
+    never mutate what they read; readers pick the latest _SUCCESS-committed
+    version, so a partial/failed write (no _SUCCESS) is invisible; GC keeps
+    the last two versions; replaying the same batch is a no-op (idempotent
+    max/bit_or merges)."""
+    import os
+
+    from paddleocr_spark.streaming.accounting import (
+        _committed_versions,
+        merge_hll_state,
+    )
+
+    state = str(tmp_path / "state")
+    base = f"{state}/hll_registers"
+    b1 = hll_registers(_fps(spark, 0, 100), F.col("fp"))
+    b2 = hll_registers(_fps(spark, 100, 200), F.col("fp"))
+    merge_hll_state(spark, b1, state)
+    merge_hll_state(spark, b2, state)
+    want = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(_fps(spark, 0, 200), F.col("fp")).collect()
+    }
+    got = {r["bucket"]: r["register"] for r in read_hll_state(spark, state).collect()}
+    assert got == want
+    vs = _committed_versions(spark, base)
+    assert len(vs) <= 2 and vs[-1] == 1  # GC keeps ≤2, latest is v=1
+
+    # replay of an already-folded batch: state unchanged (idempotent merge)
+    merge_hll_state(spark, b2, state)
+    got2 = {r["bucket"]: r["register"] for r in read_hll_state(spark, state).collect()}
+    assert got2 == want
+
+    # a crashed (uncommitted) newer version is invisible to readers
+    latest = _committed_versions(spark, base)[-1]
+    fake = f"{base}/v={latest + 1}"
+    os.makedirs(fake)
+    with open(f"{fake}/part-00000.parquet", "w") as f:
+        f.write("partial garbage, no _SUCCESS")
+    got3 = {r["bucket"]: r["register"] for r in read_hll_state(spark, state).collect()}
+    assert got3 == want
