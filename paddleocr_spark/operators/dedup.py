@@ -22,7 +22,7 @@ map-side-combinable groupBy. No driver-side collection anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from ..functions.textstats import norm_text, tokens
 
@@ -123,14 +123,40 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jac_micro: int = 500000) -> DataFra
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """K min-md5 signature columns mh0..mh{K-1} per doc — ONE map-side
-    combinable groupBy (min of a hex string ≡ min of the underlying hash)."""
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+    """K min-md5 signature columns mh0..mh{K-1} per doc — a pure PROJECTION
+    (min of a hex string ≡ min of the underlying hash), zero shuffle.
+
+    Round 4 rewrite: this was explode(shingles) → groupBy(doc_id).agg(K
+    mins), i.e. a full exchange of every shingle row plus a K-string-wide
+    hash-agg state per doc. The aggregate's per-task partial map is sized by
+    docs-per-input-partition — a quantity the OPTIMIZER controls (AQE
+    coalesced the upstream dedup shuffle to ~34 fat partitions at 4M turns →
+    ~120k buffers per concurrent task → heap exhaustion on a shared
+    local[32] JVM; on a cluster it's silent memory pressure). The min over a
+    doc's own shingles never needed an exchange: ``array_min(transform(sh,
+    md5(j || s)))`` computes the identical value row-locally, keeps the
+    whole stage memory-flat (one doc's shingle array at a time), and removes
+    the signature shuffle from every LSH consumer. The shingle array is
+    staged as a named column so CollapseProject keeps ONE tokenizer run per
+    row (it refuses to inline non-cheap expressions referenced K times).
+    No row filter: ``shingles`` always yields a non-null array with ≥1
+    element (the short-text branch emits ``array(norm_text)``), so every doc
+    appears in the output exactly as it did under explode/groupBy — empty or
+    NULL text yields NULL mh columns in both formulations. (A ``size(_sh)``
+    guard here would be pushed below the Project and re-inline the tokenizer
+    into the Filter node — a measured 2× per-row tokenize for a vacuous
+    predicate.)
+    """
+    staged = docs.select("doc_id", shingles(F.col("text")).alias("_sh"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+            )
+        ).alias(f"mh{j}")
         for j in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return staged.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -201,6 +227,47 @@ def minhash_lsh_pairs(
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def minhash_lsh_star_edges(docs: DataFrame) -> DataFrame:
+    """LSH near-dup edges for a CONNECTED-COMPONENTS consumer: one spanning
+    star per band bucket (every member → the bucket-minimum hub id), instead
+    of ``minhash_lsh_pairs``'s all-pairs-within-bucket.
+
+    Same components, linearly fewer edges. Connectivity is what CC consumes
+    — any two docs sharing a bucket are joined through the hub, and a doc in
+    several buckets links their hubs transitively, so the component
+    partition is IDENTICAL to the all-pairs graph's (property-tested in
+    tests/test_cc.py). But a bucket of n ids emits n−1 edges here versus
+    n(n−1)/2 pairs there: at web scale near-duplication is exactly where n
+    explodes — measured round 4 on the 4.06M-turn corpus (~100 near-dup
+    variants per turn): max bucket 17,502 ids, all-pairs graph 475M edges
+    (OOM generating + distinct-ing them), star graph ≤ one edge per
+    (doc, band) = bounded by 4·|docs| before distinct. No ``bucket_cap``
+    and no dropped ids: the hub is a windowed min over the band relation
+    (WindowExec buffers one bucket at a time — ids are short strings), not a
+    ``collect_list`` slice, so there is nothing to cap.
+
+    Use ``minhash_lsh_pairs`` when downstream needs candidate PAIRS to
+    verify individually (Jaccard re-rank); use this when downstream is
+    transitive-closure removal.
+    """
+    r = MINHASH_K // LSH_BANDS
+    sig = minhash_signatures(docs)
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_id", "bh"))
+    w = Window.partitionBy("band_id", "bh")
+    return (
+        bands.withColumn("hub", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def simhash16(docs: DataFrame) -> DataFrame:
@@ -385,7 +452,9 @@ def connected_components(
     ).unionByName(roots.select("doc_id", F.col("doc_id").alias("comp")))
 
 
-def remove_near_duplicates(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def remove_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, stats: "dict | None" = None
+) -> DataFrame:
     """The near-dup REMOVE stage end-to-end: given the corpus and its
     candidate pair graph, keep exactly one document per connected component
     (the component-minimum doc_id) plus every unpaired document.
@@ -398,7 +467,7 @@ def remove_near_duplicates(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     to a broadcast at runtime when the built side is actually small, and falls
     back to a hash join instead of OOMing the driver when it isn't.
     """
-    losers = connected_components(pairs).filter(
+    losers = connected_components(pairs, stats=stats).filter(
         F.col("doc_id") != F.col("comp")
     ).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")

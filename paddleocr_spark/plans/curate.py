@@ -45,6 +45,7 @@ def run_curate(
     pack_mode: str = "split",
     text_col: str = "extracted_text",
     near_dedup: bool = False,
+    checkpoint: bool = True,
 ) -> dict:
     """Run the curation chain over ``extracted`` (needs conv_id, turn_idx and
     ``text_col``); writes shards to ``out_dir`` and returns stage metrics.
@@ -53,7 +54,28 @@ def run_curate(
     dedup: MinHash-LSH candidate pairs → connected components → one survivor
     per component (operators/dedup.py). Adds the LSH shuffles plus the
     star-round iterations (eager: the CC convergence loop runs when this
-    function is called); the metrics gain ``rows_near_canonical``."""
+    function is called); the metrics gain ``rows_near_canonical`` plus
+    ``cc_rounds``/``cc_final_edges``.
+
+    ``checkpoint=True`` (default) materializes the two relations each
+    consumed more than once downstream — ``canon`` (near-dedup pairs side +
+    docs side, or mix + pack) and ``mixed`` (pack side + text-join side) —
+    as parquet stage tables under ``<out_dir>.stages/``. Catalyst does not
+    share subplans across consumers, so the unmaterialized chain re-runs the
+    scan→quality→dedup-window pipeline once PER consumer inside one job; at
+    4M turns on a single shared local[32] heap those concurrently-fused
+    window sorts + signature transforms + shuffle writes exceeded any
+    reasonable heap (measured round 4: repeated OOM unfused, 89 s + 202 s
+    when staged). A parquet table, NOT ``localCheckpoint``: checkpoint
+    blocks replay the upstream partitioning verbatim (AQE had coalesced the
+    dedup shuffle to ~34 fat text partitions), so every downstream stage
+    inherits partition granularity chosen for a *shuffle*, not for *maps
+    over text* — both MEMORY_AND_DISK and DISK_ONLY seams OOM'd the fused
+    LSH stage at a 28g heap, while the identical computation over a parquet
+    round-trip re-split by ``maxPartitionBytes`` completes easily (measured
+    round 4, three runs). On a real cluster this seam is where you'd publish
+    the canonical corpus as a table anyway; the stage dir is left on disk
+    for inspection/resume."""
     uid = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
     q = quality_columns(F.col(text_col))
 
@@ -88,16 +110,27 @@ def run_curate(
         .observe(obs_dedup, F.count(F.lit(1)).alias("rows_canonical"))
     )
 
+    stage_dir = out_dir.rstrip("/") + ".stages"
+    if checkpoint:
+        canon.write.mode("overwrite").parquet(f"{stage_dir}/canon.parquet")
+        canon = extracted.sparkSession.read.parquet(f"{stage_dir}/canon.parquet")
+
     near_stats: dict = {}
     if near_dedup:
-        from ..operators.dedup import minhash_lsh_pairs, remove_near_duplicates
+        # star edges, not all-pairs: the consumer is transitive-closure
+        # removal, so bucket CONNECTIVITY suffices — at high duplicate rates
+        # the all-pairs graph is quadratic per bucket (475M edges measured
+        # at 4M turns) while the star graph stays linear. Same components.
+        from ..operators.dedup import minhash_lsh_star_edges, remove_near_duplicates
 
-        pairs = minhash_lsh_pairs(
+        pairs = minhash_lsh_star_edges(
             canon.select(F.col("doc_uid").alias("doc_id"), "text")
         )
+        cc_stats: dict = {}
         canon = remove_near_duplicates(
-            canon.withColumnRenamed("doc_uid", "doc_id"), pairs
+            canon.withColumnRenamed("doc_uid", "doc_id"), pairs, stats=cc_stats
         ).withColumnRenamed("doc_id", "doc_uid")
+        near_stats["cc"] = cc_stats  # rounds + final edge count
         obs_near = Observation("curate_near")
         canon = canon.observe(
             obs_near, F.count(F.lit(1)).alias("rows_near_canonical")
@@ -108,6 +141,9 @@ def run_curate(
     mixed = curriculum_sample(canon, rates, tier_col="tier", id_col="doc_uid").observe(
         obs_mix, F.count(F.lit(1)).alias("rows_mixed")
     )
+    if checkpoint:
+        mixed.write.mode("overwrite").parquet(f"{stage_dir}/mixed.parquet")
+        mixed = extracted.sparkSession.read.parquet(f"{stage_dir}/mixed.parquet")
 
     pack_fn = pack_split if pack_mode == "split" else pack_greedy
     packed = pack_fn(
@@ -131,7 +167,11 @@ def run_curate(
         **{k: int(v) for k, v in obs_in.get.items()},
         **{k: int(v) for k, v in obs_dedup.get.items()},
         **(
-            {k: int(v) for k, v in near_stats["_obs"].get.items()}
+            {
+                **{k: int(v) for k, v in near_stats["_obs"].get.items()},
+                "cc_rounds": int(near_stats["cc"].get("rounds", 0)),
+                "cc_final_edges": int(near_stats["cc"].get("final_edges", 0)),
+            }
             if near_stats
             else {}
         ),

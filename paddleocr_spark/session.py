@@ -49,9 +49,16 @@ def get_spark(
         # serialize in the host at ~20 us each — without this, GC cycling
         # through fresh regions turns the host fault path into a contended
         # serial resource and per-core efficiency halves at high parallelism.
+        # GCLockerRetryAllocationCount: at 32 executor threads doing native
+        # parquet/zstd I/O (JNI critical sections), G1's default of 2 retries
+        # lets tiny allocations (observed: 5 WORDS on a 16g heap) throw
+        # spurious OutOfMemoryError under GCLocker starvation — raise the
+        # retry budget so only real exhaustion throws.
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "8g") + " -XX:+AlwaysPreTouch",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "8g")
+            + " -XX:+AlwaysPreTouch -XX:+UnlockDiagnosticVMOptions"
+            + " -XX:GCLockerRetryAllocationCount=64",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -120,3 +120,44 @@ def test_remove_near_duplicates_end_to_end(spark, sf_dir):
     want = {d for d in all_ids if d not in comp or comp[d] == d}
     assert survivors == want
     assert len(survivors) < len(all_ids)  # the injected near-dups collapse
+
+
+def test_star_edges_same_components_as_all_pairs(spark, sf_dir):
+    """minhash_lsh_star_edges yields the IDENTICAL component partition to
+    minhash_lsh_pairs on the same corpus — linearly fewer edges, same
+    transitive closure (the property run_curate's near-dedup stage relies
+    on when it swaps all-pairs generation for spanning stars)."""
+    from paddleocr_spark.operators.dedup import minhash_lsh_star_edges
+
+    docs = with_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pair_rows = [
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    ]
+    star_rows = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_star_edges(docs).collect()
+    ]
+    assert len(star_rows) <= len(pair_rows)
+    assert _uf_components(pair_rows) == _uf_components(star_rows)
+
+
+def test_star_edges_linear_on_fat_bucket(spark):
+    """A bucket of n near-identical docs emits O(n) star edges where
+    all-pairs would emit n(n-1)/2 — the web-scale duplicate-rate guard."""
+    from paddleocr_spark.operators.dedup import minhash_lsh_star_edges
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, "the exact same sentence repeated for every document") for i in range(n)],
+        "doc_id long, text string",
+    )
+    edges = minhash_lsh_star_edges(docs).collect()
+    assert len(edges) == n - 1  # one spanning star, hub = min doc_id
+    assert {r["doc_a"] for r in edges} == {0}
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(
+            minhash_lsh_star_edges(docs)
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(1, n)} | {0: 0}
