@@ -9,7 +9,11 @@ produced by the pure-Python generator (pytest goldens) and the distributed
 Spark generator (mapInPandas) at any parallelism.
 
 Payload mix per turn (FIXTURES.md §2): 50% HTML / 20% PDF-like / 15% real
-``%PDF-`` byte streams / 15% plain.
+``%PDF-`` byte streams / 15% plain. v4: real-PDF content streams carry the
+SPEC §3b filter mix — ~55% unfiltered / 15% ASCIIHexDecode / 15%
+ASCII85Decode / 15% [ASCII85Decode FlateDecode] per stream, plus a 12%
+per-payload undecodable stream (raw flate / LZW / DecodeParms) that must be
+skipped and counted, never raised.
 Skew (FIXTURES.md §1): doc_id % 97 == 0 → 100× the median turn count, which
 is what the salted repartition in operators/extract.py has to defuse.
 """
@@ -28,7 +32,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 3  # v3: real %PDF- payloads join the mix (SPEC §3b)
+CORPUS_VERSION = 4  # v4: filtered real-PDF streams (hex/a85/a85+flate, SPEC §3b Filters)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -229,15 +233,55 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     for i, body in enumerate(objs):
         parts.append(f"{i + 1} 0 obj\n{body}\nendobj")
     for i, content in enumerate(streams):
+        # v4: per-stream filter encoding (SPEC §3b Filters) — the decoded
+        # content is byte-identical, so extraction must not change
+        enc = rng.random()
+        try:
+            content.encode("latin-1")
+        except UnicodeEncodeError:  # non-latin-1 word pool: emit unfiltered
+            enc = 0.0
+        if enc < 0.55:
+            body, fdecl = content, ""
+        elif enc < 0.70:
+            hx = content.encode("latin-1").hex().upper()
+            body = "\n".join(hx[k : k + 64] for k in range(0, len(hx), 64)) + ">"
+            fdecl = " /Filter /ASCIIHexDecode"
+        elif enc < 0.85:
+            import base64
+
+            body = (
+                base64.a85encode(content.encode("latin-1")).decode("latin-1")
+                + "~>"
+            )
+            fdecl = " /Filter /ASCII85Decode"
+        else:
+            import base64
+            import zlib
+
+            body = (
+                base64.a85encode(
+                    zlib.compress(content.encode("latin-1"), 6)
+                ).decode("latin-1")
+                + "~>"
+            )
+            fdecl = " /Filter [/ASCII85Decode /FlateDecode]"
         parts.append(
-            f"{first_content + i} 0 obj\n<< /Length {len(content)} >>\n"
-            f"stream\n{content}\nendstream\nendobj"
+            f"{first_content + i} 0 obj\n<< /Length {len(body)}{fdecl} >>\n"
+            f"stream\n{body}\nendstream\nendobj"
         )
-    if rng.random() < 0.08:  # a compressed stream: skipped, counted dropped
+    if rng.random() < 0.12:  # an undecodable stream: skipped, counted dropped
+        bad = rng.random()
+        if bad < 0.4:  # raw-binary flate: decode failure by construction
+            decl, sbody = "/Filter /FlateDecode", "xxxxGARBLEDxx"
+        elif bad < 0.7:  # unsupported filter name
+            decl, sbody = "/Filter /LZWDecode", "\x80\x0b\x60GARBLED"
+        else:  # predictors unsupported
+            decl = "/Filter /FlateDecode /DecodeParms << /Predictor 12 >>"
+            sbody = "xxxxGARBLEDxx"
         parts.append(
             f"{first_content + n_pages} 0 obj\n"
-            "<< /Length 12 /Filter /FlateDecode >>\n"
-            "stream\nxxxxGARBLEDxx\nendstream\nendobj"
+            f"<< /Length {len(sbody)} {decl} >>\n"
+            f"stream\n{sbody}\nendstream\nendobj"
         )
     parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
     doc = "\n".join(parts)

@@ -12,17 +12,22 @@ objects ARE the detection output, so the page render is replaced by direct
 layout-walk / paragraph-merge path as the PDFLIKE format (functions/
 pdflike.py).
 
-No PDF library, no binary decode: payloads live in a parquet string column,
-so only the textual skeleton (uncompressed streams) is extractable —
-``/Filter`` streams are skipped and counted, never raised (the
-DecodeImage-None contract).
+No PDF library: payloads live in a parquet string column, so the extractable
+surface is the textual PDF skeleton plus the ASCII-safe filter chains real
+PDFs use for text content (SPEC §3b "Filters", corpus v4):
+``/ASCIIHexDecode``, ``/ASCII85Decode``, and ``/FlateDecode`` behind an
+ASCII-safe stage (``[/ASCII85Decode /FlateDecode]`` — real zlib compression
+on the wire, decoded with stdlib zlib). Unknown filters, ``/DecodeParms``
+(predictors), or any decode failure skip the stream and count it dropped,
+never raise (the DecodeImage-None contract).
 """
 
 from __future__ import annotations
 
 import math
 import re
-from typing import List, Tuple
+import zlib
+from typing import List, Optional, Tuple
 
 from ..config import ExtractConfig, DEFAULT_CONFIG
 from .pdflike import (
@@ -59,6 +64,171 @@ def media_box(text: str) -> Tuple[float, float]:
         except ValueError:
             pass
     return 612.0, 792.0
+
+
+def _param_dict_start(text: str, upto: int) -> int:
+    """Start of the parameter dict ending at the last ``>>`` before ``upto``:
+    ``<<``/``>>`` tokens scanned left-to-right (non-overlapping, leftmost)
+    with a stack — nested dicts (``/DecodeParms << ... >>``) match correctly
+    where a bare rfind("<<") would return the innermost dict. -1 = no match."""
+    stack: List[int] = []
+    d0 = -1
+    i = 0
+    last = upto - 1
+    while i < last:
+        c = text[i]
+        if c == "<" and text[i + 1] == "<":
+            stack.append(i)
+            i += 2
+        elif c == ">" and text[i + 1] == ">":
+            d0 = stack.pop() if stack else -1
+            i += 2
+        else:
+            i += 1
+    return d0
+
+
+def _parse_filter_names(params: str) -> Optional[List[str]]:
+    """Filter names from the parameter dict (SPEC §3b Filters), scanning
+    from the FIRST ``/Filter`` occurrence: a single ``/Name`` or an array
+    ``[/A /B ...]``. Returns the (possibly empty) name list, or None when
+    the value is malformed — caller skips the stream."""
+    k = params.find("/Filter")
+    i = k + len("/Filter")
+    n = len(params)
+
+    def name_at(j: int) -> Tuple[str, int]:
+        j += 1  # past '/'
+        s = j
+        while j < n and params[j] not in _WS and params[j] not in _DELIM:
+            j += 1
+        return params[s:j], j
+
+    while i < n and params[i] in _WS:
+        i += 1
+    if i < n and params[i] == "/":
+        nm, _ = name_at(i)
+        return [nm]
+    if i < n and params[i] == "[":
+        i += 1
+        names: List[str] = []
+        while i < n:
+            if params[i] in _WS:
+                i += 1
+                continue
+            if params[i] == "]":
+                return names
+            if params[i] == "/":
+                nm, i = name_at(i)
+                names.append(nm)
+                continue
+            return None  # non-name inside the array
+        return None  # unterminated array
+    return None
+
+
+_A85_BASE = ord("!")
+
+
+def _a85_decode(data: bytes) -> Optional[bytes]:
+    """ASCII85 per SPEC §3b: PDF whitespace ignored; ``z`` = 4 zero bytes
+    (group boundary only); ``~`` starts EOD and must be followed by ``>``;
+    trailing group of k∈[1,5] chars padded with ``u`` yields k−1 bytes (so a
+    single leftover char contributes nothing — stdlib-a85decode semantics,
+    which the oracle mirror inherits); group overflow or any other char →
+    None (failure)."""
+    out = bytearray()
+    group: List[int] = []
+    ws = _WS.encode("latin-1")
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in ws:
+            i += 1
+            continue
+        if c == 0x7E:  # '~'
+            if i + 1 < n and data[i + 1 : i + 2] == b">":
+                break
+            return None
+        if c == 0x7A:  # 'z'
+            if group:
+                return None
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not (0x21 <= c <= 0x75):  # '!'..'u'
+            return None
+        group.append(c - _A85_BASE)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                return None
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        k = len(group)
+        v = 0
+        for d in group + [84] * (5 - k):  # pad with 'u'
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            return None
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _hex_decode(data: bytes) -> Optional[bytes]:
+    """ASCIIHexDecode per SPEC §3b: chars up to the first ``>`` (or end);
+    PDF whitespace ignored; odd digit count padded with ``0``; any other
+    char → None (failure)."""
+    digits: List[int] = []
+    ws = _WS.encode("latin-1")
+    for c in data:
+        if c == 0x3E:  # '>'
+            break
+        if c in ws:
+            continue
+        if 0x30 <= c <= 0x39:
+            digits.append(c - 0x30)
+        elif 0x41 <= c <= 0x46:
+            digits.append(c - 0x41 + 10)
+        elif 0x61 <= c <= 0x66:
+            digits.append(c - 0x61 + 10)
+        else:
+            return None
+    if len(digits) % 2:
+        digits.append(0)
+    return bytes(
+        digits[k] * 16 + digits[k + 1] for k in range(0, len(digits), 2)
+    )
+
+
+def apply_stream_filters(body: str, names: List[str]) -> Optional[str]:
+    """Run the filter chain over the stream body (latin-1 bytes); None on
+    any failure — unknown name, undecodable input, non-latin-1 body."""
+    try:
+        data: Optional[bytes] = body.encode("latin-1")
+    except UnicodeEncodeError:
+        return None
+    for nm in names:
+        if data is None:
+            return None
+        if nm == "ASCIIHexDecode":
+            data = _hex_decode(data)
+        elif nm == "ASCII85Decode":
+            data = _a85_decode(data)
+        elif nm == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        else:
+            return None
+    if data is None:
+        return None
+    return data.decode("latin-1")
 
 
 def _read_literal(s: str, i: int) -> Tuple[str, int, bool]:
@@ -314,13 +484,25 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if end < 0:
             skipped += 1
             break
-        d0 = text.rfind("<<", 0, k)
+        d0 = _param_dict_start(text, k)
         params = text[d0:k] if d0 >= 0 else ""
         pos = end + 9
-        if "/Filter" in params:
-            skipped += 1
-            continue
         content = text[body_start:end]
+        if "/Filter" in params:
+            # SPEC §3b Filters: decode supported ASCII-safe chains; any
+            # predictor dict, unknown name or decode failure → skip+count
+            if "/DecodeParms" in params:
+                skipped += 1
+                continue
+            names = _parse_filter_names(params)
+            if names is None:
+                skipped += 1
+                continue
+            decoded = apply_stream_filters(content, names)
+            if decoded is None:
+                skipped += 1
+                continue
+            content = decoded
         if "BT" not in content:
             continue
         for box in _interpret(content, mb_w, mb_h, cfg):

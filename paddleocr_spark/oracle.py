@@ -390,6 +390,59 @@ _RPDF_STRCHUNK_RE = re.compile(r"\\([0-7]{1,3}|\n|.)|([()])|([^\\()]+)", re.DOTA
 _RPDF_HEXBODY_RE = re.compile(r"[^>]*")
 _RPDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\x08", "f": "\x0c"}
 _RPDF_WS = "\x00\t\n\x0c\r "
+# /Filter value matched AT the first occurrence (same anchor the kernel
+# scans from): one name or a whitespace-separated name array
+_RPDF_FILTER_RE = re.compile(
+    r"/Filter[\x00\t\n\x0c\r ]*"
+    r"(?:/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    r"|\[((?:[\x00\t\n\x0c\r ]*/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)*)"
+    r"[\x00\t\n\x0c\r ]*\])"
+)
+_RPDF_HEXOK_RE = re.compile(r"[0-9a-fA-F]*\Z")
+
+
+def _rpdf_decode_stream(body: str, params: str):
+    """Oracle mirror of SPEC §3b Filters via stdlib codecs (the kernel
+    hand-rolls byte scanners): returns decoded content, or None → skip."""
+    import base64
+    import zlib as _z
+
+    if "/DecodeParms" in params:
+        return None
+    m = _RPDF_FILTER_RE.match(params, params.find("/Filter"))
+    if m is None:
+        return None
+    names = [m.group(1)] if m.group(1) is not None else re.findall(
+        r"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)", m.group(2)
+    )
+    try:
+        data = body.encode("latin-1")
+    except UnicodeEncodeError:
+        return None
+    ws_del = bytes(_RPDF_WS, "latin-1")
+    for nm in names:
+        try:
+            if nm == "ASCIIHexDecode":
+                k = data.find(b">")
+                hexpart = (data[:k] if k >= 0 else data).translate(
+                    None, ws_del
+                ).decode("latin-1")
+                if not _RPDF_HEXOK_RE.match(hexpart):
+                    return None
+                if len(hexpart) % 2:
+                    hexpart += "0"
+                data = bytes.fromhex(hexpart)
+            elif nm == "ASCII85Decode":
+                k = data.find(b"~>")
+                part = (data[:k] if k >= 0 else data).translate(None, ws_del)
+                data = base64.a85decode(part, ignorechars=b"")
+            elif nm == "FlateDecode":
+                data = _z.decompress(data)
+            else:
+                return None
+        except (ValueError, _z.error):
+            return None
+    return data.decode("latin-1")
 
 
 def _rpdf_mediabox(text: str):
@@ -607,13 +660,24 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         if end < 0:
             dropped += 1
             break
-        d0 = text.rfind("<<", 0, m.start())
+        # matching '<<' for the last '>>' token before the keyword (leftmost
+        # non-overlapping tokenization — kernel does the same with a char
+        # scanner; this mirror uses regex token stream + stack)
+        d0, _stk = -1, []
+        for tm in re.finditer(r"<<|>>", text[: m.start()]):
+            if tm.group() == "<<":
+                _stk.append(tm.start())
+            else:
+                d0 = _stk.pop() if _stk else -1
         params = text[d0 : m.start()] if d0 >= 0 else ""
         min_pos = end + len("endstream")
-        if "/Filter" in params:
-            dropped += 1
-            continue
         content = text[m.end() : end]
+        if "/Filter" in params:
+            decoded = _rpdf_decode_stream(content, params)
+            if decoded is None:
+                dropped += 1
+                continue
+            content = decoded
         if "BT" not in content:
             continue
         boxes = _rpdf_interpret(_rpdf_tokens(content), mb_w, mb_h, cfg)

@@ -180,3 +180,141 @@ def test_merge_fragments_config_path():
     spans_near = realpdf_spans(_pdf(near), ExtractConfig(merge_fragments=True))[0]
     assert [s[1] for s in spans_far] == ["left piece", "right piece"]
     assert [s[1] for s in spans_near] == ["left piece right piece"]
+
+
+OPS = "BT /F1 12 Tf 14 TL 72 700 Td (filter roundtrip line one) Tj T* (and line two) Tj ET"
+
+
+def _pdf_filtered(body: str, fdecl: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(body)}{fdecl} >>\nstream\n{body}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_filters_transparent():
+    """The same content ops encoded plain / hex / a85 / a85+flate extract
+    byte-identically — filters are transparent (SPEC §3b Filters)."""
+    import base64
+    import zlib
+
+    raw = OPS.encode("latin-1")
+    variants = [
+        _pdf(OPS),
+        _pdf_filtered(raw.hex().upper() + ">", " /Filter /ASCIIHexDecode"),
+        _pdf_filtered(
+            base64.a85encode(raw).decode() + "~>", " /Filter /ASCII85Decode"
+        ),
+        _pdf_filtered(
+            base64.a85encode(zlib.compress(raw)).decode() + "~>",
+            " /Filter [/ASCII85Decode /FlateDecode]",
+        ),
+    ]
+    results = []
+    for doc in variants:
+        k, spans, drop = extract_payload(doc, DEFAULT_CONFIG)
+        o = oracle_extract(doc, DEFAULT_CONFIG)
+        assert k == o["kind"] == "pdf_real"
+        assert spans == o["spans"] and drop == o["n_dropped"]
+        results.append((spans, drop))
+    assert all(r == results[0] for r in results[1:])
+    assert results[0][0]  # extracted something
+
+
+@pytest.mark.parametrize(
+    "body,fdecl",
+    [
+        ("xxxxGARBLEDxx", " /Filter /FlateDecode"),  # raw-binary flate
+        ("whatever", " /Filter /LZWDecode"),  # unsupported filter
+        ("xxxx", " /Filter /FlateDecode /DecodeParms << /Predictor 12 >>"),
+        ("zz!!", " /Filter garbage"),  # malformed value (no name/array)
+        ("NOTHEX!>", " /Filter /ASCIIHexDecode"),  # bad hex char
+        ("v!!!!~x", " /Filter /ASCII85Decode"),  # ~ not followed by >
+        ("!z!!!~>", " /Filter /ASCII85Decode"),  # z inside a group
+        ("uuuuu~>", " /Filter /ASCII85Decode"),  # group overflow
+        ("!\x0b!!!!~>", " /Filter /ASCII85Decode"),  # \v is NOT whitespace
+        ("abc", " /Filter [/ASCIIHexDecode"),  # unterminated array
+        ("abc", " /Filter [/ASCIIHexDecode 5]"),  # non-name in array
+    ],
+)
+def test_filter_failures_skip_and_count(body, fdecl):
+    """Every undecodable filtered stream is skipped and counted dropped —
+    never raised — identically in kernel and oracle."""
+    doc = _pdf_filtered(body, fdecl)
+    k, spans, drop = extract_payload(doc, DEFAULT_CONFIG)
+    o = oracle_extract(doc, DEFAULT_CONFIG)
+    assert k == o["kind"] == "pdf_real"
+    assert spans == o["spans"] == []
+    assert drop == o["n_dropped"] == 1
+
+
+def test_a85_kernel_matches_stdlib():
+    """Hand-rolled kernel ASCII85 == stdlib a85decode on valid input
+    (round-trips arbitrary bytes) and fails exactly when stdlib raises
+    (random garbage), modulo the PDF-whitespace stripping both sides of
+    the SPEC do first."""
+    import base64
+
+    from paddleocr_spark.functions.realpdf import _a85_decode
+
+    rng = random.Random(85)
+    for n in list(range(0, 40)) + [255, 1024]:
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        enc = base64.a85encode(raw)
+        assert _a85_decode(enc) == raw
+        assert _a85_decode(enc + b"~>junk after eod") == raw
+        assert _a85_decode(b" \t\n" + enc + b"\r\x0c\x00~>") == raw
+    # stdlib leniency inherited: a 1-char trailing group contributes nothing
+    assert _a85_decode(b"!!!!!!") == b"\x00\x00\x00\x00"
+    for seed in range(300):
+        g = random.Random(seed)
+        garbage = bytes(g.randrange(33, 128) for _ in range(g.randrange(1, 24)))
+        stripped = bytes(
+            c for c in garbage if c not in b"\x00\t\n\x0c\r "
+        ).split(b"~")[0] if b"~" not in garbage else None
+        got = _a85_decode(garbage)
+        try:
+            want = base64.a85decode(
+                bytes(c for c in garbage.split(b"~")[0] if c not in b"\x00\t\n\x0c\r "),
+                ignorechars=b"",
+            ) if (b"~" not in garbage or garbage.split(b"~", 1)[1][:1] == b">") else None
+        except ValueError:
+            want = None
+        assert got == want, f"seed {seed}: {garbage!r} -> {got!r} vs {want!r}"
+
+
+def test_hex_kernel_roundtrip():
+    from paddleocr_spark.functions.realpdf import _hex_decode
+
+    rng = random.Random(16)
+    for n in range(0, 50):
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        hx = raw.hex().upper().encode()
+        assert _hex_decode(hx) == raw
+        assert _hex_decode(hx + b">ignored") == raw
+        assert _hex_decode(b" \n".join([hx[:4], hx[4:]])) == raw
+    assert _hex_decode(b"ABC") == b"\xab\xc0"  # odd digit padded
+    assert _hex_decode(b"AG") is None
+
+
+def test_truncation_fuzz_filtered_payload():
+    """Every-offset truncation of a filtered payload: kernel == oracle on
+    all fields and nothing raises (the DecodeImage-None contract holds
+    through the decode path)."""
+    import base64
+    import zlib
+
+    raw = OPS.encode("latin-1")
+    doc = _pdf_filtered(
+        base64.a85encode(zlib.compress(raw)).decode() + "~>",
+        " /Filter [/ASCII85Decode /FlateDecode]",
+    )
+    for cut in range(1, len(doc)):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part, DEFAULT_CONFIG)
+        o = oracle_extract(part, DEFAULT_CONFIG)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
