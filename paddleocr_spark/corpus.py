@@ -9,11 +9,14 @@ produced by the pure-Python generator (pytest goldens) and the distributed
 Spark generator (mapInPandas) at any parallelism.
 
 Payload mix per turn (FIXTURES.md §2): 50% HTML / 20% PDF-like / 15% real
-``%PDF-`` byte streams / 15% plain. v4: real-PDF content streams carry the
-SPEC §3b filter mix — ~55% unfiltered / 15% ASCIIHexDecode / 15%
-ASCII85Decode / 15% [ASCII85Decode FlateDecode] per stream, plus a 12%
-per-payload undecodable stream (raw flate / LZW / DecodeParms) that must be
-skipped and counted, never raised.
+``%PDF-`` byte streams / 15% plain. v5: real-PDF content streams carry the
+SPEC §3b filter mix — ~40% unfiltered / 10% ASCIIHexDecode / 10%
+ASCII85Decode / 10% [ASCII85Decode FlateDecode] / 6% [hex LZWDecode] /
+4% [a85 LZWDecode] with /EarlyChange 0 / 5% RunLengthDecode / 5% PNG
+predictor under flate (array parms) / 5% TIFF Predictor-2 under LZW /
+5% PNG predictor with single-dict parms — plus a 12% per-payload
+undecodable stream (raw flate / DCTDecode / 4-bit predictor / truncated
+LZW / bad PNG row type) that must be skipped and counted, never raised.
 Skew (FIXTURES.md §1): doc_id % 97 == 0 → 100× the median turn count, which
 is what the salted repartition in operators/extract.py has to defuse.
 """
@@ -32,7 +35,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 4  # v4: filtered real-PDF streams (hex/a85/a85+flate, SPEC §3b Filters)
+CORPUS_VERSION = 5  # v5: LZW/RunLength/predictor real-PDF streams (SPEC §3b Filters)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -148,6 +151,135 @@ def _pdf_str(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
+# --- stream-filter ENCODERS (generation-only; the decode side lives in
+# functions/realpdf.py with an independent oracle mirror in oracle.py) ------
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder (ISO 32000 §7.4.4): leading Clear, trailing EOD, MSB-first
+    variable-width codes 9→12 bits; width grows one entry early under
+    EarlyChange=1 (mirrors the decoders' ``table_size == 2^w − early`` rule
+    from the emitting side: bump after the entry that makes the NEXT code not
+    fit); Clear re-emitted before the table would overflow."""
+    codes = []  # (code, width-at-emission)
+    width = 9
+    book = {bytes([b]): b for b in range(256)}
+    next_code = 258
+    codes.append((256, width))
+    w = b""
+    for b in data:
+        ch = bytes([b])
+        wc = w + ch
+        if wc in book:
+            w = wc
+            continue
+        codes.append((book[w], width))
+        if next_code >= 4093:  # conservative clear well before 4096
+            codes.append((256, width))
+            book = {bytes([c]): c for c in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            book[wc] = next_code
+            next_code += 1
+            if width < 12 and next_code - 1 + early == (1 << width):
+                width += 1
+        w = ch
+    if w:
+        codes.append((book[w], width))
+    codes.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for c, wd in codes:
+        acc = (acc << wd) | c
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode encoder (ISO 32000 §7.4.5): repeat runs ≥3 become
+    (257−n, byte); literal chunks cap at 128 bytes; trailing EOD (128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _png_predict(data: bytes, columns: int, colors: int = 1) -> bytes:
+    """PNG-predict rows of ``columns*colors`` bytes (len must divide evenly);
+    the row filter type cycles 0..4 so every PNG filter is exercised."""
+    bpp = colors
+    stride = columns * colors
+    out = bytearray()
+    prior = bytes(stride)
+    for r0 in range(0, len(data), stride):
+        row = data[r0 : r0 + stride]
+        ft = (r0 // stride) % 5
+        out.append(ft)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pr = 0
+            elif ft == 1:
+                pr = a
+            elif ft == 2:
+                pr = b
+            elif ft == 3:
+                pr = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            out.append((x - pr) & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+def _tiff_predict(data: bytes, columns: int, colors: int = 1) -> bytes:
+    """TIFF horizontal differencing (Predictor 2) over rows of
+    ``columns*colors`` bytes; len must divide evenly."""
+    bpp = colors
+    rowlen = columns * colors
+    out = bytearray(data)
+    for r0 in range(0, len(out), rowlen):
+        for i in range(rowlen - 1, bpp - 1, -1):
+            out[r0 + i] = (out[r0 + i] - out[r0 + i - bpp]) & 0xFF
+    return bytes(out)
+
+
+def _pad_to(data: bytes, k: int) -> bytes:
+    """Pad with spaces to a multiple of k — trailing whitespace is
+    insignificant to the content-stream tokenizer, so extraction parity
+    is unaffected."""
+    r = len(data) % k
+    return data + b" " * (k - r) if r else data
+
+
 def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     """A deterministic real PDF (uncompressed text objects, SPEC §3b):
     classic skeleton (catalog/pages/page objects, MediaBox, xref-less
@@ -232,52 +364,93 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     parts = ["%PDF-1.4"]
     for i, body in enumerate(objs):
         parts.append(f"{i + 1} 0 obj\n{body}\nendobj")
+    import base64
+    import zlib
+
+    def _hexbody(raw: bytes) -> str:
+        hx = raw.hex().upper()
+        return "\n".join(hx[k : k + 64] for k in range(0, len(hx), 64)) + ">"
+
+    def _a85body(raw: bytes) -> str:
+        return base64.a85encode(raw).decode("latin-1") + "~>"
+
     for i, content in enumerate(streams):
-        # v4: per-stream filter encoding (SPEC §3b Filters) — the decoded
-        # content is byte-identical, so extraction must not change
+        # v5: per-stream filter encoding (SPEC §3b Filters) — the decoded
+        # content is byte-identical (modulo insignificant trailing-space
+        # padding for the predictors), so extraction must not change
         enc = rng.random()
+        raw = b""
         try:
-            content.encode("latin-1")
+            raw = content.encode("latin-1")
         except UnicodeEncodeError:  # non-latin-1 word pool: emit unfiltered
             enc = 0.0
-        if enc < 0.55:
+        if enc < 0.40:
             body, fdecl = content, ""
+        elif enc < 0.50:
+            body, fdecl = _hexbody(raw), " /Filter /ASCIIHexDecode"
+        elif enc < 0.60:
+            body, fdecl = _a85body(raw), " /Filter /ASCII85Decode"
         elif enc < 0.70:
-            hx = content.encode("latin-1").hex().upper()
-            body = "\n".join(hx[k : k + 64] for k in range(0, len(hx), 64)) + ">"
-            fdecl = " /Filter /ASCIIHexDecode"
-        elif enc < 0.85:
-            import base64
-
-            body = (
-                base64.a85encode(content.encode("latin-1")).decode("latin-1")
-                + "~>"
-            )
-            fdecl = " /Filter /ASCII85Decode"
-        else:
-            import base64
-            import zlib
-
-            body = (
-                base64.a85encode(
-                    zlib.compress(content.encode("latin-1"), 6)
-                ).decode("latin-1")
-                + "~>"
-            )
+            body = _a85body(zlib.compress(raw, 6))
             fdecl = " /Filter [/ASCII85Decode /FlateDecode]"
+        elif enc < 0.76:  # LZW behind hex
+            body = _hexbody(_lzw_encode(raw))
+            fdecl = " /Filter [/ASCIIHexDecode /LZWDecode]"
+        elif enc < 0.80:  # LZW with EarlyChange 0 behind a85
+            body = _a85body(_lzw_encode(raw, early=0))
+            fdecl = (
+                " /Filter [/ASCII85Decode /LZWDecode]"
+                " /DecodeParms [null << /EarlyChange 0 >>]"
+            )
+        elif enc < 0.85:  # RunLength on the wire (latin-1-safe by definition)
+            body = _rle_encode(raw).decode("latin-1")
+            fdecl = " /Filter /RunLengthDecode"
+        elif enc < 0.90:  # PNG predictor under flate (array-form parms)
+            pred = rng.choice((10, 12, 15))
+            body = _a85body(zlib.compress(_png_predict(_pad_to(raw, 24), 24), 6))
+            fdecl = (
+                " /Filter [/ASCII85Decode /FlateDecode]"
+                f" /DecodeParms [null << /Predictor {pred} /Columns 24 >>]"
+            )
+        elif enc < 0.95:  # TIFF predictor under LZW (array-form parms)
+            body = _hexbody(_lzw_encode(_tiff_predict(_pad_to(raw, 16), 16)))
+            fdecl = (
+                " /Filter [/ASCIIHexDecode /LZWDecode]"
+                " /DecodeParms [null << /Predictor 2 /Columns 16 >>]"
+            )
+        else:  # single-dict parms applying to the LAST (compression) filter
+            body = _a85body(zlib.compress(_png_predict(_pad_to(raw, 8), 8), 6))
+            fdecl = (
+                " /Filter [/ASCII85Decode /FlateDecode]"
+                " /DecodeParms << /Predictor 15 /Columns 8 >>"
+            )
         parts.append(
             f"{first_content + i} 0 obj\n<< /Length {len(body)}{fdecl} >>\n"
             f"stream\n{body}\nendstream\nendobj"
         )
     if rng.random() < 0.12:  # an undecodable stream: skipped, counted dropped
         bad = rng.random()
-        if bad < 0.4:  # raw-binary flate: decode failure by construction
+        if bad < 0.3:  # raw-binary flate: decode failure by construction
             decl, sbody = "/Filter /FlateDecode", "xxxxGARBLEDxx"
-        elif bad < 0.7:  # unsupported filter name
-            decl, sbody = "/Filter /LZWDecode", "\x80\x0b\x60GARBLED"
-        else:  # predictors unsupported
-            decl = "/Filter /FlateDecode /DecodeParms << /Predictor 12 >>"
+        elif bad < 0.5:  # genuinely unsupported filter name (image codec)
+            decl, sbody = "/Filter /DCTDecode", "\xff\xd8GARBLED"
+        elif bad < 0.7:  # unsupported predictor bit depth
+            decl = (
+                "/Filter /FlateDecode /DecodeParms"
+                " << /Predictor 12 /BitsPerComponent 4 >>"
+            )
             sbody = "xxxxGARBLEDxx"
+        elif bad < 0.85:  # LZW bit-stream ends before EOD
+            decl, sbody = "/Filter [/ASCIIHexDecode /LZWDecode]", "00>"
+        else:  # PNG row-filter type out of range (9)
+            pbody = base64.a85encode(
+                zlib.compress(b"\x09AAAAAAAA", 6)
+            ).decode("latin-1") + "~>"
+            decl = (
+                "/Filter [/ASCII85Decode /FlateDecode]"
+                " /DecodeParms [null << /Predictor 12 /Columns 8 >>]"
+            )
+            sbody = pbody
         parts.append(
             f"{first_content + n_pages} 0 obj\n"
             f"<< /Length {len(sbody)} {decl} >>\n"

@@ -13,13 +13,17 @@ layout-walk / paragraph-merge path as the PDFLIKE format (functions/
 pdflike.py).
 
 No PDF library: payloads live in a parquet string column, so the extractable
-surface is the textual PDF skeleton plus the ASCII-safe filter chains real
-PDFs use for text content (SPEC §3b "Filters", corpus v4):
-``/ASCIIHexDecode``, ``/ASCII85Decode``, and ``/FlateDecode`` behind an
-ASCII-safe stage (``[/ASCII85Decode /FlateDecode]`` — real zlib compression
-on the wire, decoded with stdlib zlib). Unknown filters, ``/DecodeParms``
-(predictors), or any decode failure skip the stream and count it dropped,
-never raise (the DecodeImage-None contract).
+surface is the textual PDF skeleton plus the filter chains real PDFs use for
+text content (SPEC §3b "Filters", corpus v5): ``/ASCIIHexDecode``,
+``/ASCII85Decode``, ``/RunLengthDecode``, ``/FlateDecode`` (stdlib zlib) and
+``/LZWDecode`` (hand-rolled, ISO 32000 §7.4.4 with ``/EarlyChange``), the
+compression stages carried behind an ASCII-safe stage on the wire
+(``[/ASCII85Decode /FlateDecode]`` etc.), plus ``/DecodeParms`` prediction
+for the compression filters — TIFF horizontal differencing (``/Predictor
+2``) and the PNG row filters (``/Predictor 10–15``) at ``/BitsPerComponent
+8``. Unknown filters, unsupported parameter values, or any decode failure
+skip the stream and count it dropped, never raise (the DecodeImage-None
+contract).
 """
 
 from __future__ import annotations
@@ -127,6 +131,249 @@ def _parse_filter_names(params: str) -> Optional[List[str]]:
     return None
 
 
+# /DecodeParms keys the engine reads (SPEC §3b Filters v5); every other key
+# in the parameter value is ignored. A known key followed by anything but an
+# integer-valued number makes the whole value malformed → stream skipped.
+_PARM_KEYS = ("Predictor", "Columns", "Colors", "BitsPerComponent", "EarlyChange")
+
+
+def _scan_dict_numbers(params: str, i: int) -> Tuple[Optional[dict], int]:
+    """Parse the ``<< ... >>`` dict starting at ``i`` (balanced, nesting
+    allowed): returns ({known numeric keys}, index-after-closing ``>>``) or
+    (None, -1) when unterminated or a known key's value is not an
+    integer-valued number. The full balanced extent is scanned linearly —
+    known keys inside nested sub-dicts are read like top-level ones."""
+    n = len(params)
+    depth = 0
+    j = i
+    while j < n - 1:
+        two = params[j : j + 2]
+        if two == "<<":
+            depth += 1
+            j += 2
+        elif two == ">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                break
+        else:
+            j += 1
+    if depth != 0:
+        return None, -1
+    inner = params[i + 2 : j - 2]
+    out: dict = {}
+    m, n2 = 0, len(inner)
+    while m < n2:
+        if inner[m] != "/":
+            m += 1
+            continue
+        e = m + 1
+        while e < n2 and inner[e] not in _WS and inner[e] not in _DELIM:
+            e += 1
+        nm = inner[m + 1 : e]
+        m = e
+        if nm not in _PARM_KEYS:
+            continue
+        while m < n2 and inner[m] in _WS:
+            m += 1
+        s = m
+        while m < n2 and inner[m] not in _WS and inner[m] not in _DELIM:
+            m += 1
+        tok = inner[s:m]
+        if not _NUM_RE.match(tok):
+            return None, -1
+        v = float(tok)
+        if v != int(v):
+            return None, -1
+        out[nm] = int(v)
+    return out, j
+
+
+def _parse_decode_parms(params: str, n_filters: int) -> Optional[List[Optional[dict]]]:
+    """Per-filter parameter dicts from the FIRST ``/DecodeParms`` occurrence:
+    ``null`` (= no parms), one ``<< ... >>`` dict (applies to the LAST filter
+    — the compression stage in a chain), or an array of null/dict entries
+    mapped positionally (missing entries → null, extras ignored). Returns a
+    list aligned with the filter names, or None when malformed → skip."""
+    k = params.find("/DecodeParms")
+    if k < 0:
+        return [None] * n_filters
+    i = k + len("/DecodeParms")
+    n = len(params)
+    while i < n and params[i] in _WS:
+        i += 1
+    if params.startswith("null", i):
+        return [None] * n_filters
+    if params[i : i + 2] == "<<":
+        d, _ = _scan_dict_numbers(params, i)
+        if d is None:
+            return None
+        parms: List[Optional[dict]] = [None] * n_filters
+        if n_filters:
+            parms[-1] = d
+        return parms
+    if i < n and params[i] == "[":
+        i += 1
+        entries: List[Optional[dict]] = []
+        while i < n:
+            c = params[i]
+            if c in _WS:
+                i += 1
+                continue
+            if c == "]":
+                entries += [None] * max(0, n_filters - len(entries))
+                return entries[:n_filters]
+            if params.startswith("null", i):
+                entries.append(None)
+                i += 4
+                continue
+            if params[i : i + 2] == "<<":
+                d, j = _scan_dict_numbers(params, i)
+                if d is None:
+                    return None
+                entries.append(d)
+                i = j
+                continue
+            return None  # non-null/dict entry
+        return None  # unterminated array
+    return None  # malformed value
+
+
+def _pred_params(p: Optional[dict]) -> Optional[Tuple[int, int, int, int]]:
+    """Validated (predictor, colors, columns, early_change) for a
+    compression filter's parameter dict; None → unsupported → skip. Only
+    ``/BitsPerComponent 8`` is supported when prediction is on."""
+    if p is None:
+        p = {}
+    pred = p.get("Predictor", 1)
+    colors = p.get("Colors", 1)
+    columns = p.get("Columns", 1)
+    bpc = p.get("BitsPerComponent", 8)
+    early = p.get("EarlyChange", 1)
+    if pred not in (1, 2, 10, 11, 12, 13, 14, 15):
+        return None
+    if early not in (0, 1):
+        return None
+    if pred != 1 and (bpc != 8 or not 1 <= colors <= 8 or columns < 1):
+        return None
+    return pred, colors, columns, early
+
+
+def _unpredict(data: bytes, pred: int, colors: int, columns: int) -> Optional[bytes]:
+    """Reverse the /Predictor transform (ISO 32000 §7.4.4.4 at BPC=8):
+    1 = none, 2 = TIFF horizontal differencing, ≥10 = PNG per-row filters
+    (the row's leading type byte decides — all of 10–15 decode identically).
+    Length not a whole number of rows, or a PNG row type > 4 → None."""
+    if pred == 1:
+        return data
+    bpp = colors
+    rowlen = colors * columns
+    if pred == 2:
+        if len(data) % rowlen:
+            return None
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            for i in range(bpp, rowlen):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 0xFF
+        return bytes(out)
+    if len(data) % (rowlen + 1):
+        return None
+    prior = bytearray(rowlen)
+    out = bytearray()
+    for r0 in range(0, len(data), rowlen + 1):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                pv = a + b - c
+                pa, pb, pc = abs(pv - a), abs(pv - b), abs(pv - c)
+                row[i] = (row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        elif ft != 0:  # 0 = None; anything else is not a PNG filter type
+            return None
+        out += row
+        prior = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> Optional[bytes]:
+    """LZW per ISO 32000 §7.4.4: MSB-first variable-width codes starting at
+    9 bits; 256 = Clear (reset table + width), 257 = EOD (required — running
+    out of bits first → None); width grows at table size ``2^w − early``
+    (EarlyChange default 1), capped at 12. A code beyond the table (other
+    than the KwKwK next-entry case) → None."""
+    table: List[Optional[bytes]] = [bytes([i]) for i in range(256)] + [None, None]
+    width = 9
+    prev = b""
+    out = bytearray()
+    acc = nbits = 0
+    i, n = 0, len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                return None  # EOD never seen
+            acc = (acc << 8) | data[i]
+            i += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 257:
+            return bytes(out)
+        if code == 256:
+            del table[258:]
+            width = 9
+            prev = b""
+            continue
+        if code < 256 or 258 <= code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if width < 12 and len(table) == (1 << width) - early:
+                width += 1
+        prev = entry
+
+
+def _rle_decode(data: bytes) -> Optional[bytes]:
+    """RunLengthDecode per ISO 32000 §7.4.5: length byte L — L ≤ 127 copies
+    the next L+1 bytes, L ≥ 129 repeats the next byte 257−L times, 128 =
+    EOD (required; truncated run or missing EOD → None)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            if i + length + 1 > n:
+                return None
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                return None
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+    return None  # EOD never seen
+
+
 _A85_BASE = ord("!")
 
 
@@ -205,25 +452,43 @@ def _hex_decode(data: bytes) -> Optional[bytes]:
     )
 
 
-def apply_stream_filters(body: str, names: List[str]) -> Optional[str]:
+def apply_stream_filters(
+    body: str, names: List[str], parms: Optional[List[Optional[dict]]] = None
+) -> Optional[str]:
     """Run the filter chain over the stream body (latin-1 bytes); None on
-    any failure — unknown name, undecodable input, non-latin-1 body."""
+    any failure — unknown name, undecodable input, unsupported parameters,
+    non-latin-1 body. ``parms`` aligns positionally with ``names``;
+    prediction applies to the compression filters' output only (parameter
+    dicts on the ASCII filters are ignored, per ISO 32000 Table 6)."""
     try:
         data: Optional[bytes] = body.encode("latin-1")
     except UnicodeEncodeError:
         return None
-    for nm in names:
+    if parms is None:
+        parms = [None] * len(names)
+    for nm, p in zip(names, parms):
         if data is None:
             return None
         if nm == "ASCIIHexDecode":
             data = _hex_decode(data)
         elif nm == "ASCII85Decode":
             data = _a85_decode(data)
-        elif nm == "FlateDecode":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
+        elif nm == "RunLengthDecode":
+            data = _rle_decode(data)
+        elif nm in ("FlateDecode", "LZWDecode"):
+            pp = _pred_params(p)
+            if pp is None:
                 return None
+            pred, colors, columns, early = pp
+            if nm == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    return None
+            else:
+                data = _lzw_decode(data, early)
+            if data is not None and pred != 1:
+                data = _unpredict(data, pred, colors, columns)
         else:
             return None
     if data is None:
@@ -489,16 +754,18 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         pos = end + 9
         content = text[body_start:end]
         if "/Filter" in params:
-            # SPEC §3b Filters: decode supported ASCII-safe chains; any
-            # predictor dict, unknown name or decode failure → skip+count
-            if "/DecodeParms" in params:
-                skipped += 1
-                continue
+            # SPEC §3b Filters: decode supported chains (incl. /DecodeParms
+            # prediction); unknown name, unsupported parameter values or
+            # decode failure → skip+count
             names = _parse_filter_names(params)
             if names is None:
                 skipped += 1
                 continue
-            decoded = apply_stream_filters(content, names)
+            fparms = _parse_decode_parms(params, len(names))
+            if fparms is None:
+                skipped += 1
+                continue
+            decoded = apply_stream_filters(content, names, fparms)
             if decoded is None:
                 skipped += 1
                 continue

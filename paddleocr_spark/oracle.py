@@ -401,26 +401,241 @@ _RPDF_FILTER_RE = re.compile(
 _RPDF_HEXOK_RE = re.compile(r"[0-9a-fA-F]*\Z")
 
 
+# /DecodeParms known keys: name token must END at the key (delimiter/ws/EOS
+# follows — `/PredictorX` is a different name), value is the next token run
+# and must be an integer-valued number
+_RPDF_PARMKEY_RE = re.compile(
+    r"/(Predictor|Columns|Colors|BitsPerComponent|EarlyChange)"
+    r"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])[\x00\t\n\x0c\r ]*"
+    r"([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
+_RPDF_WSRUN_RE = re.compile(r"[\x00\t\n\x0c\r ]*")
+
+
+def _rpdf_dict_span(params: str, i: int):
+    """``<< ... >>`` starting at ``i`` → (inner text, index after close), or
+    (None, -1) when unbalanced. Regex token stream + depth counter (the
+    kernel walks chars)."""
+    depth = 0
+    for tm in re.finditer(r"<<|>>", params[i:]):
+        if tm.group() == "<<":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                j = i + tm.end()
+                return params[i + 2 : j - 2], j
+    return None, -1
+
+
+def _rpdf_dict_numbers(inner: str):
+    """Known numeric keys from a dict body (last occurrence wins); None when
+    a known key's value is not an integer-valued number."""
+    out = {}
+    for m in _RPDF_PARMKEY_RE.finditer(inner):
+        tok = m.group(2)
+        if not _RPDF_NUM_RE.match(tok):
+            return None
+        v = float(tok)
+        if v != int(v):
+            return None
+        out[m.group(1)] = int(v)
+    return out
+
+
+def _rpdf_decode_parms(params: str, n_filters: int):
+    """Mirror of the kernel's /DecodeParms rule (SPEC §3b v5): value at the
+    first occurrence is null / one dict (→ last filter) / an array of
+    null|dict entries mapped positionally. None → malformed → skip."""
+    k = params.find("/DecodeParms")
+    if k < 0:
+        return [None] * n_filters
+    i = k + len("/DecodeParms")
+    i += _RPDF_WSRUN_RE.match(params, i).end() - i
+    if params.startswith("null", i):
+        return [None] * n_filters
+    if params[i : i + 2] == "<<":
+        inner, _ = _rpdf_dict_span(params, i)
+        if inner is None:
+            return None
+        d = _rpdf_dict_numbers(inner)
+        if d is None:
+            return None
+        parms = [None] * n_filters
+        if n_filters:
+            parms[-1] = d
+        return parms
+    if params[i : i + 1] != "[":
+        return None
+    i += 1
+    entries = []
+    n = len(params)
+    while i < n:
+        i += _RPDF_WSRUN_RE.match(params, i).end() - i
+        if i >= n:
+            break
+        if params[i] == "]":
+            entries += [None] * max(0, n_filters - len(entries))
+            return entries[:n_filters]
+        if params.startswith("null", i):
+            entries.append(None)
+            i += 4
+        elif params[i : i + 2] == "<<":
+            inner, j = _rpdf_dict_span(params, i)
+            if inner is None:
+                return None
+            d = _rpdf_dict_numbers(inner)
+            if d is None:
+                return None
+            entries.append(d)
+            i = j
+        else:
+            return None
+    return None  # unterminated array
+
+
+def _rpdf_pred_params(p):
+    """(predictor, colors, columns, early) validated, or None → skip."""
+    p = p or {}
+    pred = p.get("Predictor", 1)
+    colors = p.get("Colors", 1)
+    columns = p.get("Columns", 1)
+    bpc = p.get("BitsPerComponent", 8)
+    early = p.get("EarlyChange", 1)
+    if pred not in (1, 2, 10, 11, 12, 13, 14, 15) or early not in (0, 1):
+        return None
+    if pred != 1 and (bpc != 8 or not 1 <= colors <= 8 or columns < 1):
+        return None
+    return pred, colors, columns, early
+
+
+def _rpdf_lzw(data: bytes, early: int):
+    """Oracle LZW (ISO 32000 §7.4.4) — whole-stream big-int bit reader and a
+    dict code table (the kernel streams a byte accumulator over a list).
+    EOD required; out-of-table code (non-KwKwK) → None."""
+    total = len(data) * 8
+    big = int.from_bytes(data, "big")
+    pos = 0
+    width = 9
+    table = {c: bytes([c]) for c in range(256)}
+    nxt = 258
+    prev = b""
+    chunks = []
+    while True:
+        if pos + width > total:
+            return None
+        code = (big >> (total - pos - width)) & ((1 << width) - 1)
+        pos += width
+        if code == 257:
+            return b"".join(chunks)
+        if code == 256:
+            table = {c: bytes([c]) for c in range(256)}
+            nxt, width, prev = 258, 9, b""
+            continue
+        if code in table:
+            cur = table[code]
+        elif code == nxt and prev:
+            cur = prev + prev[:1]
+        else:
+            return None
+        chunks.append(cur)
+        if prev and nxt < 4096:
+            table[nxt] = prev + cur[:1]
+            nxt += 1
+            if width < 12 and nxt == (1 << width) - early:
+                width += 1
+        prev = cur
+
+
+def _rpdf_rle(data: bytes):
+    """Oracle RunLengthDecode (ISO 32000 §7.4.5); EOD (128) required."""
+    pieces = []
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            return b"".join(pieces)
+        if ln < 128:
+            chunk = data[i + 1 : i + ln + 2]
+            if len(chunk) != ln + 1:
+                return None
+            pieces.append(chunk)
+            i += ln + 2
+        else:
+            if i + 1 >= n:
+                return None
+            pieces.append(data[i + 1 : i + 2] * (257 - ln))
+            i += 2
+    return None
+
+
+def _rpdf_unpredict(data: bytes, pred: int, colors: int, columns: int):
+    """Oracle /Predictor reversal (row-list style; the kernel mutates a
+    flat bytearray in place)."""
+    if pred == 1:
+        return data
+    bpp, rowlen = colors, colors * columns
+    if pred == 2:
+        if len(data) % rowlen:
+            return None
+        rows = [bytearray(data[r : r + rowlen]) for r in range(0, len(data), rowlen)]
+        for row in rows:
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        return b"".join(map(bytes, rows))
+    step = rowlen + 1
+    if len(data) % step:
+        return None
+    prior = [0] * rowlen
+    decoded = []
+    for r in range(0, len(data), step):
+        ft, raw = data[r], data[r + 1 : r + step]
+        if ft > 4:
+            return None
+        rec = [0] * rowlen
+        for i in range(rowlen):
+            a = rec[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pr = 0
+            elif ft == 1:
+                pr = a
+            elif ft == 2:
+                pr = b
+            elif ft == 3:
+                pr = (a + b) >> 1
+            else:
+                p = a + b - c
+                pr = min((abs(p - a), 0, a), (abs(p - b), 1, b), (abs(p - c), 2, c))[2]
+            rec[i] = (raw[i] + pr) & 0xFF
+        decoded.append(bytes(rec))
+        prior = rec
+    return b"".join(decoded)
+
+
 def _rpdf_decode_stream(body: str, params: str):
-    """Oracle mirror of SPEC §3b Filters via stdlib codecs (the kernel
-    hand-rolls byte scanners): returns decoded content, or None → skip."""
+    """Oracle mirror of SPEC §3b Filters v5 via stdlib codecs where they
+    exist (hex/a85/flate) and independent re-derivations where they don't
+    (LZW, RunLength, predictors): returns decoded content, or None → skip."""
     import base64
     import zlib as _z
 
-    if "/DecodeParms" in params:
-        return None
     m = _RPDF_FILTER_RE.match(params, params.find("/Filter"))
     if m is None:
         return None
     names = [m.group(1)] if m.group(1) is not None else re.findall(
         r"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)", m.group(2)
     )
+    parms = _rpdf_decode_parms(params, len(names))
+    if parms is None:
+        return None
     try:
         data = body.encode("latin-1")
     except UnicodeEncodeError:
         return None
     ws_del = bytes(_RPDF_WS, "latin-1")
-    for nm in names:
+    for nm, pm in zip(names, parms):
         try:
             if nm == "ASCIIHexDecode":
                 k = data.find(b">")
@@ -436,11 +651,25 @@ def _rpdf_decode_stream(body: str, params: str):
                 k = data.find(b"~>")
                 part = (data[:k] if k >= 0 else data).translate(None, ws_del)
                 data = base64.a85decode(part, ignorechars=b"")
-            elif nm == "FlateDecode":
-                data = _z.decompress(data)
+            elif nm == "RunLengthDecode":
+                data = _rpdf_rle(data)
+            elif nm in ("FlateDecode", "LZWDecode"):
+                pp = _rpdf_pred_params(pm)
+                if pp is None:
+                    return None
+                pred, colors, columns, early = pp
+                data = (
+                    _z.decompress(data)
+                    if nm == "FlateDecode"
+                    else _rpdf_lzw(data, early)
+                )
+                if data is not None and pred != 1:
+                    data = _rpdf_unpredict(data, pred, colors, columns)
             else:
                 return None
         except (ValueError, _z.error):
+            return None
+        if data is None:
             return None
     return data.decode("latin-1")
 

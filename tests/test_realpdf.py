@@ -229,8 +229,26 @@ def test_filters_transparent():
     "body,fdecl",
     [
         ("xxxxGARBLEDxx", " /Filter /FlateDecode"),  # raw-binary flate
-        ("whatever", " /Filter /LZWDecode"),  # unsupported filter
+        ("whatever", " /Filter /LZWDecode"),  # LZW bits run out before EOD
+        ("\xff\xd8GARBLED", " /Filter /DCTDecode"),  # unsupported filter
+        # flate body garbage (parms themselves are fine in v5)
         ("xxxx", " /Filter /FlateDecode /DecodeParms << /Predictor 12 >>"),
+        # unsupported parameter values (validated BEFORE decode)
+        ("xxxx", " /Filter /FlateDecode /DecodeParms"
+                 " << /Predictor 12 /BitsPerComponent 4 >>"),
+        ("xxxx", " /Filter /FlateDecode /DecodeParms << /Predictor 7 >>"),
+        ("xxxx", " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Colors 9 >>"),
+        ("00>", " /Filter [/ASCIIHexDecode /LZWDecode] /DecodeParms"
+                " [null << /EarlyChange 2 >>]"),
+        # malformed /DecodeParms values
+        ("xxxx", " /Filter /FlateDecode /DecodeParms << /Predictor foo >>"),
+        ("xxxx", " /Filter /FlateDecode /DecodeParms [5]"),
+        # unterminated parms ARRAY (the dict inside stays balanced, so the
+        # outer stream dict still parses; a bare unterminated `<<` would
+        # instead unbalance the whole parameter dict → no params → no count)
+        ("xxxx", " /Filter /FlateDecode /DecodeParms [<< /Predictor 12 >>"),
+        ("xxxx", " /Filter /FlateDecode /DecodeParms [null"),
+        ("xxxx", " /Filter /FlateDecode /DecodeParms 5"),
         ("zz!!", " /Filter garbage"),  # malformed value (no name/array)
         ("NOTHEX!>", " /Filter /ASCIIHexDecode"),  # bad hex char
         ("v!!!!~x", " /Filter /ASCII85Decode"),  # ~ not followed by >
@@ -312,6 +330,165 @@ def test_truncation_fuzz_filtered_payload():
     doc = _pdf_filtered(
         base64.a85encode(zlib.compress(raw)).decode() + "~>",
         " /Filter [/ASCII85Decode /FlateDecode]",
+    )
+    for cut in range(1, len(doc)):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part, DEFAULT_CONFIG)
+        o = oracle_extract(part, DEFAULT_CONFIG)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# --- v5 filters: LZW / RunLength / predictors (SPEC §3b Filters v5) ---------
+
+
+def test_lzw_roundtrip_both_implementations():
+    """Corpus LZW encoder → kernel decoder == oracle decoder == original, at
+    both EarlyChange settings, across the 9→10→11→12-bit width boundaries
+    and a forced table Clear (input large enough to pass 4093 entries)."""
+    from paddleocr_spark.corpus import _lzw_encode
+    from paddleocr_spark.functions.realpdf import _lzw_decode
+    from paddleocr_spark.oracle import _rpdf_lzw
+
+    rng = random.Random(1201)
+    for early in (0, 1):
+        for n in (0, 1, 17, 3000, 150_000):  # 150k random bytes force Clears
+            raw = bytes(rng.randrange(256) for _ in range(n))
+            enc = _lzw_encode(raw, early)
+            assert _lzw_decode(enc, early) == raw, (early, n)
+            assert _rpdf_lzw(enc, early) == raw, (early, n)
+        comp = b"the quick brown fox jumps over the lazy dog " * 4000
+        enc = _lzw_encode(comp, early)
+        assert _lzw_decode(enc, early) == comp == _rpdf_lzw(enc, early)
+        # wrong EarlyChange on decode must NOT round-trip big inputs
+        assert _lzw_decode(_lzw_encode(comp, early), 1 - early) != comp
+
+
+def test_rle_roundtrip_both_implementations():
+    from paddleocr_spark.corpus import _rle_encode
+    from paddleocr_spark.functions.realpdf import _rle_decode
+    from paddleocr_spark.oracle import _rpdf_rle
+
+    rng = random.Random(90)
+    for n in (0, 1, 2, 7, 300, 5000):
+        raw = bytes(rng.choice(b"aaabbccddddddddddddef") for _ in range(n))
+        enc = _rle_encode(raw)
+        assert _rle_decode(enc) == raw == _rpdf_rle(enc), n
+    assert _rle_decode(b"\x80junk") == b""  # EOD ends the scan
+    assert _rle_decode(b"\x05ab") is None  # truncated literal
+    assert _rle_decode(b"\x81") is None  # truncated run
+    assert _rle_decode(b"\x00a") is None  # missing EOD
+
+
+def test_predictor_roundtrip_both_implementations():
+    """PNG (all five row filter types via the cycling encoder) and TIFF
+    predictors round-trip through kernel and oracle at several geometries."""
+    from paddleocr_spark.corpus import _pad_to, _png_predict, _tiff_predict
+    from paddleocr_spark.functions.realpdf import _unpredict
+    from paddleocr_spark.oracle import _rpdf_unpredict
+
+    rng = random.Random(10)
+    for colors in (1, 3):
+        for cols in (1, 8, 24):
+            raw = _pad_to(
+                bytes(rng.randrange(256) for _ in range(rng.randrange(6 * cols, 40 * cols))),
+                cols * colors,
+            )
+            png = _png_predict(raw, cols, colors)
+            tif = _tiff_predict(raw, cols, colors)
+            for pred, enc in ((12, png), (2, tif)):
+                assert _unpredict(enc, pred, colors, cols) == raw, (pred, colors, cols)
+                assert _rpdf_unpredict(enc, pred, colors, cols) == raw, (pred, colors, cols)
+    # ragged length and bad PNG row type fail in both
+    assert _unpredict(b"\x00abc", 12, 1, 8) is None
+    assert _rpdf_unpredict(b"\x00abc", 12, 1, 8) is None
+    assert _unpredict(b"\x09" + b"a" * 8, 12, 1, 8) is None
+    assert _rpdf_unpredict(b"\x09" + b"a" * 8, 12, 1, 8) is None
+
+
+def test_codec_garbage_failure_for_failure():
+    """On 500 random byte strings the kernel and oracle decoders agree
+    exactly — same bytes on success, both None on failure."""
+    from paddleocr_spark.functions.realpdf import _lzw_decode, _rle_decode, _unpredict
+    from paddleocr_spark.oracle import _rpdf_lzw, _rpdf_rle, _rpdf_unpredict
+
+    for seed in range(500):
+        g = random.Random(seed)
+        garbage = bytes(g.randrange(256) for _ in range(g.randrange(0, 60)))
+        for early in (0, 1):
+            assert _lzw_decode(garbage, early) == _rpdf_lzw(garbage, early), seed
+        assert _rle_decode(garbage) == _rpdf_rle(garbage), seed
+        for pred in (2, 10, 12, 15):
+            assert _unpredict(garbage, pred, 1, 8) == _rpdf_unpredict(
+                garbage, pred, 1, 8
+            ), (seed, pred)
+
+
+def test_v5_filters_transparent():
+    """The same content ops under every v5 chain — LZW behind hex/a85 (both
+    EarlyChange settings), RunLength, PNG/TIFF predictors (array and
+    single-dict /DecodeParms) — extract byte-identically to the plain form
+    in kernel AND oracle (trailing-space predictor padding is insignificant
+    to the tokenizer)."""
+    import base64
+    import zlib
+
+    from paddleocr_spark.corpus import (
+        _lzw_encode,
+        _pad_to,
+        _png_predict,
+        _rle_encode,
+        _tiff_predict,
+    )
+
+    raw = OPS.encode("latin-1")
+    hexb = lambda b: b.hex().upper() + ">"
+    a85b = lambda b: base64.a85encode(b).decode() + "~>"
+    variants = [
+        _pdf(OPS),
+        _pdf_filtered(hexb(_lzw_encode(raw)), " /Filter [/ASCIIHexDecode /LZWDecode]"),
+        _pdf_filtered(
+            a85b(_lzw_encode(raw, early=0)),
+            " /Filter [/ASCII85Decode /LZWDecode]"
+            " /DecodeParms [null << /EarlyChange 0 >>]",
+        ),
+        _pdf_filtered(_rle_encode(raw).decode("latin-1"), " /Filter /RunLengthDecode"),
+        _pdf_filtered(
+            a85b(zlib.compress(_png_predict(_pad_to(raw, 24), 24))),
+            " /Filter [/ASCII85Decode /FlateDecode]"
+            " /DecodeParms [null << /Predictor 12 /Columns 24 >>]",
+        ),
+        _pdf_filtered(
+            hexb(_lzw_encode(_tiff_predict(_pad_to(raw, 16), 16))),
+            " /Filter [/ASCIIHexDecode /LZWDecode]"
+            " /DecodeParms [null << /Predictor 2 /Columns 16 >>]",
+        ),
+        _pdf_filtered(
+            a85b(zlib.compress(_png_predict(_pad_to(raw, 8), 8))),
+            " /Filter [/ASCII85Decode /FlateDecode]"
+            " /DecodeParms << /Predictor 15 /Columns 8 >>",  # dict → last filter
+        ),
+    ]
+    results = []
+    for doc in variants:
+        k, spans, drop = extract_payload(doc, DEFAULT_CONFIG)
+        o = oracle_extract(doc, DEFAULT_CONFIG)
+        assert k == o["kind"] == "pdf_real"
+        assert spans == o["spans"] and drop == o["n_dropped"]
+        results.append((spans, drop))
+    assert all(r == results[0] for r in results[1:])
+    assert results[0][0]  # extracted something
+
+
+def test_truncation_fuzz_lzw_predictor_payload():
+    """Every-offset truncation through the deepest v5 chain (hex → LZW →
+    TIFF predictor): kernel == oracle, nothing raises."""
+    from paddleocr_spark.corpus import _lzw_encode, _pad_to, _tiff_predict
+
+    raw = OPS.encode("latin-1")
+    doc = _pdf_filtered(
+        _lzw_encode(_tiff_predict(_pad_to(raw, 16), 16)).hex().upper() + ">",
+        " /Filter [/ASCIIHexDecode /LZWDecode]"
+        " /DecodeParms [null << /Predictor 2 /Columns 16 >>]",
     )
     for cut in range(1, len(doc)):
         part = doc[:cut]
