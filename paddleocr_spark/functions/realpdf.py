@@ -28,6 +28,7 @@ contract).
 
 from __future__ import annotations
 
+import bisect
 import math
 import re
 import zlib
@@ -70,26 +71,45 @@ def media_box(text: str) -> Tuple[float, float]:
     return 612.0, 792.0
 
 
-def _param_dict_start(text: str, upto: int) -> int:
-    """Start of the parameter dict ending at the last ``>>`` before ``upto``:
-    ``<<``/``>>`` tokens scanned left-to-right (non-overlapping, leftmost)
-    with a stack — nested dicts (``/DecodeParms << ... >>``) match correctly
-    where a bare rfind("<<") would return the innermost dict. -1 = no match."""
+def _dict_matches(text: str) -> Tuple[List[int], List[int]]:
+    """ONE left-to-right pass over ``<<``/``>>`` tokens (non-overlapping,
+    leftmost) with a stack: parallel lists (``>>`` token starts ascending,
+    matched ``<<`` starts; -1 when unbalanced). Nested dicts (``/DecodeParms
+    << ... >>``) match correctly where a bare rfind("<<") would return the
+    innermost dict. Computed once per payload and shared by every stream's
+    parameter lookup — the per-stream prefix rescan it replaces was
+    O(doc × streams), quadratic on many-stream documents."""
+    pos: List[int] = []
+    match: List[int] = []
     stack: List[int] = []
-    d0 = -1
     i = 0
-    last = upto - 1
+    last = len(text) - 1
     while i < last:
         c = text[i]
         if c == "<" and text[i + 1] == "<":
             stack.append(i)
             i += 2
         elif c == ">" and text[i + 1] == ">":
-            d0 = stack.pop() if stack else -1
+            pos.append(i)
+            match.append(stack.pop() if stack else -1)
             i += 2
         else:
             i += 1
-    return d0
+    return pos, match
+
+
+def _last_dict_match(pos: List[int], match: List[int], upto: int) -> int:
+    """Match of the last ``>>`` token fully before ``upto`` (token start ≤
+    upto−2; tokenization is prefix-stable, so filtering the global pass is
+    exactly the bounded per-stream scan it replaces). -1 = none."""
+    k = bisect.bisect_right(pos, upto - 2)
+    return match[k - 1] if k else -1
+
+
+def _param_dict_start(text: str, upto: int) -> int:
+    """Single-use form of the lookup (kept for tests / direct callers)."""
+    pos, match = _dict_matches(text)
+    return _last_dict_match(pos, match, upto)
 
 
 def _parse_filter_names(params: str) -> Optional[List[str]]:
@@ -722,6 +742,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
 def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Payload → (list of (page_idx, Box), n_skipped_streams)."""
     mb_w, mb_h = media_box(text)
+    dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
     out = []
     skipped = 0
     page = 0
@@ -749,7 +770,7 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if end < 0:
             skipped += 1
             break
-        d0 = _param_dict_start(text, k)
+        d0 = _last_dict_match(dict_pos, dict_match, k)
         params = text[d0:k] if d0 >= 0 else ""
         pos = end + 9
         content = text[body_start:end]

@@ -13,6 +13,7 @@ assembly — is re-derived from the SPEC independently.
 
 from __future__ import annotations
 
+import bisect as _bisect
 import html as _html
 import re
 
@@ -880,6 +881,17 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
     mb_w, mb_h = _rpdf_mediabox(text)
     pages, dropped, page = {}, 0, 0
     min_pos = 0
+    # matching '<<' for every '>>' token, ONE regex pass over the whole
+    # payload (leftmost non-overlapping tokenization — kernel does the same
+    # with a char scanner); per-stream lookup = bisect on the token starts.
+    # The per-stream prefix rescan this replaces was O(doc × streams).
+    _close_pos, _close_match, _stk = [], [], []
+    for tm in re.finditer(r"<<|>>", text):
+        if tm.group() == "<<":
+            _stk.append(tm.start())
+        else:
+            _close_pos.append(tm.start())
+            _close_match.append(_stk.pop() if _stk else -1)
     for m in _RPDF_STREAM_RE.finditer(text):
         if m.start() < min_pos:
             continue  # inside a previously consumed stream body
@@ -889,15 +901,8 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         if end < 0:
             dropped += 1
             break
-        # matching '<<' for the last '>>' token before the keyword (leftmost
-        # non-overlapping tokenization — kernel does the same with a char
-        # scanner; this mirror uses regex token stream + stack)
-        d0, _stk = -1, []
-        for tm in re.finditer(r"<<|>>", text[: m.start()]):
-            if tm.group() == "<<":
-                _stk.append(tm.start())
-            else:
-                d0 = _stk.pop() if _stk else -1
+        k = _bisect.bisect_right(_close_pos, m.start() - 2)
+        d0 = _close_match[k - 1] if k else -1
         params = text[d0 : m.start()] if d0 >= 0 else ""
         min_pos = end + len("endstream")
         content = text[m.end() : end]

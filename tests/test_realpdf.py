@@ -479,6 +479,49 @@ def test_v5_filters_transparent():
     assert results[0][0]  # extracted something
 
 
+def test_many_stream_document_linear_and_equal():
+    """A 400-stream document parses kernel == oracle, and the shared
+    dict-match precompute equals the bounded per-stream scan at every
+    stream boundary (the O(doc × streams) rescan it replaced)."""
+    import time
+
+    from paddleocr_spark.functions.realpdf import (
+        _dict_matches,
+        _last_dict_match,
+        _param_dict_start,
+    )
+
+    n_pages = 400
+    parts = ["%PDF-1.4", "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+             "2 0 obj\n<< /Type /Pages /Kids [] /Count %d"
+             " /MediaBox [0 0 612 792] >>\nendobj" % n_pages]
+    for p in range(n_pages):
+        ops = f"BT /F1 12 Tf 72 700 Td (page {p} body line) Tj ET"
+        parts.append(
+            f"{3 + p} 0 obj\n<< /Length {len(ops)} >>\n"
+            f"stream\n{ops}\nendstream\nendobj"
+        )
+    doc = "\n".join(parts + ["trailer\n<< /Root 1 0 R >>\n%%EOF"])
+
+    t0 = time.perf_counter()
+    k, spans, drop = extract_payload(doc, DEFAULT_CONFIG)
+    wall = time.perf_counter() - t0
+    o = oracle_extract(doc, DEFAULT_CONFIG)
+    assert k == o["kind"] == "pdf_real"
+    assert spans == o["spans"] and drop == o["n_dropped"]
+    assert len(spans) == n_pages
+    assert wall < 2.0, f"400-stream parse took {wall:.2f}s — quadratic again?"
+
+    pos, match = _dict_matches(doc)
+    at = 0
+    while True:
+        at = doc.find("stream", at)
+        if at < 0:
+            break
+        assert _last_dict_match(pos, match, at) == _param_dict_start(doc, at)
+        at += 6
+
+
 def test_truncation_fuzz_lzw_predictor_payload():
     """Every-offset truncation through the deepest v5 chain (hex → LZW →
     TIFF predictor): kernel == oracle, nothing raises."""
