@@ -17,6 +17,10 @@ predictor under flate (array parms) / 5% TIFF Predictor-2 under LZW /
 5% PNG predictor with single-dict parms — plus a 12% per-payload
 undecodable stream (raw flate / DCTDecode / 4-bit predictor / truncated
 LZW / bad PNG row type) that must be skipped and counted, never raised.
+v6: ~30% of real-PDF payloads draw their body text with CMap-encoded fonts
+(1-byte shifted bfrange or 2-byte CID bfchar via /Resources → /Font →
+/ToUnicode, CMap streams sometimes compressed, occasional mid-page font
+switch) that must decode back to the plain text.
 Skew (FIXTURES.md §1): doc_id % 97 == 0 → 100× the median turn count, which
 is what the salted repartition in operators/extract.py has to defuse.
 """
@@ -35,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 5  # v5: LZW/RunLength/predictor real-PDF streams (SPEC §3b Filters)
+CORPUS_VERSION = 6  # v6: CMap-encoded fonts (SPEC §3b Fonts) + v5 filter mix
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -280,19 +284,69 @@ def _pad_to(data: bytes, k: int) -> bytes:
     return data + b" " * (k - r) if r else data
 
 
+def _u16_units(ch: str) -> List[int]:
+    o = ord(ch)
+    if o <= 0xFFFF:
+        return [o]
+    o -= 0x10000
+    return [0xD800 + (o >> 10), 0xDC00 + (o & 0x3FF)]
+
+
 def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     """A deterministic real PDF (uncompressed text objects, SPEC §3b):
     classic skeleton (catalog/pages/page objects, MediaBox, xref-less
     trailer) with one content stream per page exercising Tj/TJ/hex/escape
     show forms, Td/TD/Tm/T*/' positioning, header+footer bands, optional
     two-column layout, an occasional /Filter stream (skipped) and occasional
-    truncation (unterminated-stream path)."""
+    truncation (unterminated-stream path). v6: ~30% of payloads draw body
+    text with CMap-encoded fonts (/F9, sometimes a second /F8) — 1-byte
+    shifted codes via one bfrange, or 2-byte CID codes via bfchar lists —
+    resolved through /Resources → /Font → /ToUnicode (the CMap stream itself
+    sometimes filter-compressed); headers/footers stay /F1 (identity)."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
 
-    def show(sent: str) -> str:
+    # v6 font schemes: ("shift", k) → code = ord+k over '#'..'~' (one
+    # bfrange back); ("cid", {}) → on-demand 2-byte codes from 0x0100
+    # (bfchar list). scheme2 exercises mid-page Tf switching.
+    scheme = scheme2 = None
+    if rng.random() < 0.30:
+        scheme = ("shift", rng.randint(1, 5)) if rng.random() < 0.6 else ("cid", {})
+        if rng.random() < 0.25:
+            scheme2 = ("cid", {}) if scheme[0] == "shift" else ("shift", 6)
+
+    def _codes(sent: str, sch) -> str:
+        kind, m = sch
+        out = []
+        for ch in sent:
+            o = ord(ch)
+            if kind == "shift":
+                out.append(
+                    f"{o + m:02X}" if 0x23 <= o <= 0x7E
+                    else f"{o:02X}" if o <= 0xFF else "3F"
+                )
+            else:
+                out.append(f"{m.setdefault(ch, 0x0100 + len(m)):04X}")
+        return "".join(out)
+
+    def show(sent: str, sch=None) -> str:
         roll = rng.random()
+        if sch is not None:  # encoded shows are hex-string forms only
+            if roll < 0.5:
+                return f"<{_codes(sent, sch)}> Tj"
+            if roll < 0.8:  # TJ with a kerning-space join
+                ws = sent.split(" ")
+                cut = rng.randint(1, max(1, len(ws) - 1))
+                a, b = " ".join(ws[:cut]), " ".join(ws[cut:])
+                return (
+                    f"[<{_codes(a, sch)}> {-rng.randint(180, 400)}"
+                    f" <{_codes(b, sch)}>] TJ"
+                )
+            return (
+                f"<{_codes(sent, sch)}> Tj"
+                f" <{_codes(' ' + _sent(rng, words, 2), sch)}> Tj"
+            )
         if roll < 0.45:
             return f"({_pdf_str(sent)}) Tj"
         if roll < 0.65:  # TJ with a kerning-space join
@@ -312,28 +366,35 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f" ( {_pdf_str(' '.join(ws[cut:]))}) Tj"
         )
 
+    body_font = "/F9" if scheme else "/F1"
     streams = []
     for _page in range(n_pages):
         fs = rng.choice((9, 10, 12))
         ll = fs + rng.randint(3, 6)
         ops = ["BT"]
-        if rng.random() < 0.7:  # header band
+        if rng.random() < 0.7:  # header band (always /F1 — identity)
             ops += [f"/F1 8 Tf 72 {mb_h - 26} Td",
                     f"({_pdf_str(_sent(rng, words, 3))} header) Tj"]
         ops.append("ET")
         if rng.random() < 0.35:  # two columns, one BT block each, Tm-positioned
-            for x in (72, 330):
+            for col, x in enumerate((72, 330)):
+                sch = scheme2 if (col and scheme2) else scheme
+                fnt = "/F8" if (col and scheme2) else body_font
                 ops.append("BT")
-                ops.append(f"/F1 {fs} Tf {ll} TL 1 0 0 1 {x} {mb_h - 92} Tm")
+                ops.append(f"{fnt} {fs} Tf {ll} TL 1 0 0 1 {x} {mb_h - 92} Tm")
                 for li in range(rng.randint(2, 4)):
                     if li:
                         ops.append("T*")
-                    ops.append(show(_sent(rng, words, rng.randint(3, 5))))
+                    ops.append(show(_sent(rng, words, rng.randint(3, 5)), sch))
                 ops.append("ET")
         else:  # single column
+            sch = scheme
             ops.append("BT")
-            ops.append(f"/F1 {fs} Tf {ll} TL 72 {mb_h - 92} Td")
+            ops.append(f"{body_font} {fs} Tf {ll} TL 72 {mb_h - 92} Td")
             for li in range(rng.randint(3, 6)):
+                if li == 2 and scheme2:  # mid-page font + CMap switch
+                    sch = scheme2
+                    ops.append(f"/F8 {fs} Tf")
                 if li:
                     r = rng.random()
                     if r < 0.5:
@@ -341,11 +402,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     elif r < 0.8:
                         ops.append(f"0 -{ll} Td")
                     else:
-                        ops.append(f"({_pdf_str(_sent(rng, words, rng.randint(4, 8)))}) '")
+                        sent = _sent(rng, words, rng.randint(4, 8))
+                        if sch is not None:
+                            ops.append(f"<{_codes(sent, sch)}> '")
+                        else:
+                            ops.append(f"({_pdf_str(sent)}) '")
                         continue
-                ops.append(show(_sent(rng, words, rng.randint(4, 10))))
+                ops.append(show(_sent(rng, words, rng.randint(4, 10)), sch))
             ops.append("ET")
-        if rng.random() < 0.7:  # footer band
+        if rng.random() < 0.7:  # footer band (always /F1 — identity)
             ops += ["BT", "/F1 8 Tf 72 18 Td",
                     f"(page {_page} footer) Tj", "ET"]
         else:
@@ -358,8 +423,17 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         f" /Count {n_pages} /MediaBox [0 0 {mb_w} {mb_h}] >>",
     ]
     first_content = 3 + n_pages
+    font1 = first_content + n_pages + 1  # first_content+n_pages = bad-stream obj
+    res = ""
+    if scheme:
+        ents = f"/F9 {font1} 0 R"
+        if scheme2:
+            ents += f" /F8 {font1 + 2} 0 R"
+        res = f" /Resources << /Font << {ents} >> >>"
     for i in range(n_pages):
-        objs.append(f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R >>")
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R{res} >>"
+        )
 
     parts = ["%PDF-1.4"]
     for i, body in enumerate(objs):
@@ -428,6 +502,45 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"{first_content + i} 0 obj\n<< /Length {len(body)}{fdecl} >>\n"
             f"stream\n{body}\nendstream\nendobj"
         )
+    if scheme:  # v6: font + ToUnicode CMap objects (after the content streams)
+        def _cmap_body(sch) -> str:
+            kind, m = sch
+            lines = ["/CIDInit /ProcSet findresource begin", "begincmap"]
+            if kind == "shift":
+                lines += [
+                    "1 beginbfrange",
+                    f"<{0x23 + m:02X}> <{0x7E + m:02X}> <0023>",
+                    "endbfrange",
+                ]
+            else:
+                items = sorted(m.items(), key=lambda kv: kv[1])
+                for c0 in range(0, len(items), 100):
+                    chunk = items[c0 : c0 + 100]
+                    lines.append(f"{len(chunk)} beginbfchar")
+                    for ch, code in chunk:
+                        dst = "".join(f"{u:04X}" for u in _u16_units(ch))
+                        lines.append(f"<{code:04X}> <{dst}>")
+                    lines.append("endbfchar")
+            lines += ["endcmap", "end"]
+            return "\n".join(lines)
+
+        pairs = [(scheme, font1)] + ([(scheme2, font1 + 2)] if scheme2 else [])
+        for sch, fnum in pairs:
+            cnum = fnum + 1
+            cm = _cmap_body(sch)
+            if rng.random() < 0.5:  # the CMap stream itself compressed
+                cbody = _a85body(zlib.compress(cm.encode("latin-1"), 6))
+                cdecl = " /Filter [/ASCII85Decode /FlateDecode]"
+            else:
+                cbody, cdecl = cm, ""
+            parts.append(
+                f"{fnum} 0 obj\n<< /Type /Font /Subtype /Type0"
+                f" /ToUnicode {cnum} 0 R >>\nendobj"
+            )
+            parts.append(
+                f"{cnum} 0 obj\n<< /Length {len(cbody)}{cdecl} >>\n"
+                f"stream\n{cbody}\nendstream\nendobj"
+            )
     if rng.random() < 0.12:  # an undecodable stream: skipped, counted dropped
         bad = rng.random()
         if bad < 0.3:  # raw-binary flate: decode failure by construction

@@ -516,6 +516,365 @@ def apply_stream_filters(
     return data.decode("latin-1")
 
 
+# --- fonts & ToUnicode CMaps (SPEC §3b Fonts, corpus v6) --------------------
+
+
+def _object_map(text: str):
+    """``N 0 obj ... endobj`` segmentation, consumed sequentially in one
+    pass (an ``N 0 obj`` inside a previous object's extent is body text, not
+    an object): {num: (body_start, body_end)} — the LAST definition of a
+    number wins (incremental-update semantics) — plus the ascending interval
+    list [(body_start, body_end, num)] for position→object lookup."""
+    objs: dict = {}
+    intervals: List[Tuple[int, int, int]] = []
+    pos = 0
+    n = len(text)
+    while True:
+        k = text.find("obj", pos)
+        if k < 0:
+            break
+        after_ok = k + 3 >= n or text[k + 3] in _WS or text[k + 3] in _DELIM
+        j = k - 1
+        while j >= 0 and text[j] in _WS:
+            j -= 1
+        if not after_ok or j < 0 or j == k - 1 or text[j] != "0":
+            pos = k + 3
+            continue
+        j -= 1
+        if j < 0 or text[j] not in _WS:
+            pos = k + 3
+            continue
+        while j >= 0 and text[j] in _WS:
+            j -= 1
+        e = j
+        while j >= 0 and text[j].isdigit():
+            j -= 1
+        if j == e:  # no generation-number digits
+            pos = k + 3
+            continue
+        num = int(text[j + 1 : e + 1])
+        end = text.find("endobj", k + 3)
+        if end < 0:
+            objs[num] = (k + 3, n)
+            intervals.append((k + 3, n, num))
+            break
+        objs[num] = (k + 3, end)
+        intervals.append((k + 3, end, num))
+        pos = end + 6
+    return objs, intervals
+
+
+def _skip_ws(s: str, i: int) -> int:
+    n = len(s)
+    while i < n and s[i] in _WS:
+        i += 1
+    return i
+
+
+def _read_name_token(s: str, i: int) -> Tuple[str, int]:
+    """Name body starting after the ``/`` at ``i``."""
+    j = i + 1
+    n = len(s)
+    while j < n and s[j] not in _WS and s[j] not in _DELIM:
+        j += 1
+    return s[i + 1 : j], j
+
+
+def _read_ref(s: str, i: int) -> Tuple[Optional[int], int]:
+    """``N 0 R`` starting at ``i`` (after whitespace): (N, index-after-R) or
+    (None, i) when the token sequence doesn't match."""
+    n = len(s)
+    j = _skip_ws(s, i)
+    d0 = j
+    while j < n and s[j].isdigit():
+        j += 1
+    if j == d0:
+        return None, i
+    num = int(s[d0:j])
+    j2 = _skip_ws(s, j)
+    if j2 == j or not s[j2 : j2 + 1] == "0":
+        return None, i
+    j2 += 1
+    j3 = _skip_ws(s, j2)
+    if j3 == j2 or s[j3 : j3 + 1] != "R":
+        return None, i
+    after = j3 + 1
+    if after < n and s[after] not in _WS and s[after] not in _DELIM:
+        return None, i
+    return num, after
+
+
+def _key_ref(body: str, key: str) -> Optional[int]:
+    """``/Key N 0 R`` at the FIRST occurrence of the literal key (token must
+    end exactly at the key name); None when absent or not a ref."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
+        return None  # longer name, e.g. /ContentsX
+    num, _ = _read_ref(body, after)
+    return num
+
+
+def _hex_token(s: str, i: int) -> Tuple[Optional[str], int]:
+    """``< hexdigits >`` starting at ws before ``i``; (digits, index-after)
+    or (None, i) — any non-hex/non-ws char inside ends the section."""
+    j = _skip_ws(s, i)
+    if s[j : j + 1] != "<":
+        return None, i
+    j += 1
+    digits = []
+    n = len(s)
+    while j < n and s[j] != ">":
+        if s[j] in "0123456789abcdefABCDEF":
+            digits.append(s[j])
+        elif s[j] in _WS:
+            pass
+        else:
+            return None, i
+        j += 1
+    if j >= n:
+        return None, i
+    return "".join(digits), j + 1
+
+
+def _utf16be(hexdigits: str) -> Optional[str]:
+    if len(hexdigits) % 4:
+        return None
+    try:
+        return bytes.fromhex(hexdigits).decode("utf-16-be")
+    except ValueError:
+        return None
+
+
+_CMAP_RANGE_CAP = 256
+
+
+def _parse_cmap(content: str):
+    """ToUnicode CMap → ({(code, nbytes): str}, sorted code lengths desc).
+    bfchar pairs ``<src> <dst>`` and bfrange triples ``<lo> <hi> <dst>`` /
+    ``<lo> <hi> [<d1> ...]``; src must be 1 or 2 bytes (even hex digits),
+    dst UTF-16BE; a range maps lo+i by incrementing dst's final code point
+    (array form maps positionally); span > 256 → entry ignored; a malformed
+    token ends its section; bad entries are skipped, never raised."""
+    cmap: dict = {}
+    lengths: set = set()
+
+    def add(code: int, nb: int, dst: Optional[str]) -> None:
+        if dst is not None:
+            cmap[(code, nb)] = dst
+            lengths.add(nb)
+
+    pos = 0
+    while True:
+        a = content.find("beginbfchar", pos)
+        if a < 0:
+            break
+        i = a + len("beginbfchar")
+        while True:
+            src, i = _hex_token(content, i)
+            if src is None or len(src) % 2 or len(src) // 2 not in (1, 2):
+                break
+            dst, i2 = _hex_token(content, i)
+            if dst is None:
+                break
+            i = i2
+            add(int(src, 16), len(src) // 2, _utf16be(dst))
+        pos = i
+    pos = 0
+    while True:
+        a = content.find("beginbfrange", pos)
+        if a < 0:
+            break
+        i = a + len("beginbfrange")
+        while True:
+            lo_h, i = _hex_token(content, i)
+            if lo_h is None or len(lo_h) % 2 or len(lo_h) // 2 not in (1, 2):
+                break
+            hi_h, i2 = _hex_token(content, i)
+            if hi_h is None:
+                break
+            i = i2
+            j = _skip_ws(content, i)
+            lo, hi, nb = int(lo_h, 16), int(hi_h, 16), len(lo_h) // 2
+            if content[j : j + 1] == "[":
+                i = j + 1
+                arr: List[Optional[str]] = []
+                while True:
+                    d, i2 = _hex_token(content, i)
+                    if d is None:
+                        break
+                    arr.append(_utf16be(d))
+                    i = i2
+                i = _skip_ws(content, i)
+                if content[i : i + 1] == "]":
+                    i += 1
+                if 0 <= hi - lo <= _CMAP_RANGE_CAP:
+                    for off, dst in enumerate(arr[: hi - lo + 1]):
+                        add(lo + off, nb, dst)
+                continue
+            dst_h, i2 = _hex_token(content, i)
+            if dst_h is None:
+                break
+            i = i2
+            base = _utf16be(dst_h)
+            if base and 0 <= hi - lo <= _CMAP_RANGE_CAP:
+                for off in range(hi - lo + 1):
+                    add(lo + off, nb, base[:-1] + chr(ord(base[-1]) + off))
+        pos = i
+    if not cmap:
+        return None
+    return cmap, sorted(lengths, reverse=True)
+
+
+def _dict_extent(body: str, at: int) -> Tuple[int, int]:
+    """Balanced ``<< ... >>`` starting at ``at``; (inner_start, inner_end)
+    or (-1, -1)."""
+    depth = 0
+    i = at
+    n = len(body)
+    while i < n - 1:
+        two = body[i : i + 2]
+        if two == "<<":
+            depth += 1
+            i += 2
+        elif two == ">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return at + 2, i - 2
+        else:
+            i += 1
+    return -1, -1
+
+
+def _font_table(text: str, objs: dict, page_body: str):
+    """Page body → {font name: cmap entry} via /Resources (inline dict or
+    ref) → /Font (inline dict or ref) → per-entry font object → /ToUnicode
+    stream decoded through its own filters. Every failure degrades to
+    identity (entry absent), never raises."""
+    k = page_body.find("/Resources")
+    if k < 0:
+        return {}
+    after = k + len("/Resources")
+    if after < len(page_body) and page_body[after] not in _WS and page_body[after] not in _DELIM:
+        return {}  # longer name, e.g. /ResourcesX
+    i = _skip_ws(page_body, after)
+    if page_body[i : i + 2] == "<<":
+        s0, s1 = _dict_extent(page_body, i)
+        res = page_body[s0:s1] if s0 >= 0 else ""
+    else:
+        num, _ = _read_ref(page_body, i)
+        if num is None or num not in objs:
+            return {}
+        res = text[objs[num][0] : objs[num][1]]
+    k = res.find("/Font")
+    if k < 0 or (
+        k + 5 < len(res) and res[k + 5] not in _WS and res[k + 5] not in _DELIM
+    ):
+        return {}
+    i = _skip_ws(res, k + len("/Font"))
+    if res[i : i + 2] == "<<":
+        s0, s1 = _dict_extent(res, i)
+        fdict = res[s0:s1] if s0 >= 0 else ""
+    else:
+        num, _ = _read_ref(res, i)
+        if num is None or num not in objs:
+            return {}
+        fdict = text[objs[num][0] : objs[num][1]]
+    fonts = {}
+    i, n = 0, len(fdict)
+    while i < n:
+        if fdict[i] != "/":
+            i += 1
+            continue
+        nm, i = _read_name_token(fdict, i)
+        num, i2 = _read_ref(fdict, i)
+        if num is None:
+            continue
+        i = i2
+        if num not in objs:
+            continue
+        fbody = text[objs[num][0] : objs[num][1]]
+        tref = _key_ref(fbody, "/ToUnicode")
+        if tref is None or tref not in objs:
+            continue
+        cm = _cmap_from_stream_object(text, objs[tref])
+        if cm is not None:
+            fonts[nm] = cm
+    return fonts
+
+
+def _cmap_from_stream_object(text: str, span: Tuple[int, int]):
+    """Decode the stream inside an object extent through its own /Filter
+    chain and parse it as a CMap; None on any failure."""
+    body = text[span[0] : span[1]]
+    k = body.find("stream")
+    if k < 0:
+        return None
+    after = k + 6
+    if body[after : after + 2] == "\r\n":
+        cstart = after + 2
+    elif body[after : after + 1] == "\n":
+        cstart = after + 1
+    else:
+        return None
+    end = body.find("endstream", cstart)
+    if end < 0:
+        return None
+    content = body[cstart:end]
+    params = body[:k]
+    if "/Filter" in params:
+        names = _parse_filter_names(params)
+        if names is None:
+            return None
+        fparms = _parse_decode_parms(params, len(names))
+        if fparms is None:
+            return None
+        decoded = apply_stream_filters(content, names, fparms)
+        if decoded is None:
+            return None
+        content = decoded
+    return _parse_cmap(content)
+
+
+def _apply_cmap(s: str, entry) -> str:
+    """Map a show-string through the current font's CMap: longest code
+    first; unmapped positions (and chars above U+00FF) pass through
+    identity one char at a time."""
+    if entry is None:
+        return s
+    cmap, lengths = entry
+    out: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        hit = None
+        if ord(s[i]) <= 0xFF:
+            for nb in lengths:
+                if i + nb > n:
+                    continue
+                code = 0
+                ok = True
+                for c in s[i : i + nb]:
+                    o = ord(c)
+                    if o > 0xFF:
+                        ok = False
+                        break
+                    code = (code << 8) | o
+                if not ok:
+                    continue
+                hit = cmap.get((code, nb))
+                if hit is not None:
+                    out.append(hit)
+                    i += nb
+                    break
+        if hit is None:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _read_literal(s: str, i: int) -> Tuple[str, int, bool]:
     """Read a literal string starting at the '(' at ``i``.
     Returns (decoded, index-after-')', terminated?)."""
@@ -581,8 +940,12 @@ def _read_hex(s: str, i: int) -> Tuple[str, int]:
 
 
 def _interpret(content: str, mb_w: float, mb_h: float,
-               cfg: ExtractConfig) -> List[Box]:
-    """One content stream → line boxes in canonical top-left coordinates."""
+               cfg: ExtractConfig, fonts: Optional[dict] = None) -> List[Box]:
+    """One content stream → line boxes in canonical top-left coordinates.
+    ``fonts`` maps font names to CMap entries (SPEC §3b Fonts, v6): ``Tf``
+    switches the active map and show-strings decode through it (advance
+    widths use the DECODED length, so an encoded page lays out exactly like
+    its plain twin)."""
     sx = cfg.page_w / mb_w
     sy = cfg.page_h / mb_h
     boxes: List[Box] = []
@@ -590,6 +953,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     x = y = 0.0
     leading = 0.0
     fontsize = 12.0
+    cur_map = None
+    fonts = fonts or {}
     buf: List[str] = []
     stack: list = []
     arr: list | None = None  # open [ ... ] capture
@@ -689,6 +1054,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if stack and isinstance(stack[-1], float):
                     flush()
                     fontsize = stack[-1]
+                    if (
+                        len(stack) >= 2
+                        and isinstance(stack[-2], tuple)
+                        and stack[-2][0] == "n"
+                    ):
+                        cur_map = fonts.get(stack[-2][1])
             elif tok == "Td":
                 v = nums(2)
                 if v:
@@ -715,18 +1086,18 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 y -= leading
             elif tok == "Tj":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
-                    buf.append(stack[-1][1])
+                    buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok in ("'", '"'):
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                     flush()
                     y -= leading
-                    buf.append(stack[-1][1])
+                    buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok == "TJ":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                     piece = []
                     for el in stack[-1][1]:
                         if isinstance(el, tuple) and el[0] == "s":
-                            piece.append(el[1])
+                            piece.append(_apply_cmap(el[1], cur_map))
                         elif isinstance(el, float) and el <= -180:
                             piece.append(" ")
                     buf.append("".join(piece))
@@ -739,10 +1110,42 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     return boxes
 
 
+def _content_fonts(text: str):
+    """{content-object number: font table} from every /Type /Page object
+    (token-exact name match, so /Pages never qualifies), plus the object
+    interval list for stream→object attribution. Gated on a literal
+    ``/ToUnicode`` appearing anywhere — without one every font table is
+    empty and extraction is identity, so the gate is a pure fast path."""
+    if "/ToUnicode" not in text:
+        return {}, []
+    objs, intervals = _object_map(text)
+    by_content: dict = {}
+    for num in objs:
+        body = text[objs[num][0] : objs[num][1]]
+        k = body.find("/Type")
+        if k < 0:
+            continue
+        i = _skip_ws(body, k + len("/Type"))
+        if body[i : i + 1] != "/":
+            continue
+        nm, _ = _read_name_token(body, i)
+        if nm != "Page":
+            continue
+        cref = _key_ref(body, "/Contents")
+        if cref is None:
+            continue
+        fonts = _font_table(text, objs, body)
+        if fonts:
+            by_content[cref] = fonts
+    return by_content, intervals
+
+
 def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Payload → (list of (page_idx, Box), n_skipped_streams)."""
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
+    fonts_by_obj, obj_intervals = _content_fonts(text)
+    obj_starts = [iv[0] for iv in obj_intervals]
     out = []
     skipped = 0
     page = 0
@@ -793,7 +1196,12 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             content = decoded
         if "BT" not in content:
             continue
-        for box in _interpret(content, mb_w, mb_h, cfg):
+        fonts = None
+        if fonts_by_obj:
+            oi = bisect.bisect_right(obj_starts, body_start) - 1
+            if oi >= 0 and body_start < obj_intervals[oi][1]:
+                fonts = fonts_by_obj.get(obj_intervals[oi][2])
+        for box in _interpret(content, mb_w, mb_h, cfg, fonts):
             out.append((page, box))
         page += 1
     return out, skipped

@@ -675,6 +675,283 @@ def _rpdf_decode_stream(body: str, params: str):
     return data.decode("latin-1")
 
 
+# --- fonts & ToUnicode CMaps (SPEC §3b Fonts, v6) — oracle mirror -----------
+# regex-driven re-derivations of the kernel's char scanners: object headers
+# and refs are matched with compiled patterns, UTF-16BE is decoded manually
+# (surrogate combine) where the kernel uses the stdlib codec.
+
+_RPDF_NAMEEND = r"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+_RPDF_OBJ_RE = re.compile(
+    r"(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+obj" + _RPDF_NAMEEND
+)
+_RPDF_REFVAL_RE = re.compile(
+    r"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+R" + _RPDF_NAMEEND
+)
+_RPDF_HEXTOK_RE = re.compile(
+    r"[\x00\t\n\x0c\r ]*<([0-9a-fA-F\x00\t\n\x0c\r ]*)>"
+)
+_RPDF_FONTENT_RE = re.compile(
+    r"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    r"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+R"
+    + _RPDF_NAMEEND
+)
+_RPDF_TYPEPAGE_RE = re.compile(
+    r"/Type[\x00\t\n\x0c\r ]*/Page" + _RPDF_NAMEEND
+)
+_RPDF_STREAMKW_RE = re.compile(r"stream\r?\n")
+
+
+def _rpdf_object_map(text: str):
+    """Sequential ``N 0 obj ... endobj`` consume (matches inside a previous
+    object's extent are body text); LAST definition of a number wins."""
+    objs, intervals = {}, []
+    min_pos = 0
+    n = len(text)
+    for m in _RPDF_OBJ_RE.finditer(text):
+        if m.start() < min_pos:
+            continue
+        b0 = m.end()
+        end = text.find("endobj", b0)
+        num = int(m.group(1))
+        if end < 0:
+            objs[num] = (b0, n)
+            intervals.append((b0, n, num))
+            break
+        objs[num] = (b0, end)
+        intervals.append((b0, end, num))
+        min_pos = end + len("endobj")
+    return objs, intervals
+
+
+def _rpdf_key_ref(body: str, key: str):
+    """``/Key N 0 R`` anchored at the FIRST literal key occurrence only."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    m = _RPDF_REFVAL_RE.match(body, k + len(key))
+    return int(m.group(1)) if m else None
+
+
+def _rpdf_utf16(hexs: str):
+    """Manual UTF-16BE: surrogate pairs combined, lone surrogates → None
+    (the kernel's stdlib decode raises there — failure-for-failure)."""
+    if len(hexs) % 4:
+        return None
+    units = [int(hexs[i : i + 4], 16) for i in range(0, len(hexs), 4)]
+    out = []
+    i = 0
+    while i < len(units):
+        u = units[i]
+        if 0xD800 <= u <= 0xDBFF:
+            if i + 1 < len(units) and 0xDC00 <= units[i + 1] <= 0xDFFF:
+                out.append(chr(0x10000 + ((u - 0xD800) << 10) + (units[i + 1] - 0xDC00)))
+                i += 2
+                continue
+            return None
+        if 0xDC00 <= u <= 0xDFFF:
+            return None
+        out.append(chr(u))
+        i += 1
+    return "".join(out)
+
+
+def _rpdf_hextok(s: str, i: int):
+    m = _RPDF_HEXTOK_RE.match(s, i)
+    if not m:
+        return None, i
+    return re.sub(r"[\x00\t\n\x0c\r ]", "", m.group(1)), m.end()
+
+
+_RPDF_RANGE_CAP = 256
+
+
+def _rpdf_parse_cmap(content: str):
+    """Mirror of the kernel CMap rule (SPEC §3b Fonts): bfchar pairs and
+    bfrange triples/arrays, src 1–2 bytes, dst UTF-16BE, range increments
+    the final code point, span > 256 ignored."""
+    cmap, lengths = {}, set()
+
+    def add(code, nb, dst):
+        if dst is not None:
+            cmap[(code, nb)] = dst
+            lengths.add(nb)
+
+    pos = 0
+    while True:
+        a = content.find("beginbfchar", pos)
+        if a < 0:
+            break
+        i = a + len("beginbfchar")
+        while True:
+            src, i = _rpdf_hextok(content, i)
+            if src is None or len(src) % 2 or len(src) // 2 not in (1, 2):
+                break
+            dst, i2 = _rpdf_hextok(content, i)
+            if dst is None:
+                break
+            i = i2
+            add(int(src, 16), len(src) // 2, _rpdf_utf16(dst))
+        pos = i
+    pos = 0
+    while True:
+        a = content.find("beginbfrange", pos)
+        if a < 0:
+            break
+        i = a + len("beginbfrange")
+        while True:
+            lo_h, i = _rpdf_hextok(content, i)
+            if lo_h is None or len(lo_h) % 2 or len(lo_h) // 2 not in (1, 2):
+                break
+            hi_h, i2 = _rpdf_hextok(content, i)
+            if hi_h is None:
+                break
+            i = i2
+            j = re.compile(r"[\x00\t\n\x0c\r ]*").match(content, i).end()
+            lo, hi, nb = int(lo_h, 16), int(hi_h, 16), len(lo_h) // 2
+            if content[j : j + 1] == "[":
+                i = j + 1
+                arr = []
+                while True:
+                    d, i2 = _rpdf_hextok(content, i)
+                    if d is None:
+                        break
+                    arr.append(_rpdf_utf16(d))
+                    i = i2
+                i = re.compile(r"[\x00\t\n\x0c\r ]*").match(content, i).end()
+                if content[i : i + 1] == "]":
+                    i += 1
+                if 0 <= hi - lo <= _RPDF_RANGE_CAP:
+                    for off, dst in enumerate(arr[: hi - lo + 1]):
+                        add(lo + off, nb, dst)
+                continue
+            dst_h, i2 = _rpdf_hextok(content, i)
+            if dst_h is None:
+                break
+            i = i2
+            base = _rpdf_utf16(dst_h)
+            if base and 0 <= hi - lo <= _RPDF_RANGE_CAP:
+                for off in range(hi - lo + 1):
+                    add(lo + off, nb, base[:-1] + chr(ord(base[-1]) + off))
+        pos = i
+    if not cmap:
+        return None
+    return cmap, sorted(lengths, reverse=True)
+
+
+def _rpdf_cmap_from_obj(text: str, span):
+    body = text[span[0] : span[1]]
+    m = _RPDF_STREAMKW_RE.search(body)
+    if not m:
+        return None
+    end = body.find("endstream", m.end())
+    if end < 0:
+        return None
+    content = body[m.end() : end]
+    params = body[: m.start()]
+    if "/Filter" in params:
+        content = _rpdf_decode_stream(content, params)
+        if content is None:
+            return None
+    return _rpdf_parse_cmap(content)
+
+
+def _rpdf_font_table(text: str, objs: dict, page_body: str):
+    k = page_body.find("/Resources")
+    if k < 0:
+        return {}
+    i = re.compile(r"[\x00\t\n\x0c\r ]*").match(page_body, k + len("/Resources")).end()
+    if page_body[i : i + 2] == "<<":
+        inner, _ = _rpdf_dict_span(page_body, i)
+        res = inner if inner is not None else ""
+    else:
+        m = _RPDF_REFVAL_RE.match(page_body, k + len("/Resources"))
+        if not m or int(m.group(1)) not in objs:
+            return {}
+        s = objs[int(m.group(1))]
+        res = text[s[0] : s[1]]
+    k = res.find("/Font")
+    if k < 0 or (
+        k + 5 < len(res)
+        and not re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", res[k + 5])
+    ):
+        return {}
+    i = re.compile(r"[\x00\t\n\x0c\r ]*").match(res, k + len("/Font")).end()
+    if res[i : i + 2] == "<<":
+        inner, _ = _rpdf_dict_span(res, i)
+        fdict = inner if inner is not None else ""
+    else:
+        m = _RPDF_REFVAL_RE.match(res, k + len("/Font"))
+        if not m or int(m.group(1)) not in objs:
+            return {}
+        s = objs[int(m.group(1))]
+        fdict = text[s[0] : s[1]]
+    fonts = {}
+    for fm in _RPDF_FONTENT_RE.finditer(fdict):
+        num = int(fm.group(2))
+        if num not in objs:
+            continue
+        fbody = text[objs[num][0] : objs[num][1]]
+        tref = _rpdf_key_ref(fbody, "/ToUnicode")
+        if tref is None or tref not in objs:
+            continue
+        cm = _rpdf_cmap_from_obj(text, objs[tref])
+        if cm is not None:
+            fonts[fm.group(1)] = cm
+    return fonts
+
+
+def _rpdf_content_fonts(text: str):
+    """{content obj num: font table} + object intervals; gated on a literal
+    /ToUnicode (pure fast path — absent CMaps mean identity everywhere)."""
+    if "/ToUnicode" not in text:
+        return {}, []
+    objs, intervals = _rpdf_object_map(text)
+    by_content = {}
+    for num, span in objs.items():
+        body = text[span[0] : span[1]]
+        k = body.find("/Type")
+        if k < 0:
+            continue
+        if not _RPDF_TYPEPAGE_RE.match(body, k):
+            continue
+        cref = _rpdf_key_ref(body, "/Contents")
+        if cref is None:
+            continue
+        fonts = _rpdf_font_table(text, objs, body)
+        if fonts:
+            by_content[cref] = fonts
+    return by_content, intervals
+
+
+def _rpdf_apply_cmap(s: str, entry):
+    if entry is None:
+        return s
+    cmap, lengths = entry
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        hit = None
+        if ord(s[i]) <= 0xFF:
+            for nb in lengths:
+                if i + nb > n:
+                    continue
+                codes = [ord(c) for c in s[i : i + nb]]
+                if max(codes) > 0xFF:
+                    continue
+                acc = 0
+                for o in codes:
+                    acc = acc * 256 + o
+                hit = cmap.get((acc, nb))
+                if hit is not None:
+                    out.append(hit)
+                    i += nb
+                    break
+        if hit is None:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _rpdf_mediabox(text: str):
     m = RPDF_MEDIABOX_RE.search(text)
     if m:
@@ -772,13 +1049,18 @@ def _rpdf_tokens(content: str):
     return toks
 
 
-def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig):
-    """Pass 2: token list → line boxes in canonical top-left coordinates."""
+def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
+                    fonts=None):
+    """Pass 2: token list → line boxes in canonical top-left coordinates.
+    ``fonts``: name → CMap entry; Tf switches the active map (SPEC §3b
+    Fonts, v6) and show-strings decode through it."""
     import math
 
     sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
     boxes = []
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False}
+    fonts = fonts or {}
+    cmap = [None]  # boxed for closure-free mutation alongside `state`
     buf = []
     stack = []
     arr = None
@@ -830,6 +1112,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig):
             if op == "Tf" and stack and stack[-1][0] == "num":
                 flush()
                 state["fs"] = stack[-1][1]
+                if len(stack) >= 2 and stack[-2][0] == "name":
+                    cmap[0] = fonts.get(stack[-2][1])
             elif op == "Td":
                 v = tail_nums(2)
                 if v:
@@ -854,15 +1138,15 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig):
                 flush()
                 state["y"] -= state["lead"]
             elif op == "Tj" and stack and stack[-1][0] == "str":
-                buf.append(stack[-1][1])
+                buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op in ("'", '"') and stack and stack[-1][0] == "str":
                 flush()
                 state["y"] -= state["lead"]
-                buf.append(stack[-1][1])
+                buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op == "TJ" and stack and stack[-1][0] == "arr":
                 buf.append(
                     "".join(
-                        el[1]
+                        _rpdf_apply_cmap(el[1], cmap[0])
                         if el[0] == "str"
                         else (" " if el[0] == "num" and el[1] <= -180 else "")
                         for el in stack[-1][1]
@@ -879,6 +1163,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig):
 
 def _oracle_realpdf(text: str, cfg: ExtractConfig):
     mb_w, mb_h = _rpdf_mediabox(text)
+    fonts_by_obj, obj_intervals = _rpdf_content_fonts(text)
+    obj_starts = [iv[0] for iv in obj_intervals]
     pages, dropped, page = {}, 0, 0
     min_pos = 0
     # matching '<<' for every '>>' token, ONE regex pass over the whole
@@ -914,7 +1200,12 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
             content = decoded
         if "BT" not in content:
             continue
-        boxes = _rpdf_interpret(_rpdf_tokens(content), mb_w, mb_h, cfg)
+        fonts = None
+        if fonts_by_obj:
+            oi = _bisect.bisect_right(obj_starts, m.end()) - 1
+            if oi >= 0 and m.end() < obj_intervals[oi][1]:
+                fonts = fonts_by_obj.get(obj_intervals[oi][2])
+        boxes = _rpdf_interpret(_rpdf_tokens(content), mb_w, mb_h, cfg, fonts)
         for b in boxes:
             if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
                 dropped += 1

@@ -522,6 +522,178 @@ def test_many_stream_document_linear_and_equal():
         at += 6
 
 
+# --- v6: fonts & ToUnicode CMaps (SPEC §3b Fonts) ---------------------------
+
+
+def _pdf_cmap(ops: str, cmap_stream: str, res: str = " /Resources << /Font << /F9 5 0 R >> >>",
+              font_obj: str = "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+              cmap_decl: str = "") -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+        f"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R{res} >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        f"5 0 obj\n{font_obj}\nendobj\n"
+        f"6 0 obj\n<< /Length {len(cmap_stream)}{cmap_decl} >>\nstream\n{cmap_stream}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+SHIFT3_CMAP = (
+    "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+    "1 beginbfrange\n<26> <81> <0023>\nendbfrange\nendcmap\nend"
+)
+
+
+def _shift3(s: str) -> str:
+    return "".join(f"{ord(c) + 3:02X}" if c != " " else "20" for c in s)
+
+
+def test_cmap_bfrange_shift_decodes_to_plain():
+    """A 1-byte shifted page decodes to exactly what its plain twin shows —
+    boxes included (advance widths use decoded length)."""
+    plain_ops = "BT /F9 12 Tf 72 700 Td (hello cmap world) Tj ET"
+    enc_ops = f"BT /F9 12 Tf 72 700 Td <{_shift3('hello cmap world')}> Tj ET"
+    k_enc, s_enc, d_enc = extract_payload(_pdf_cmap(enc_ops, SHIFT3_CMAP))
+    k_pl, s_pl, d_pl = extract_payload(_pdf(plain_ops))
+    assert [x[2] for x in s_enc] == ["hello cmap world"]
+    assert s_enc == s_pl and d_enc == d_pl == 0
+    o = oracle_extract(_pdf_cmap(enc_ops, SHIFT3_CMAP))
+    assert s_enc == o["spans"] and d_enc == o["n_dropped"]
+
+
+def test_cmap_bfchar_2byte_and_surrogates():
+    cm = ("begincmap\n3 beginbfchar\n<0100> <0041>\n<0101> <0042>\n"
+          "<0102> <D83DDE00>\nendbfchar\nendcmap")
+    ops = "BT /F9 12 Tf 72 700 Td <010001010102 0100> Tj ET"
+    doc = _pdf_cmap(ops, cm)
+    k, spans, _ = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert [s[2] for s in spans] == ["AB\U0001F600A"]
+    assert spans == o["spans"]
+
+
+def test_cmap_through_compressed_stream_and_font_switch():
+    """The ToUnicode stream rides its own filter chain, and Tf switches
+    between two mapped fonts mid-page."""
+    import base64
+    import zlib
+
+    cm1 = base64.a85encode(zlib.compress(SHIFT3_CMAP.encode())).decode() + "~>"
+    cm2 = ("begincmap\n3 beginbfchar\n<0100> <0058>\n<0101> <0059>\n"
+           "<0102> <005A>\nendbfchar\nendcmap")
+    ops = (
+        f"BT /F9 12 Tf 14 TL 72 700 Td <{_shift3('first line')}> Tj T* "
+        "/F8 12 Tf <010001010102010001010102> Tj ET"
+    )
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R /F8 7 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /ToUnicode 6 0 R >>\nendobj\n"
+        f"6 0 obj\n<< /Length {len(cm1)} /Filter [/ASCII85Decode /FlateDecode] >>\n"
+        f"stream\n{cm1}\nendstream\nendobj\n"
+        "7 0 obj\n<< /Type /Font /ToUnicode 8 0 R >>\nendobj\n"
+        f"8 0 obj\n<< /Length {len(cm2)} >>\nstream\n{cm2}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    k, spans, _ = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert [s[2] for s in spans] == ["first line", "XYZXYZ"]
+    assert spans == o["spans"]
+
+
+def test_cmap_indirect_resources_and_font_dicts():
+    """/Resources and /Font as indirect references resolve through the
+    object map."""
+    ops = f"BT /F9 12 Tf 72 700 Td <{_shift3('indirect works')}> Tj ET"
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources 9 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        "9 0 obj\n<< /Font 10 0 R >>\nendobj\n"
+        "10 0 obj\n<< /F9 5 0 R >>\nendobj\n"
+        "5 0 obj\n<< /Type /Font /ToUnicode 6 0 R >>\nendobj\n"
+        f"6 0 obj\n<< /Length {len(SHIFT3_CMAP)} >>\nstream\n{SHIFT3_CMAP}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    k, spans, _ = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert [s[2] for s in spans] == ["indirect works"]
+    assert spans == o["spans"]
+
+
+@pytest.mark.parametrize(
+    "cmap_stream",
+    [
+        "begincmap\n1 beginbfchar\n<GG> <0041>\nendbfchar\nendcmap",  # bad hex
+        "begincmap\n1 beginbfchar\n<010> <0041>\nendbfchar\nendcmap",  # odd src
+        "begincmap\n1 beginbfchar\n<010000> <0041>\nendbfchar\nendcmap",  # 3-byte src
+        "begincmap\n1 beginbfchar\n<0100> <00>\nendbfchar\nendcmap",  # dst not UTF-16
+        "begincmap\n1 beginbfchar\n<0100> <D800>\nendbfchar\nendcmap",  # lone surrogate
+        "begincmap\n1 beginbfrange\n<00> <FFFF> <0041>\nendbfrange\nendcmap",  # huge span
+        "begincmap\nbeginbfchar",  # truncated section
+        "nocmapatall",
+    ],
+)
+def test_cmap_malformed_degrades_to_identity(cmap_stream):
+    """Every malformed CMap degrades to identity (codes pass through raw),
+    identically in kernel and oracle — never raises."""
+    ops = "BT /F9 12 Tf 72 700 Td (raw passthrough text) Tj ET"
+    doc = _pdf_cmap(ops, cmap_stream)
+    k, spans, drop = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert k == o["kind"] == "pdf_real"
+    assert spans == o["spans"]
+    assert [s[2] for s in spans] == ["raw passthrough text"]
+    assert drop == o["n_dropped"]
+
+
+def test_cmap_dangling_refs_identity():
+    """Refs to missing objects, /Contents arrays, and /ToUnicode pointing at
+    a non-stream all degrade to identity in both implementations."""
+    ops = "BT /F9 12 Tf 72 700 Td (still plain) Tj ET"
+    for res, extra in [
+        (" /Resources << /Font << /F9 99 0 R >> >>", ""),  # missing font obj
+        (" /Resources 98 0 R", ""),  # missing resources obj
+        (" /Resources << /Font << /F9 5 0 R >> >>",
+         "5 0 obj\n<< /Type /Font /ToUnicode 97 0 R >>\nendobj\n"),  # missing cmap
+        (" /Resources << /Font << /F9 5 0 R >> >>",
+         "5 0 obj\n<< /Type /Font /ToUnicode 1 0 R >>\nendobj\n"),  # not a stream
+    ]:
+        doc = (
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+            f"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R{res} >>\nendobj\n"
+            f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+            f"{extra}"
+            "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert [s[2] for s in spans] == ["still plain"], res
+        assert spans == o["spans"] and drop == o["n_dropped"], res
+
+
+def test_cmap_truncation_fuzz():
+    """Every-offset truncation of a CMap-encoded payload: kernel == oracle,
+    nothing raises (fonts degrade to identity as the object graph breaks)."""
+    enc_ops = f"BT /F9 12 Tf 72 700 Td <{_shift3('truncate me please')}> Tj ET"
+    doc = _pdf_cmap(enc_ops, SHIFT3_CMAP)
+    for cut in range(1, len(doc)):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part, DEFAULT_CONFIG)
+        o = oracle_extract(part, DEFAULT_CONFIG)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
 def test_truncation_fuzz_lzw_predictor_payload():
     """Every-offset truncation through the deepest v5 chain (hex → LZW →
     TIFF predictor): kernel == oracle, nothing raises."""
