@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 6  # v6: CMap-encoded fonts (SPEC §3b Fonts) + v5 filter mix
+CORPUS_VERSION = 7  # v7: ObjStm containers; v6 CMap fonts; v5 filter mix
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -435,9 +435,17 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R{res} >>"
         )
 
+    # v7: ~40% of CMap payloads pack their page + font DICT objects into a
+    # /Type /ObjStm container (ISO 32000 §7.5.7) — content and CMap streams
+    # stay direct (streams cannot live inside an ObjStm)
+    use_objstm = scheme is not None and rng.random() < 0.4
+    objstm_inner: List[tuple] = []
     parts = ["%PDF-1.4"]
     for i, body in enumerate(objs):
-        parts.append(f"{i + 1} 0 obj\n{body}\nendobj")
+        if use_objstm and i >= 2:  # page objects ride the container
+            objstm_inner.append((i + 1, body))
+        else:
+            parts.append(f"{i + 1} 0 obj\n{body}\nendobj")
     import base64
     import zlib
 
@@ -533,14 +541,35 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 cdecl = " /Filter [/ASCII85Decode /FlateDecode]"
             else:
                 cbody, cdecl = cm, ""
-            parts.append(
-                f"{fnum} 0 obj\n<< /Type /Font /Subtype /Type0"
-                f" /ToUnicode {cnum} 0 R >>\nendobj"
-            )
+            fbody = f"<< /Type /Font /Subtype /Type0 /ToUnicode {cnum} 0 R >>"
+            if use_objstm:
+                objstm_inner.append((fnum, fbody))
+            else:
+                parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
             parts.append(
                 f"{cnum} 0 obj\n<< /Length {len(cbody)}{cdecl} >>\n"
                 f"stream\n{cbody}\nendstream\nendobj"
             )
+    if objstm_inner:
+        blob = "".join(b + "\n" for _n, b in objstm_inner)
+        offs, acc = [], 0
+        for _n, b in objstm_inner:
+            offs.append(acc)
+            acc += len(b) + 1
+        header = " ".join(
+            f"{n} {o}" for (n, _b), o in zip(objstm_inner, offs)
+        ) + "\n"
+        content = header + blob
+        if rng.random() < 0.5:
+            sbody = _a85body(zlib.compress(content.encode("latin-1"), 6))
+            sdecl = " /Filter [/ASCII85Decode /FlateDecode]"
+        else:
+            sbody, sdecl = content, ""
+        parts.append(
+            f"{font1 + 4} 0 obj\n<< /Type /ObjStm /N {len(objstm_inner)}"
+            f" /First {len(header)} /Length {len(sbody)}{sdecl} >>\n"
+            f"stream\n{sbody}\nendstream\nendobj"
+        )
     if rng.random() < 0.12:  # an undecodable stream: skipped, counted dropped
         bad = rng.random()
         if bad < 0.3:  # raw-binary flate: decode failure by construction

@@ -617,6 +617,106 @@ def _key_ref(body: str, key: str) -> Optional[int]:
     return num
 
 
+def _key_int(body: str, key: str) -> Optional[int]:
+    """``/Key N`` at the FIRST occurrence of the literal key (token-exact):
+    a plain non-negative integer value, or None."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    n = len(body)
+    if after < n and body[after] not in _WS and body[after] not in _DELIM:
+        return None
+    j = _skip_ws(body, after)
+    d0 = j
+    while j < n and body[j].isdigit():
+        j += 1
+    if j == d0:
+        return None
+    if j < n and body[j] not in _WS and body[j] not in _DELIM:
+        return None  # e.g. "12x" — not an integer token
+    return int(body[d0:j])
+
+
+def _first_type_is(body: str, name: str) -> bool:
+    """True when the FIRST ``/Type`` in the body is followed (ws*) by the
+    exact name ``/name`` (shared rule of the Page and ObjStm detectors)."""
+    k = body.find("/Type")
+    if k < 0:
+        return False
+    i = _skip_ws(body, k + len("/Type"))
+    if body[i : i + 1] != "/":
+        return False
+    nm, _ = _read_name_token(body, i)
+    return nm == name
+
+
+def _objstm_bodies(text: str, objs: dict) -> dict:
+    """Object bodies stored inside `/Type /ObjStm` container streams (ISO
+    32000 §7.5.7): each container decodes through its own filter chain; the
+    first ``/First`` chars are ``num offset`` integer pairs (up to ``/N``;
+    a non-integer token ends the header), and object i's serialized body is
+    the slice between consecutive offsets. Containers are processed in
+    ascending document position; contained definitions override
+    same-numbered direct objects (they cannot contain streams, so content
+    streams and CMap streams always stay direct). Any failure skips the
+    container — never raises."""
+    out: dict = {}
+    for num in sorted(objs, key=lambda m: objs[m][0]):
+        span = objs[num]
+        body = text[span[0] : span[1]]
+        if "/ObjStm" not in body or not _first_type_is(body, "ObjStm"):
+            continue
+        k = body.find("stream")
+        if k < 0:
+            continue
+        after = k + 6
+        if body[after : after + 2] == "\r\n":
+            cstart = after + 2
+        elif body[after : after + 1] == "\n":
+            cstart = after + 1
+        else:
+            continue
+        end = body.find("endstream", cstart)
+        if end < 0:
+            continue
+        content = body[cstart:end]
+        params = body[:k]
+        if "/Filter" in params:
+            names = _parse_filter_names(params)
+            if names is None:
+                continue
+            fparms = _parse_decode_parms(params, len(names))
+            if fparms is None:
+                continue
+            decoded = apply_stream_filters(content, names, fparms)
+            if decoded is None:
+                continue
+            content = decoded
+        n_objs = _key_int(params, "/N")
+        first = _key_int(params, "/First")
+        if n_objs is None or first is None or first > len(content):
+            continue
+        header = content[:first]
+        nums: List[int] = []
+        i, hn = 0, len(header)
+        while len(nums) < 2 * n_objs:
+            i = _skip_ws(header, i)
+            j = i
+            while j < hn and header[j] not in _WS:
+                j += 1
+            tok = header[i:j]
+            if not tok or not tok.isdigit():
+                break
+            nums.append(int(tok))
+            i = j
+        pairs = [(nums[m], nums[m + 1]) for m in range(0, len(nums) - 1, 2)]
+        for idx, (onum, off) in enumerate(pairs):
+            nxt = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(content) - first
+            out[onum] = content[first + off : first + nxt]
+    return out
+
+
 def _hex_token(s: str, i: int) -> Tuple[Optional[str], int]:
     """``< hexdigits >`` starting at ws before ``i``; (digits, index-after)
     or (None, i) — any non-hex/non-ws char inside ends the section."""
@@ -749,7 +849,17 @@ def _dict_extent(body: str, at: int) -> Tuple[int, int]:
     return -1, -1
 
 
-def _font_table(text: str, objs: dict, page_body: str):
+def _obj_body(text: str, objs: dict, vobjs: dict, num: int) -> Optional[str]:
+    """Body of object ``num`` — ObjStm-contained definitions (vobjs)
+    override direct ones; None when undefined."""
+    if num in vobjs:
+        return vobjs[num]
+    if num in objs:
+        return text[objs[num][0] : objs[num][1]]
+    return None
+
+
+def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     """Page body → {font name: cmap entry} via /Resources (inline dict or
     ref) → /Font (inline dict or ref) → per-entry font object → /ToUnicode
     stream decoded through its own filters. Every failure degrades to
@@ -766,9 +876,9 @@ def _font_table(text: str, objs: dict, page_body: str):
         res = page_body[s0:s1] if s0 >= 0 else ""
     else:
         num, _ = _read_ref(page_body, i)
-        if num is None or num not in objs:
+        res = _obj_body(text, objs, vobjs, num) if num is not None else None
+        if res is None:
             return {}
-        res = text[objs[num][0] : objs[num][1]]
     k = res.find("/Font")
     if k < 0 or (
         k + 5 < len(res) and res[k + 5] not in _WS and res[k + 5] not in _DELIM
@@ -780,9 +890,9 @@ def _font_table(text: str, objs: dict, page_body: str):
         fdict = res[s0:s1] if s0 >= 0 else ""
     else:
         num, _ = _read_ref(res, i)
-        if num is None or num not in objs:
+        fdict = _obj_body(text, objs, vobjs, num) if num is not None else None
+        if fdict is None:
             return {}
-        fdict = text[objs[num][0] : objs[num][1]]
     fonts = {}
     i, n = 0, len(fdict)
     while i < n:
@@ -794,11 +904,12 @@ def _font_table(text: str, objs: dict, page_body: str):
         if num is None:
             continue
         i = i2
-        if num not in objs:
+        fbody = _obj_body(text, objs, vobjs, num)
+        if fbody is None:
             continue
-        fbody = text[objs[num][0] : objs[num][1]]
         tref = _key_ref(fbody, "/ToUnicode")
-        if tref is None or tref not in objs:
+        # an ObjStm-contained object cannot be a stream → no CMap from vobjs
+        if tref is None or tref in vobjs or tref not in objs:
             continue
         cm = _cmap_from_stream_object(text, objs[tref])
         if cm is not None:
@@ -1111,30 +1222,26 @@ def _interpret(content: str, mb_w: float, mb_h: float,
 
 
 def _content_fonts(text: str):
-    """{content-object number: font table} from every /Type /Page object
-    (token-exact name match, so /Pages never qualifies), plus the object
-    interval list for stream→object attribution. Gated on a literal
-    ``/ToUnicode`` appearing anywhere — without one every font table is
-    empty and extraction is identity, so the gate is a pure fast path."""
-    if "/ToUnicode" not in text:
+    """{content-object number: font table} from every /Type /Page object —
+    direct or ObjStm-contained (token-exact name match, so /Pages never
+    qualifies) — plus the object interval list for stream→object
+    attribution. Gated on a literal ``/ToUnicode`` or ``/ObjStm`` appearing
+    anywhere — without either every font table is empty and extraction is
+    identity, so the gate is a pure fast path."""
+    if "/ToUnicode" not in text and "/ObjStm" not in text:
         return {}, []
     objs, intervals = _object_map(text)
+    vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
     by_content: dict = {}
-    for num in objs:
-        body = text[objs[num][0] : objs[num][1]]
-        k = body.find("/Type")
-        if k < 0:
-            continue
-        i = _skip_ws(body, k + len("/Type"))
-        if body[i : i + 1] != "/":
-            continue
-        nm, _ = _read_name_token(body, i)
-        if nm != "Page":
+    seen = set(vobjs)
+    for num in list(vobjs) + [m for m in objs if m not in seen]:
+        body = _obj_body(text, objs, vobjs, num)
+        if not _first_type_is(body, "Page"):
             continue
         cref = _key_ref(body, "/Contents")
         if cref is None:
             continue
-        fonts = _font_table(text, objs, body)
+        fonts = _font_table(text, objs, vobjs, body)
         if fonts:
             by_content[cref] = fonts
     return by_content, intervals

@@ -732,6 +732,85 @@ def _rpdf_key_ref(body: str, key: str):
     return int(m.group(1)) if m else None
 
 
+_RPDF_INTVAL_RE = re.compile(
+    r"[\x00\t\n\x0c\r ]*(\d+)" + _RPDF_NAMEEND
+)
+_RPDF_HDRTOK_RE = re.compile(r"[^\x00\t\n\x0c\r ]+")
+
+
+def _rpdf_key_int(body: str, key: str):
+    """``/Key N`` (plain integer) at the first literal key occurrence."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    if after < len(body) and not re.match(
+        r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after]
+    ):
+        return None
+    m = _RPDF_INTVAL_RE.match(body, after)
+    # the kernel requires ≥0 ws before the digits only when they don't
+    # directly follow a delimiter-terminated key — ws* matches both
+    return int(m.group(1)) if m else None
+
+
+def _rpdf_first_type_is(body: str, name: str) -> bool:
+    k = body.find("/Type")
+    if k < 0:
+        return False
+    return bool(
+        re.compile(
+            r"/Type[\x00\t\n\x0c\r ]*/" + re.escape(name) + _RPDF_NAMEEND
+        ).match(body, k)
+    )
+
+
+def _rpdf_objstm_bodies(text: str, objs: dict):
+    """Mirror of the kernel ObjStm rule (SPEC §3b Fonts): containers in
+    ascending document position; header = up to 2N integer tokens within
+    the first /First chars; bodies sliced between consecutive offsets."""
+    out = {}
+    for num in sorted(objs, key=lambda m: objs[m][0]):
+        span = objs[num]
+        body = text[span[0] : span[1]]
+        if "/ObjStm" not in body or not _rpdf_first_type_is(body, "ObjStm"):
+            continue
+        m = _RPDF_STREAMKW_RE.search(body)
+        if not m:
+            continue
+        end = body.find("endstream", m.end())
+        if end < 0:
+            continue
+        content = body[m.end() : end]
+        params = body[: m.start()]
+        if "/Filter" in params:
+            content = _rpdf_decode_stream(content, params)
+            if content is None:
+                continue
+        n_objs = _rpdf_key_int(params, "/N")
+        first = _rpdf_key_int(params, "/First")
+        if n_objs is None or first is None or first > len(content):
+            continue
+        nums = []
+        for tm in _RPDF_HDRTOK_RE.finditer(content[:first]):
+            if len(nums) >= 2 * n_objs or not tm.group().isdigit():
+                break
+            nums.append(int(tm.group()))
+        pairs = [(nums[i], nums[i + 1]) for i in range(0, len(nums) - 1, 2)]
+        for idx, (onum, off) in enumerate(pairs):
+            nxt = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(content) - first
+            out[onum] = content[first + off : first + nxt]
+    return out
+
+
+def _rpdf_obj_body(text: str, objs: dict, vobjs: dict, num):
+    if num in vobjs:
+        return vobjs[num]
+    if num in objs:
+        return text[objs[num][0] : objs[num][1]]
+    return None
+
+
 def _rpdf_utf16(hexs: str):
     """Manual UTF-16BE: surrogate pairs combined, lone surrogates → None
     (the kernel's stdlib decode raises there — failure-for-failure)."""
@@ -855,7 +934,7 @@ def _rpdf_cmap_from_obj(text: str, span):
     return _rpdf_parse_cmap(content)
 
 
-def _rpdf_font_table(text: str, objs: dict, page_body: str):
+def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     k = page_body.find("/Resources")
     if k < 0:
         return {}
@@ -865,10 +944,9 @@ def _rpdf_font_table(text: str, objs: dict, page_body: str):
         res = inner if inner is not None else ""
     else:
         m = _RPDF_REFVAL_RE.match(page_body, k + len("/Resources"))
-        if not m or int(m.group(1)) not in objs:
+        res = _rpdf_obj_body(text, objs, vobjs, int(m.group(1))) if m else None
+        if res is None:
             return {}
-        s = objs[int(m.group(1))]
-        res = text[s[0] : s[1]]
     k = res.find("/Font")
     if k < 0 or (
         k + 5 < len(res)
@@ -881,18 +959,18 @@ def _rpdf_font_table(text: str, objs: dict, page_body: str):
         fdict = inner if inner is not None else ""
     else:
         m = _RPDF_REFVAL_RE.match(res, k + len("/Font"))
-        if not m or int(m.group(1)) not in objs:
+        fdict = _rpdf_obj_body(text, objs, vobjs, int(m.group(1))) if m else None
+        if fdict is None:
             return {}
-        s = objs[int(m.group(1))]
-        fdict = text[s[0] : s[1]]
     fonts = {}
     for fm in _RPDF_FONTENT_RE.finditer(fdict):
         num = int(fm.group(2))
-        if num not in objs:
+        fbody = _rpdf_obj_body(text, objs, vobjs, num)
+        if fbody is None:
             continue
-        fbody = text[objs[num][0] : objs[num][1]]
         tref = _rpdf_key_ref(fbody, "/ToUnicode")
-        if tref is None or tref not in objs:
+        # ObjStm-contained objects cannot be streams → no CMap from vobjs
+        if tref is None or tref in vobjs or tref not in objs:
             continue
         cm = _rpdf_cmap_from_obj(text, objs[tref])
         if cm is not None:
@@ -902,22 +980,21 @@ def _rpdf_font_table(text: str, objs: dict, page_body: str):
 
 def _rpdf_content_fonts(text: str):
     """{content obj num: font table} + object intervals; gated on a literal
-    /ToUnicode (pure fast path — absent CMaps mean identity everywhere)."""
-    if "/ToUnicode" not in text:
+    /ToUnicode or /ObjStm (pure fast path — absent both, identity)."""
+    if "/ToUnicode" not in text and "/ObjStm" not in text:
         return {}, []
     objs, intervals = _rpdf_object_map(text)
+    vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
     by_content = {}
-    for num, span in objs.items():
-        body = text[span[0] : span[1]]
-        k = body.find("/Type")
-        if k < 0:
-            continue
-        if not _RPDF_TYPEPAGE_RE.match(body, k):
+    seen = set(vobjs)
+    for num in list(vobjs) + [m for m in objs if m not in seen]:
+        body = _rpdf_obj_body(text, objs, vobjs, num)
+        if not _rpdf_first_type_is(body, "Page"):
             continue
         cref = _rpdf_key_ref(body, "/Contents")
         if cref is None:
             continue
-        fonts = _rpdf_font_table(text, objs, body)
+        fonts = _rpdf_font_table(text, objs, vobjs, body)
         if fonts:
             by_content[cref] = fonts
     return by_content, intervals

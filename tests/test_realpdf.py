@@ -682,6 +682,106 @@ def test_cmap_dangling_refs_identity():
         assert spans == o["spans"] and drop == o["n_dropped"], res
 
 
+def _objstm_doc(inner_objs, ops: str, extra: str = "",
+                compress: bool = False) -> str:
+    """Build a doc whose page+font objects live in a /Type /ObjStm
+    container; content stream (obj 4) and CMap stream (obj 6) stay direct."""
+    import base64
+    import zlib
+
+    blob = "".join(b + "\n" for _n, b in inner_objs)
+    offs, acc = [], 0
+    for _n, b in inner_objs:
+        offs.append(acc)
+        acc += len(b) + 1
+    header = " ".join(f"{n} {o}" for (n, _b), o in zip(inner_objs, offs)) + "\n"
+    content = header + blob
+    if compress:
+        sbody = base64.a85encode(zlib.compress(content.encode())).decode() + "~>"
+        sdecl = " /Filter [/ASCII85Decode /FlateDecode]"
+    else:
+        sbody, sdecl = content, ""
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        f"6 0 obj\n<< /Length {len(SHIFT3_CMAP)} >>\nstream\n{SHIFT3_CMAP}\nendstream\nendobj\n"
+        f"{extra}"
+        f"9 0 obj\n<< /Type /ObjStm /N {len(inner_objs)} /First {len(header)}"
+        f" /Length {len(sbody)}{sdecl} >>\nstream\n{sbody}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+OBJSTM_INNER = [
+    (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>"),
+    (5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+]
+
+
+@pytest.mark.parametrize("compress", [False, True], ids=["plain", "flate"])
+def test_objstm_page_and_font_resolve(compress):
+    """Page and font objects inside an ObjStm container (plain and
+    compressed) resolve exactly like direct objects — kernel == oracle,
+    and the decoded text equals the direct-object variant's."""
+    ops = f"BT /F9 12 Tf 72 700 Td <{_shift3('objstm resolves fine')}> Tj ET"
+    doc = _objstm_doc(OBJSTM_INNER, ops, compress=compress)
+    k, spans, drop = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert [s[2] for s in spans] == ["objstm resolves fine"]
+    assert spans == o["spans"] and drop == o["n_dropped"]
+    direct = extract_payload(_pdf_cmap(ops, SHIFT3_CMAP))[1]
+    assert spans == direct
+
+
+def test_objstm_overrides_direct_object():
+    """A contained definition overrides a same-numbered direct object
+    (incremental-update semantics), in both implementations."""
+    ops = f"BT /F9 12 Tf 72 700 Td <{_shift3('container wins here')}> Tj ET"
+    # direct object 3 is a page WITHOUT resources; the container's page 3
+    # carries the font table — container must win
+    extra = "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    doc = _objstm_doc(OBJSTM_INNER, ops, extra=extra)
+    k, spans, _ = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert [s[2] for s in spans] == ["container wins here"]
+    assert spans == o["spans"]
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda d: d.replace("/N 2", "/N notanint"),  # malformed /N
+        lambda d: d.replace("/First", "/FirstX"),  # key name mismatch
+        lambda d: d.replace("/Type /ObjStm", "/Type /ObjStmX"),  # not a container
+        lambda d: d.replace("3 0 5", "3 9999 5"),  # offset beyond content
+    ],
+    ids=["bad-n", "bad-first", "bad-type", "bad-offset"],
+)
+def test_objstm_malformed_degrades_to_identity(mutate):
+    """Malformed containers are skipped (identity text), never raise,
+    identically in kernel and oracle."""
+    ops = "BT /F9 12 Tf 72 700 Td (plain stays plain) Tj ET"
+    doc = mutate(_objstm_doc(OBJSTM_INNER, ops))
+    k, spans, drop = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert k == o["kind"] == "pdf_real"
+    assert spans == o["spans"] and drop == o["n_dropped"]
+    assert [s[2] for s in spans] == ["plain stays plain"]
+
+
+def test_objstm_truncation_fuzz():
+    ops = f"BT /F9 12 Tf 72 700 Td <{_shift3('truncate the container')}> Tj ET"
+    doc = _objstm_doc(OBJSTM_INNER, ops, compress=True)
+    for cut in range(1, len(doc), 2):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part, DEFAULT_CONFIG)
+        o = oracle_extract(part, DEFAULT_CONFIG)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
 def test_cmap_truncation_fuzz():
     """Every-offset truncation of a CMap-encoded payload: kernel == oracle,
     nothing raises (fonts degrade to identity as the object graph breaks)."""
