@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 7  # v7: ObjStm containers; v6 CMap fonts; v5 filter mix
+CORPUS_VERSION = 8  # v8: BI/ID/EI inline images; v7 ObjStm; v6 CMaps; v5 filters
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -292,6 +292,42 @@ def _u16_units(ch: str) -> List[int]:
     return [0xD800 + (o >> 10), 0xDC00 + (o & 0x3FF)]
 
 
+def _inline_img(rng: random.Random) -> str:
+    """v8: a ``BI … ID … EI`` inline image (SPEC §3b Inline images) whose
+    data is deliberately hostile — fake text operators, strings, ``BT``
+    blocks and non-boundary ``EI`` sequences that a wrong skip rule would
+    interpret as page text. Three forms: ``/L``-or-``/Length`` delimited
+    (data may contain a genuine boundary ``" EI "`` that the length must
+    override), scan-terminated (traps never sit at a qualifying boundary:
+    the filler alphabet has no ``I`` and every embedded ``EI`` is preceded
+    by a non-whitespace char or followed by a regular char), and a
+    near-empty abbreviated-dict form."""
+    w, h = rng.randint(1, 8), rng.randint(1, 4)
+    poison = rng.choice((
+        "(fake line) Tj",
+        "BT /F1 66 Tf (boom) Tj ET",
+        "72 700 Td T* (ghost) '",
+        "EIq qEI",
+        "zEI(",
+        "<48454C50> Tj",
+        "[ (x) -300 (y) ] TJ",
+    ))
+    alpha = "ABCDEFabcdef0123456789#@!*+=_|;:,.^~?"
+    filler = "".join(rng.choice(alpha) for _ in range(rng.randint(8, 40)))
+    data = f"{filler} {poison} {filler[::-1]}"
+    roll = rng.random()
+    if roll < 0.45:
+        if rng.random() < 0.5:
+            data += " EI trailing-junk"  # /L must win over this early boundary
+        key = "/L" if rng.random() < 0.7 else "/Length"
+        return (
+            f"BI /W {w} /H {h} /CS /G /BPC 8 {key} {len(data)} ID {data}\nEI"
+        )
+    if roll < 0.85:
+        return f"BI /W {w} /H {h} /F [/AHx] ID {data}\nEI"
+    return f"BI /W {w} /H {h} /IM true ID \nEI"
+
+
 def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     """A deterministic real PDF (uncompressed text objects, SPEC §3b):
     classic skeleton (catalog/pages/page objects, MediaBox, xref-less
@@ -302,7 +338,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     text with CMap-encoded fonts (/F9, sometimes a second /F8) — 1-byte
     shifted codes via one bfrange, or 2-byte CID codes via bfchar lists —
     resolved through /Resources → /Font → /ToUnicode (the CMap stream itself
-    sometimes filter-compressed); headers/footers stay /F1 (identity)."""
+    sometimes filter-compressed); headers/footers stay /F1 (identity).
+    v8: ~35% of pages carry hostile BI/ID/EI inline images (``_inline_img``)
+    between and inside text blocks — extraction must be invisible to them."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -376,6 +414,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             ops += [f"/F1 8 Tf 72 {mb_h - 26} Td",
                     f"({_pdf_str(_sent(rng, words, 3))} header) Tj"]
         ops.append("ET")
+        if rng.random() < 0.2:  # v8: inline image between text objects
+            ops.append(_inline_img(rng))
         if rng.random() < 0.35:  # two columns, one BT block each, Tm-positioned
             for col, x in enumerate((72, 330)):
                 sch = scheme2 if (col and scheme2) else scheme
@@ -395,6 +435,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 if li == 2 and scheme2:  # mid-page font + CMap switch
                     sch = scheme2
                     ops.append(f"/F8 {fs} Tf")
+                if li == 1 and rng.random() < 0.15:
+                    # v8: inline image INSIDE the text object — x/y/leading/
+                    # font state must survive it untouched
+                    ops.append(_inline_img(rng))
                 if li:
                     r = rng.random()
                     if r < 0.5:
@@ -410,6 +454,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         continue
                 ops.append(show(_sent(rng, words, rng.randint(4, 10)), sch))
             ops.append("ET")
+        if rng.random() < 0.15:  # v8: inline image before the footer
+            ops.append(_inline_img(rng))
         if rng.random() < 0.7:  # footer band (always /F1 — identity)
             ops += ["BT", "/F1 8 Tf 72 18 Td",
                     f"(page {_page} footer) Tj", "ET"]

@@ -1050,6 +1050,52 @@ def _read_hex(s: str, i: int) -> Tuple[str, int]:
     return out, min(i + 1, n)
 
 
+def _inline_image_skip(content: str, i: int, stack: list) -> int:
+    """Skip inline-image data after an ``ID`` token (SPEC §3b Inline
+    images, v8). ``i`` points just past the token; returns the resume
+    index (``len(content)`` ends the scan — the no-terminator case).
+
+    Exactly one whitespace char after the token is consumed; data starts
+    there. A top-level ``/L`` or ``/Length`` name operand immediately
+    followed by a non-negative-integer number operand (LAST such pair among
+    the operands accumulated since the last dispatched operator; array
+    contents excluded) gives an exact char count — the scan resumes right
+    after the data, and the trailing ``EI`` tokenizes as an ordinary
+    (ignored) operator. Without a usable length the data ends at the first
+    ``EI`` that sits at the data start or after a whitespace char AND is
+    followed by whitespace / a delimiter / end-of-content; the scan resumes
+    AT that ``EI``. Image bytes are never interpreted: fake operators,
+    strings, or ``BT`` sequences inside them are invisible to text state.
+    """
+    n = len(content)
+    if i < n and content[i] in _WS:
+        i += 1
+    ln = -1
+    for k in range(len(stack) - 1):
+        tok, nxt = stack[k], stack[k + 1]
+        if (
+            isinstance(tok, tuple)
+            and tok[0] == "n"
+            and tok[1] in ("L", "Length")
+            and isinstance(nxt, float)
+            and nxt >= 0
+            and nxt.is_integer()
+        ):
+            ln = int(nxt)
+    if 0 <= ln and i + ln <= n:
+        return i + ln
+    j = i
+    while True:
+        j = content.find("EI", j)
+        if j < 0:
+            return n
+        if (j == i or content[j - 1] in _WS) and (
+            j + 2 == n or content[j + 2] in _WS or content[j + 2] in _DELIM
+        ):
+            return j
+        j += 1
+
+
 def _interpret(content: str, mb_w: float, mb_h: float,
                cfg: ExtractConfig, fonts: Optional[dict] = None) -> List[Box]:
     """One content stream → line boxes in canonical top-left coordinates.
@@ -1149,6 +1195,9 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             continue
         tok = content[i:j]
         i = j
+        if tok == "ID":  # inline image (v8): scanner-level data skip
+            i = _inline_image_skip(content, i, stack)
+            continue
         if _NUM_RE.match(tok):
             (arr if arr is not None else stack).append(float(tok))
             continue

@@ -1041,10 +1041,57 @@ def _rpdf_mediabox(text: str):
     return 612.0, 792.0
 
 
+def _rpdf_inline_skip(content: str, i: int, since: list) -> int:
+    """Inline-image data skip (SPEC §3b Inline images, v8) — the oracle's
+    independent form of the kernel's scanner-level rule. ``since`` is the
+    top-level operand mirror (operands since the last dispatched operator,
+    array contents excluded): the LAST ``L``/``Length`` name immediately
+    followed by a non-negative-integer number gives an exact char count;
+    otherwise scan for the first boundary ``EI`` (at data start or after
+    whitespace, followed by whitespace / delimiter / end) and resume AT it.
+    No terminator → the content scan ends."""
+    n = len(content)
+    if i < n and content[i] in _RPDF_WS:
+        i += 1
+    ln = -1
+    for k in range(len(since) - 1):
+        a, b = since[k], since[k + 1]
+        if (
+            a[0] == "name"
+            and a[1] in ("L", "Length")
+            and b[0] == "num"
+            and b[1] >= 0
+            and float(b[1]).is_integer()
+        ):
+            ln = int(b[1])
+    if 0 <= ln and i + ln <= n:
+        return i + ln
+    j = i
+    while True:
+        j = content.find("EI", j)
+        if j < 0:
+            return n
+        if (j == i or content[j - 1] in _RPDF_WS) and (
+            j + 2 == n
+            or content[j + 2] in _RPDF_WS
+            or content[j + 2] in "()<>[]{}/%"
+        ):
+            return j
+        j += 1
+
+
 def _rpdf_tokens(content: str):
     """Pass 1: content → token list. Tokens: ('num', f) ('str', s) ('name', s)
-    ('op', s) ('arrs',) ('arre',). Unterminated string ends the scan."""
+    ('op', s) ('arrs',) ('arre',). Unterminated string ends the scan.
+
+    v8: the tokenizer itself consumes ``ID`` inline-image data (never
+    emitted as tokens), tracking a top-level operand mirror — ``since`` =
+    operands since the last dispatched operator, array contents excluded —
+    solely to resolve the ``/L``/``/Length`` byte count the way the
+    kernel's live stack does."""
     toks, i, n = [], 0, len(content)
+    since: list = []  # top-level operand mirror for the inline-image /L rule
+    arr_open = False
     while i < n:
         ch = content[i]
         if ch in _RPDF_WS or ch in "{}":
@@ -1081,6 +1128,8 @@ def _rpdf_tokens(content: str):
                 else:
                     parts.append(_RPDF_ESC.get(esc, esc))
             toks.append(("str", "".join(parts)))
+            if not arr_open:
+                since.append(("str", None))
             if not terminated:
                 break
             continue
@@ -1096,21 +1145,29 @@ def _rpdf_tokens(content: str):
             toks.append(
                 ("str", "".join(chr(int(hx[k : k + 2], 16)) for k in range(0, len(hx), 2)))
             )
+            if not arr_open:
+                since.append(("str", None))
             continue
         if ch == ">":
             i += 2 if content[i : i + 2] == ">>" else 1
             continue
         if ch == "[":
             toks.append(("arrs",))
+            arr_open = True
             i += 1
             continue
         if ch == "]":
             toks.append(("arre",))
+            if arr_open:
+                arr_open = False
+                since.append(("arr", None))
             i += 1
             continue
         if ch == "/":
             m = _RPDF_RUN_RE.match(content, i + 1)
             toks.append(("name", m.group(0) if m else ""))
+            if not arr_open:
+                since.append(("name", m.group(0) if m else ""))
             i = i + 1 + (len(m.group(0)) if m else 0)
             continue
         m = _RPDF_RUN_RE.match(content, i)
@@ -1121,8 +1178,14 @@ def _rpdf_tokens(content: str):
         i = m.end()
         if _RPDF_NUM_RE.match(run):
             toks.append(("num", float(run)))
+            if not arr_open:
+                since.append(("num", float(run)))
+        elif run == "ID":  # inline image (v8): data skipped, never tokenized
+            i = _rpdf_inline_skip(content, i, since)
         else:
             toks.append(("op", run))
+            if not arr_open:
+                since = []
     return toks
 
 

@@ -22,9 +22,24 @@ driver collect); ``write_conversation_docx`` wires that up.
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from typing import Iterable, List, Tuple
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _sax_escape
+
+# XML 1.0 Char production: #x9 | #xA | #xD | [#x20-#xD7FF] | [#xE000-#xFFFD]
+# | [#x10000-#x10FFFF]. Extracted text can legitimately carry other code
+# points (e.g. identity-decoded CID bytes from a truncated real-PDF whose
+# /ToUnicode CMap was cut off) — an OOXML part containing them is not
+# well-formed, so the sink replaces each with U+FFFD at serialization.
+_XML_INVALID_RE = re.compile(
+    "[^\\x09\\x0A\\x0D\\x20-\\uD7FF\\uE000-\\uFFFD\\U00010000-\\U0010FFFF]"
+)
+
+
+def escape(text: str) -> str:
+    return _sax_escape(_XML_INVALID_RE.sub("�", text))
+
 
 _W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 _CT = (

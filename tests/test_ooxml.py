@@ -107,7 +107,31 @@ def test_write_conversation_docx_distributed(spark, tmp_path):
     )
     root = _doc_root(open(os.path.join(out, f"{conv}.docx"), "rb").read())
     texts = [t.text for t in root.iter(f"{W_NS}t") if t.text]
-    # table spans render via w:tbl (cells, not one run) — check para spans only
+    # table spans render via w:tbl (cells, not one run) — check para spans
+    # only; XML-invalid chars (identity-decoded CID bytes from truncated
+    # real-PDFs) are sanitized to U+FFFD by the sink, so compare post-sub
+    from paddleocr_spark.sinks.ooxml import _XML_INVALID_RE
+
     for r in got_rows:
         if "\n" not in r.text:
-            assert r.text in texts
+            assert _XML_INVALID_RE.sub("�", r.text) in texts
+
+
+def test_xml_invalid_chars_sanitized():
+    """XML 1.0 forbids most control chars and lone surrogates; the sink
+    replaces them with U+FFFD so every emitted part stays well-formed even
+    when extracted text carries identity-decoded CID bytes."""
+    import xml.etree.ElementTree as ET
+    import zipfile as zf
+    import io
+
+    from paddleocr_spark.sinks.ooxml import docx_bytes, escape, xlsx_bytes
+
+    hostile = "cid\x01\x00bytes \x0b\x1f ok\ttab\nnl \ud800 café"
+    assert escape(hostile) == "cid��bytes �� ok\ttab\nnl � café"
+    for blob, part in (
+        (docx_bytes([("single", "para", hostile)]), "word/document.xml"),
+        (xlsx_bytes([[hostile, "x"]]), "xl/worksheets/sheet1.xml"),
+    ):
+        with zf.ZipFile(io.BytesIO(blob)) as z:
+            ET.fromstring(z.read(part))  # must parse

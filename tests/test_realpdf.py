@@ -810,3 +810,120 @@ def test_truncation_fuzz_lzw_predictor_payload():
         k, spans, drop = extract_payload(part, DEFAULT_CONFIG)
         o = oracle_extract(part, DEFAULT_CONFIG)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v8: inline images (BI/ID/EI, SPEC §3b Inline images)
+
+
+def _texts(doc: str):
+    _k, spans, dropped = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert ("pdf_real", spans, dropped) == (o["kind"], o["spans"], o["n_dropped"])
+    return [s[2] for s in spans]
+
+
+def test_inline_image_poison_invisible():
+    """Image data full of fake operators must not produce text or move the
+    cursor — the page extracts exactly like its image-free twin."""
+    body = (
+        "BT\n/F1 12 Tf 16 TL 72 700 Td (before image) Tj\nET\n"
+        "BI /W 4 /H 2 /CS /G /BPC 8 ID "
+        "x(fake) Tj BT /F1 66 Tf (boom) Tj ET 9 9 Td EIq zEI(\nEI\n"
+        "BT\n/F1 12 Tf 72 650 Td (after image) Tj\nET"
+    )
+    twin = (
+        "BT\n/F1 12 Tf 16 TL 72 700 Td (before image) Tj\nET\n"
+        "BT\n/F1 12 Tf 72 650 Td (after image) Tj\nET"
+    )
+    assert _texts(_pdf(body)) == ["before image", "after image"]
+    k1 = extract_payload(_pdf(body))
+    k2 = extract_payload(_pdf(twin))
+    assert k1 == k2  # spans AND boxes identical to the image-free twin
+
+
+def test_inline_image_length_key_overrides_early_boundary():
+    """/L (and /Length) delimit the data exactly — an embedded qualifying
+    ' EI ' inside the counted bytes must NOT terminate early."""
+    data = "junk EI more (gone) Tj end"
+    for key in ("L", "Length"):
+        body = (
+            "BT /F1 12 Tf 72 700 Td (alpha head) Tj ET\n"
+            f"BI /W 2 /H 2 /{key} {len(data)} ID {data}\nEI\n"
+            "BT /F1 12 Tf 72 650 Td (bravo tail) Tj ET"
+        )
+        assert _texts(_pdf(body)) == ["alpha head", "bravo tail"]
+
+
+def test_inline_image_inside_text_object_preserves_state():
+    """An image inside BT..ET leaves x/y/leading/fontsize untouched."""
+    body = (
+        "BT /F1 10 Tf 14 TL 72 700 Td (one long line) Tj\n"
+        "BI /Length 16 ID (x) Tj BT 9 Tf EI T* (two long line) Tj ET"
+    )
+    twin = "BT /F1 10 Tf 14 TL 72 700 Td (one long line) Tj\nT* (two long line) Tj ET"
+    assert extract_payload(_pdf(body)) == extract_payload(_pdf(twin))
+
+
+def test_inline_image_scan_traps_not_boundaries():
+    """'EI' preceded by a non-whitespace char, or followed by a regular
+    char, never terminates; the first qualifying boundary does."""
+    body = (
+        "BT /F1 12 Tf 72 700 Td (papa line) Tj ET\n"
+        "BI /W 1 /H 1 ID aEI bEI( EIq EI7 qEI\nEI\n"
+        "BT /F1 12 Tf 72 650 Td (quebec line) Tj ET"
+    )
+    assert _texts(_pdf(body)) == ["papa line", "quebec line"]
+
+
+def test_inline_image_length_in_array_ignored():
+    """The /L pair inside an array capture is NOT a top-level operand — the
+    scan rule applies instead."""
+    body = (
+        "BT /F1 12 Tf 72 700 Td (papa line) Tj ET\n"
+        "BI [ /L 4 ] ID ab(gone) Tj\nEI\n"
+        "BT /F1 12 Tf 72 650 Td (quebec line) Tj ET"
+    )
+    assert _texts(_pdf(body)) == ["papa line", "quebec line"]
+
+
+def test_inline_image_oversized_length_falls_back_to_scan():
+    body = (
+        "BT /F1 12 Tf 72 700 Td (papa line) Tj ET BI /L 99999 ID data(gone) Tj\nEI\n"
+        "BT /F1 12 Tf 72 650 Td (quebec line) Tj ET"
+    )
+    assert _texts(_pdf(body)) == ["papa line", "quebec line"]
+
+
+def test_inline_image_unterminated_ends_scan():
+    """No qualifying EI → rest of the stream is image data; prior text
+    survives, nothing after is interpreted."""
+    body = (
+        "BT /F1 12 Tf 72 700 Td (kept) Tj ET\n"
+        "BI /W 1 ID junk (gone) Tj BT (alsogone) Tj ET"
+    )
+    assert _texts(_pdf(body)) == ["kept"]
+
+
+def test_inline_image_empty_data_immediate_ei():
+    body = "BT /F1 12 Tf 72 700 Td (mike line) Tj ET BI ID EI BT /F1 12 Tf 72 650 Td (nov line) Tj ET"
+    assert _texts(_pdf(body)) == ["mike line", "nov line"]
+
+
+def test_inline_image_truncation_fuzz():
+    """Every-offset truncation through image-bearing payloads: kernel ==
+    oracle on every field, never raises (seeds chosen so the generator
+    emits inline images)."""
+    emitted = 0
+    for seed in range(40):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "BI /" not in doc:
+            continue
+        emitted += 1
+        for cut in range(0, len(doc), 11):
+            d = doc[:cut]
+            k, spans, drop = extract_payload(d)
+            o = oracle_extract(d)
+            assert (k, spans, drop) == (
+                o["kind"], o["spans"], o["n_dropped"]), (seed, cut)
+    assert emitted >= 5  # the corpus really exercises the path
