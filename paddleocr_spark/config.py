@@ -72,6 +72,12 @@ class ExtractConfig:
     #    goldens unchanged, mirroring the reference's --formula flag.
     detect_formula: bool = False
 
+    # -- real-PDF invisible text (SPEC §3b Text render mode, v9). Mode-3
+    #    (Tr 3) text is the OCR-text-layer of scanned pages — extracted by
+    #    default, exactly what this engine exists to read. True = suppress
+    #    it (each suppressed show op with a string operand counts dropped).
+    drop_invisible_text: bool = False
+
     # -- assembly --
     para_sep: str = "\n\n"
 

@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 8  # v8: BI/ID/EI inline images; v7 ObjStm; v6 CMaps; v5 filters
+CORPUS_VERSION = 9  # v9: Do forms + Tr OCR layers; v8 inline imgs; v7 ObjStm
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -340,10 +340,19 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     resolved through /Resources → /Font → /ToUnicode (the CMap stream itself
     sometimes filter-compressed); headers/footers stay /F1 (identity).
     v8: ~35% of pages carry hostile BI/ID/EI inline images (``_inline_img``)
-    between and inside text blocks — extraction must be invisible to them."""
+    between and inside text blocks — extraction must be invisible to them.
+    v9: ~30% of payloads carry form XObjects drawn via ``Do`` (letterhead
+    form with a /Matrix translation; sometimes nested form-in-form, rarely
+    a deliberate A→B→A cycle the guard must break; image/self/unknown-name
+    Do targets that must no-op), and ~12% of pages are scanned-OCR pages —
+    an inline image plus a ``3 Tr`` invisible text layer (extracted by
+    default: the OCR-text-layer analog)."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
+    use_forms = rng.random() < 0.30
+    form_nested = use_forms and rng.random() < 0.40
+    form_cycle = form_nested and rng.random() < 0.25
 
     # v6 font schemes: ("shift", k) → code = ord+k over '#'..'~' (one
     # bfrange back); ("cid", {}) → on-demand 2-byte codes from 0x0100
@@ -416,7 +425,31 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         ops.append("ET")
         if rng.random() < 0.2:  # v8: inline image between text objects
             ops.append(_inline_img(rng))
-        if rng.random() < 0.35:  # two columns, one BT block each, Tm-positioned
+        if use_forms:  # v9: letterhead form + hostile Do targets
+            ops.append("/Fx Do")
+            r = rng.random()
+            if r < 0.30:
+                ops.append("/Im Do")  # image XObject: must no-op
+            elif r < 0.50:
+                ops.append("/Zz Do")   # unknown name: must no-op
+                ops.append("/Bad Do")  # page content stream (no /Subtype)
+            elif r < 0.60:
+                ops.append("Do")  # missing operand: must no-op
+        if rng.random() < 0.12:  # v9: scanned-OCR page — image + Tr 3 layer
+            ops.append(_inline_img(rng))
+            ops.append("BT")
+            ops.append(f"/F1 {fs} Tf {ll} TL 3 Tr 72 {mb_h - 120} Td")
+            for li in range(rng.randint(2, 5)):
+                if li:
+                    ops.append("T*")
+                ops.append(f"({_pdf_str(_sent(rng, words, rng.randint(4, 9)))}) Tj")
+            if rng.random() < 0.4:  # visible caption after switching back
+                ops.append(
+                    f"0 Tr 0 -{ll * 2} Td"
+                    f" ({_pdf_str(_sent(rng, words, 3))} caption) Tj"
+                )
+            ops.append("ET")
+        elif rng.random() < 0.35:  # two columns, one BT block each, Tm-positioned
             for col, x in enumerate((72, 330)):
                 sch = scheme2 if (col and scheme2) else scheme
                 fnt = "/F8" if (col and scheme2) else body_font
@@ -439,6 +472,13 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     # v8: inline image INSIDE the text object — x/y/leading/
                     # font state must survive it untouched
                     ops.append(_inline_img(rng))
+                if li == 1 and rng.random() < 0.08:
+                    # v9: a visible render mode — extraction unchanged
+                    ops.append(f"{rng.choice((0, 1, 2))} Tr")
+                if li == 2 and use_forms and rng.random() < 0.25:
+                    # v9: Do INSIDE the text object — invoker x/y/leading/
+                    # font/buffer state must survive it untouched
+                    ops.append("/Fx Do")
                 if li:
                     r = rng.random()
                     if r < 0.5:
@@ -470,12 +510,19 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     ]
     first_content = 3 + n_pages
     font1 = first_content + n_pages + 1  # first_content+n_pages = bad-stream obj
-    res = ""
+    xbase = font1 + 5  # v9 form/image XObject objects live after the ObjStm
+    res_inner = []
     if scheme:
         ents = f"/F9 {font1} 0 R"
         if scheme2:
             ents += f" /F8 {font1 + 2} 0 R"
-        res = f" /Resources << /Font << {ents} >> >>"
+        res_inner.append(f"/Font << {ents} >>")
+    if use_forms:
+        res_inner.append(
+            f"/XObject << /Fx {xbase} 0 R /Im {xbase + 2} 0 R"
+            f" /Bad {first_content} 0 R >>"
+        )
+    res = f" /Resources << {' '.join(res_inner)} >>" if res_inner else ""
     for i in range(n_pages):
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R{res} >>"
@@ -615,6 +662,65 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"{font1 + 4} 0 obj\n<< /Type /ObjStm /N {len(objstm_inner)}"
             f" /First {len(header)} /Length {len(sbody)}{sdecl} >>\n"
             f"stream\n{sbody}\nendstream\nendobj"
+        )
+    if use_forms:  # v9: form/image XObject objects (always direct streams)
+        tx, ty = rng.randint(-40, 120), rng.randint(-120, 80)
+        mroll = rng.random()
+        if mroll < 0.6:
+            mat_a = f" /Matrix [1 0 0 1 {tx} {ty}]"
+        elif mroll < 0.8:  # scaling components must be IGNORED (subset rule)
+            mat_a = f" /Matrix [2 0 0 0.5 {tx} {ty}]"
+        else:
+            mat_a, tx, ty = "", 0, 0
+        content_a = ["BT", f"/F1 {rng.choice((8, 9, 10))} Tf 72 {mb_h - 200} Td"]
+        for li in range(rng.randint(1, 3)):
+            if li:
+                content_a.append("0 -14 Td")
+            content_a.append(
+                f"({_pdf_str(_sent(rng, words, rng.randint(3, 7)))} letterhead) Tj"
+            )
+        content_a.append("ET")
+        resources_a = ""
+        if form_nested:
+            content_a.append("/Fy Do")
+            resources_a = f" /Resources << /XObject << /Fy {xbase + 1} 0 R >> >>"
+        ca = "\n".join(content_a)
+        if rng.random() < 0.3:  # form content behind a filter chain
+            body_a = _a85body(zlib.compress(ca.encode("latin-1"), 6))
+            fdecl_a = " /Filter [/ASCII85Decode /FlateDecode]"
+        else:
+            body_a, fdecl_a = ca, ""
+        parts.append(
+            f"{xbase} 0 obj\n<< /Type /XObject /Subtype /Form{mat_a}{resources_a}"
+            f" /Length {len(body_a)}{fdecl_a} >>\n"
+            f"stream\n{body_a}\nendstream\nendobj"
+        )
+        if form_nested:
+            content_b = ["BT", f"/F1 8 Tf 90 {mb_h - 260} Td",
+                         f"({_pdf_str(_sent(rng, words, 3))} stamp) Tj", "ET"]
+            resources_b = ""
+            if form_cycle:  # A→B→A: the invocation-chain guard must break it
+                content_b.append("/Fx Do")
+                resources_b = f" /Resources << /XObject << /Fx {xbase} 0 R >> >>"
+            mat_b = (
+                f" /Matrix [1 0 0 1 {rng.randint(0, 40)} {rng.randint(-40, 0)}]"
+                if rng.random() < 0.5
+                else ""
+            )
+            cb = "\n".join(content_b)
+            parts.append(
+                f"{xbase + 1} 0 obj\n"
+                f"<< /Type /XObject /Subtype /Form{mat_b}{resources_b}"
+                f" /Length {len(cb)} >>\nstream\n{cb}\nendstream\nendobj"
+            )
+        # an image XObject: Do on it must no-op (and it is never a page)
+        idata = "".join(
+            rng.choice("ABCDEF0123456789") for _ in range(rng.randint(8, 24))
+        )
+        parts.append(
+            f"{xbase + 2} 0 obj\n"
+            f"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+            f" /Length {len(idata)} >>\nstream\n{idata}\nendstream\nendobj"
         )
     if rng.random() < 0.12:  # an undecodable stream: skipped, counted dropped
         bad = rng.random()

@@ -859,51 +859,56 @@ def _obj_body(text: str, objs: dict, vobjs: dict, num: int) -> Optional[str]:
     return None
 
 
-def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
-    """Page body → {font name: cmap entry} via /Resources (inline dict or
-    ref) → /Font (inline dict or ref) → per-entry font object → /ToUnicode
-    stream decoded through its own filters. Every failure degrades to
-    identity (entry absent), never raises."""
-    k = page_body.find("/Resources")
+def _key_dict_body(
+    container: str, key: str, text: str, objs: dict, vobjs: dict
+) -> Optional[str]:
+    """``/Key`` (FIRST occurrence, token-exact) inside ``container`` →
+    the value dict's body: inline ``<< ... >>`` extent, or the body of the
+    referenced object. None when absent/malformed (shared resolution step
+    of /Resources, /Font and /XObject — SPEC §3b Fonts + Form XObjects)."""
+    k = container.find(key)
     if k < 0:
-        return {}
-    after = k + len("/Resources")
-    if after < len(page_body) and page_body[after] not in _WS and page_body[after] not in _DELIM:
-        return {}  # longer name, e.g. /ResourcesX
-    i = _skip_ws(page_body, after)
-    if page_body[i : i + 2] == "<<":
-        s0, s1 = _dict_extent(page_body, i)
-        res = page_body[s0:s1] if s0 >= 0 else ""
-    else:
-        num, _ = _read_ref(page_body, i)
-        res = _obj_body(text, objs, vobjs, num) if num is not None else None
-        if res is None:
-            return {}
-    k = res.find("/Font")
-    if k < 0 or (
-        k + 5 < len(res) and res[k + 5] not in _WS and res[k + 5] not in _DELIM
-    ):
-        return {}
-    i = _skip_ws(res, k + len("/Font"))
-    if res[i : i + 2] == "<<":
-        s0, s1 = _dict_extent(res, i)
-        fdict = res[s0:s1] if s0 >= 0 else ""
-    else:
-        num, _ = _read_ref(res, i)
-        fdict = _obj_body(text, objs, vobjs, num) if num is not None else None
-        if fdict is None:
-            return {}
-    fonts = {}
-    i, n = 0, len(fdict)
+        return None
+    after = k + len(key)
+    if after < len(container) and container[after] not in _WS and container[after] not in _DELIM:
+        return None  # longer name, e.g. /ResourcesX
+    i = _skip_ws(container, after)
+    if container[i : i + 2] == "<<":
+        s0, s1 = _dict_extent(container, i)
+        return container[s0:s1] if s0 >= 0 else ""
+    num, _ = _read_ref(container, i)
+    return _obj_body(text, objs, vobjs, num) if num is not None else None
+
+
+def _name_ref_pairs(ndict: str):
+    """``/name N 0 R`` pairs over a dict body's full extent (shared walk of
+    the /Font and /XObject entry scans)."""
+    i, n = 0, len(ndict)
     while i < n:
-        if fdict[i] != "/":
+        if ndict[i] != "/":
             i += 1
             continue
-        nm, i = _read_name_token(fdict, i)
-        num, i2 = _read_ref(fdict, i)
+        nm, i = _read_name_token(ndict, i)
+        num, i2 = _read_ref(ndict, i)
         if num is None:
             continue
         i = i2
+        yield nm, num
+
+
+def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
+    """Page (or form-params) body → {font name: cmap entry} via /Resources
+    (inline dict or ref) → /Font (inline dict or ref) → per-entry font
+    object → /ToUnicode stream decoded through its own filters. Every
+    failure degrades to identity (entry absent), never raises."""
+    res = _key_dict_body(page_body, "/Resources", text, objs, vobjs)
+    if res is None:
+        return {}
+    fdict = _key_dict_body(res, "/Font", text, objs, vobjs)
+    if fdict is None:
+        return {}
+    fonts = {}
+    for nm, num in _name_ref_pairs(fdict):
         fbody = _obj_body(text, objs, vobjs, num)
         if fbody is None:
             continue
@@ -915,6 +920,125 @@ def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
         if cm is not None:
             fonts[nm] = cm
     return fonts
+
+
+def _xobject_table(text: str, objs: dict, vobjs: dict, body: str) -> dict:
+    """Page (or form-params) body → {xobject name: object number} via
+    /Resources → /XObject (SPEC §3b Form XObjects, v9). Pure name→number:
+    the target is validated lazily at ``Do`` time by the form resolver."""
+    res = _key_dict_body(body, "/Resources", text, objs, vobjs)
+    if res is None:
+        return {}
+    xdict = _key_dict_body(res, "/XObject", text, objs, vobjs)
+    if xdict is None:
+        return {}
+    return dict(_name_ref_pairs(xdict))
+
+
+def _subtype_is(params: str, name: str) -> bool:
+    """True when the FIRST ``/Subtype`` in ``params`` (token-exact) is
+    followed (ws*) by the exact name ``/name``."""
+    k = params.find("/Subtype")
+    if k < 0:
+        return False
+    after = k + len("/Subtype")
+    if after < len(params) and params[after] not in _WS and params[after] not in _DELIM:
+        return False
+    i = _skip_ws(params, after)
+    if params[i : i + 1] != "/":
+        return False
+    nm, _ = _read_name_token(params, i)
+    return nm == name
+
+
+def _matrix_ef(params: str) -> Tuple[float, float]:
+    """Translation components (e, f) of ``/Matrix [ a b c d e f ]`` at its
+    first token-exact occurrence; a b c d are ignored (SPEC §3b subset
+    rule: translation-only form placement). Absent/malformed → (0, 0)."""
+    k = params.find("/Matrix")
+    if k < 0:
+        return 0.0, 0.0
+    after = k + len("/Matrix")
+    if after < len(params) and params[after] not in _WS and params[after] not in _DELIM:
+        return 0.0, 0.0
+    i = _skip_ws(params, after)
+    if params[i : i + 1] != "[":
+        return 0.0, 0.0
+    i += 1
+    vals = []
+    n = len(params)
+    for _ in range(6):
+        i = _skip_ws(params, i)
+        j = i
+        while j < n and params[j] not in _WS and params[j] not in _DELIM:
+            j += 1
+        if j == i or not _NUM_RE.match(params[i:j]):
+            return 0.0, 0.0
+        vals.append(float(params[i:j]))
+        i = j
+    i = _skip_ws(params, i)
+    if params[i : i + 1] != "]":
+        return 0.0, 0.0
+    return vals[4], vals[5]
+
+
+_FORM_MAX_DEPTH = 8
+
+
+def _make_form_resolver(text: str, objs: dict, vobjs: dict):
+    """Object number → (content, fonts, xobjects, tx, ty) for /Subtype
+    /Form stream objects, or None (SPEC §3b Form XObjects, v9): direct
+    objects only, stream decoded through its own filter chain, resources
+    from the form's OWN parameter dict. Memoized — resolution is purely a
+    function of the payload, so the cache is semantically invisible."""
+    cache: dict = {}
+
+    def resolve(num: int):
+        if num in cache:
+            return cache[num]
+        cache[num] = None  # pre-seed: failures and re-entries resolve None
+        if num in vobjs or num not in objs:
+            return None
+        body = text[objs[num][0] : objs[num][1]]
+        k = body.find("stream")
+        if k < 0:
+            return None
+        after = k + 6
+        if body[after : after + 2] == "\r\n":
+            cstart = after + 2
+        elif body[after : after + 1] == "\n":
+            cstart = after + 1
+        else:
+            return None
+        end = body.find("endstream", cstart)
+        if end < 0:
+            return None
+        params = body[:k]
+        if not _subtype_is(params, "Form"):
+            return None
+        content = body[cstart:end]
+        if "/Filter" in params:
+            names = _parse_filter_names(params)
+            if names is None:
+                return None
+            fparms = _parse_decode_parms(params, len(names))
+            if fparms is None:
+                return None
+            content = apply_stream_filters(content, names, fparms)
+            if content is None:
+                return None
+        tx, ty = _matrix_ef(params)
+        entry = (
+            content,
+            _font_table(text, objs, vobjs, params),
+            _xobject_table(text, objs, vobjs, params),
+            tx,
+            ty,
+        )
+        cache[num] = entry
+        return entry
+
+    return resolve
 
 
 def _cmap_from_stream_object(text: str, span: Tuple[int, int]):
@@ -1097,21 +1221,35 @@ def _inline_image_skip(content: str, i: int, stack: list) -> int:
 
 
 def _interpret(content: str, mb_w: float, mb_h: float,
-               cfg: ExtractConfig, fonts: Optional[dict] = None) -> List[Box]:
-    """One content stream → line boxes in canonical top-left coordinates.
-    ``fonts`` maps font names to CMap entries (SPEC §3b Fonts, v6): ``Tf``
-    switches the active map and show-strings decode through it (advance
-    widths use the DECODED length, so an encoded page lays out exactly like
-    its plain twin)."""
+               cfg: ExtractConfig, fonts: Optional[dict] = None,
+               xobjs: Optional[dict] = None, resolver=None,
+               off: Tuple[float, float] = (0.0, 0.0), depth: int = 0,
+               chain: frozenset = frozenset(),
+               boxes: Optional[List[Box]] = None) -> Tuple[List[Box], int]:
+    """One content stream → (line boxes in canonical top-left coordinates,
+    n suppressed invisible show ops). ``fonts`` maps font names to CMap
+    entries (SPEC §3b Fonts, v6): ``Tf`` switches the active map and
+    show-strings decode through it (advance widths use the DECODED length,
+    so an encoded page lays out exactly like its plain twin). ``xobjs`` +
+    ``resolver`` drive ``Do`` form invocation (SPEC §3b Form XObjects, v9):
+    forms interpret recursively with fresh text state, their own resource
+    tables, user-space offset ``off`` + the form's /Matrix translation, and
+    append into the SAME ``boxes`` list (line_idx continues in paint
+    order); ``depth``/``chain`` enforce the depth-8 cap and cycle guard."""
     sx = cfg.page_w / mb_w
     sy = cfg.page_h / mb_h
-    boxes: List[Box] = []
+    if boxes is None:
+        boxes = []
+    ox, oy = off
     in_text = False
     x = y = 0.0
     leading = 0.0
     fontsize = 12.0
+    mode = 0.0  # text render mode (Tr, v9); 3 = invisible
+    suppressed = 0
     cur_map = None
     fonts = fonts or {}
+    xobjs = xobjs or {}
     buf: List[str] = []
     stack: list = []
     arr: list | None = None  # open [ ... ] capture
@@ -1123,10 +1261,10 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             adv = 0.5 * fontsize * len(txt)
             boxes.append(
                 (
-                    int(math.floor(x * sx + 0.5)),
-                    int(math.floor((mb_h - y - fontsize) * sy + 0.5)),
-                    int(math.floor((x + adv) * sx + 0.5)),
-                    int(math.floor((mb_h - y) * sy + 0.5)),
+                    int(math.floor((ox + x) * sx + 0.5)),
+                    int(math.floor((mb_h - (oy + y) - fontsize) * sy + 0.5)),
+                    int(math.floor((ox + x + adv) * sx + 0.5)),
+                    int(math.floor((mb_h - (oy + y)) * sy + 0.5)),
                     len(boxes),
                     txt,
                 )
@@ -1209,6 +1347,27 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 flush()
             in_text = True
             x = y = leading = 0.0
+        elif tok == "Do":
+            # form XObject invocation (SPEC §3b, v9): dispatches whether or
+            # not a text object is open; no flush, invoker state untouched
+            if (
+                resolver is not None
+                and depth < _FORM_MAX_DEPTH
+                and stack
+                and isinstance(stack[-1], tuple)
+                and stack[-1][0] == "n"
+            ):
+                num = xobjs.get(stack[-1][1])
+                if num is not None and num not in chain:
+                    form = resolver(num)
+                    if form is not None:
+                        fc, ff, fx, tx, ty = form
+                        _b, sup = _interpret(
+                            fc, mb_w, mb_h, cfg, ff, fx, resolver,
+                            (ox + tx, oy + ty), depth + 1,
+                            chain | {num}, boxes,
+                        )
+                        suppressed += sup
         elif in_text:
             if tok == "Tf":
                 if stack and isinstance(stack[-1], float):
@@ -1236,6 +1395,9 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             elif tok == "TL":
                 if stack and isinstance(stack[-1], float):
                     leading = stack[-1]
+            elif tok == "Tr":
+                if stack and isinstance(stack[-1], float):
+                    mode = stack[-1]
             elif tok == "Tm":
                 v = nums(6)
                 if v:
@@ -1246,41 +1408,59 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 y -= leading
             elif tok == "Tj":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
-                    buf.append(_apply_cmap(stack[-1][1], cur_map))
+                    if cfg.drop_invisible_text and mode == 3:
+                        suppressed += 1
+                    else:
+                        buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok in ("'", '"'):
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                     flush()
                     y -= leading
-                    buf.append(_apply_cmap(stack[-1][1], cur_map))
+                    if cfg.drop_invisible_text and mode == 3:
+                        suppressed += 1
+                    else:
+                        buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok == "TJ":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
-                    piece = []
-                    for el in stack[-1][1]:
-                        if isinstance(el, tuple) and el[0] == "s":
-                            piece.append(_apply_cmap(el[1], cur_map))
-                        elif isinstance(el, float) and el <= -180:
-                            piece.append(" ")
-                    buf.append("".join(piece))
+                    if cfg.drop_invisible_text and mode == 3:
+                        if any(
+                            isinstance(el, tuple) and el[0] == "s"
+                            for el in stack[-1][1]
+                        ):
+                            suppressed += 1
+                    else:
+                        piece = []
+                        for el in stack[-1][1]:
+                            if isinstance(el, tuple) and el[0] == "s":
+                                piece.append(_apply_cmap(el[1], cur_map))
+                            elif isinstance(el, float) and el <= -180:
+                                piece.append(" ")
+                        buf.append("".join(piece))
             elif tok == "ET":
                 flush()
                 in_text = False
         stack = []
     if in_text:
         flush()
-    return boxes
+    return boxes, suppressed
 
 
-def _content_fonts(text: str):
-    """{content-object number: font table} from every /Type /Page object —
-    direct or ObjStm-contained (token-exact name match, so /Pages never
-    qualifies) — plus the object interval list for stream→object
-    attribution. Gated on a literal ``/ToUnicode`` or ``/ObjStm`` appearing
-    anywhere — without either every font table is empty and extraction is
-    identity, so the gate is a pure fast path."""
-    if "/ToUnicode" not in text and "/ObjStm" not in text:
-        return {}, []
+def _content_resources(text: str):
+    """({content-object number: (font table, xobject table)}, object
+    intervals, form resolver) from every /Type /Page object — direct or
+    ObjStm-contained (token-exact name match, so /Pages never qualifies).
+    Gated on a literal ``/ToUnicode``, ``/ObjStm`` or ``/XObject``
+    appearing anywhere — without all three every table is empty, extraction
+    is identity and no form can exist, so the gate is a pure fast path."""
+    if (
+        "/ToUnicode" not in text
+        and "/ObjStm" not in text
+        and "/XObject" not in text
+    ):
+        return {}, [], None
     objs, intervals = _object_map(text)
     vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
+    want_xobj = "/XObject" in text
     by_content: dict = {}
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
@@ -1291,16 +1471,18 @@ def _content_fonts(text: str):
         if cref is None:
             continue
         fonts = _font_table(text, objs, vobjs, body)
-        if fonts:
-            by_content[cref] = fonts
-    return by_content, intervals
+        xobjs = _xobject_table(text, objs, vobjs, body) if want_xobj else {}
+        if fonts or xobjs:
+            by_content[cref] = (fonts, xobjs)
+    resolver = _make_form_resolver(text, objs, vobjs) if want_xobj else None
+    return by_content, intervals, resolver
 
 
 def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Payload → (list of (page_idx, Box), n_skipped_streams)."""
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
-    fonts_by_obj, obj_intervals = _content_fonts(text)
+    res_by_obj, obj_intervals, resolver = _content_resources(text)
     obj_starts = [iv[0] for iv in obj_intervals]
     out = []
     skipped = 0
@@ -1333,6 +1515,11 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         params = text[d0:k] if d0 >= 0 else ""
         pos = end + 9
         content = text[body_start:end]
+        if resolver is not None and _subtype_is(params, "Form"):
+            # form XObject stream (SPEC §3b, v9): never a page, renders
+            # only via Do; its filter chain is not decoded here and it
+            # never counts dropped at discovery
+            continue
         if "/Filter" in params:
             # SPEC §3b Filters: decode supported chains (incl. /DecodeParms
             # prediction); unknown name, unsupported parameter values or
@@ -1350,14 +1537,20 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 skipped += 1
                 continue
             content = decoded
-        if "BT" not in content:
+        if "BT" not in content and not (resolver is not None and "Do" in content):
             continue
-        fonts = None
-        if fonts_by_obj:
+        fonts = xobjs = None
+        if res_by_obj:
             oi = bisect.bisect_right(obj_starts, body_start) - 1
             if oi >= 0 and body_start < obj_intervals[oi][1]:
-                fonts = fonts_by_obj.get(obj_intervals[oi][2])
-        for box in _interpret(content, mb_w, mb_h, cfg, fonts):
+                entry = res_by_obj.get(obj_intervals[oi][2])
+                if entry is not None:
+                    fonts, xobjs = entry
+        boxes, suppressed = _interpret(
+            content, mb_w, mb_h, cfg, fonts, xobjs, resolver
+        )
+        skipped += suppressed
+        for box in boxes:
             out.append((page, box))
         page += 1
     return out, skipped

@@ -934,34 +934,32 @@ def _rpdf_cmap_from_obj(text: str, span):
     return _rpdf_parse_cmap(content)
 
 
-def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
-    k = page_body.find("/Resources")
-    if k < 0:
-        return {}
-    i = re.compile(r"[\x00\t\n\x0c\r ]*").match(page_body, k + len("/Resources")).end()
-    if page_body[i : i + 2] == "<<":
-        inner, _ = _rpdf_dict_span(page_body, i)
-        res = inner if inner is not None else ""
-    else:
-        m = _RPDF_REFVAL_RE.match(page_body, k + len("/Resources"))
-        res = _rpdf_obj_body(text, objs, vobjs, int(m.group(1))) if m else None
-        if res is None:
-            return {}
-    k = res.find("/Font")
+def _rpdf_key_dict(container, key: str, text: str, objs: dict, vobjs: dict):
+    """``/Key`` (first occurrence, token-exact) in ``container`` → the
+    value dict's body (inline span or referenced object body), else None —
+    the oracle's regex form of the kernel's shared resolution step (SPEC
+    §3b Fonts + Form XObjects)."""
+    if container is None:
+        return None
+    k = container.find(key)
     if k < 0 or (
-        k + 5 < len(res)
-        and not re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", res[k + 5])
+        k + len(key) < len(container)
+        and not re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", container[k + len(key)])
     ):
+        return None
+    i = re.compile(r"[\x00\t\n\x0c\r ]*").match(container, k + len(key)).end()
+    if container[i : i + 2] == "<<":
+        inner, _ = _rpdf_dict_span(container, i)
+        return inner if inner is not None else ""
+    m = _RPDF_REFVAL_RE.match(container, k + len(key))
+    return _rpdf_obj_body(text, objs, vobjs, int(m.group(1))) if m else None
+
+
+def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
+    res = _rpdf_key_dict(page_body, "/Resources", text, objs, vobjs)
+    fdict = _rpdf_key_dict(res, "/Font", text, objs, vobjs)
+    if fdict is None:
         return {}
-    i = re.compile(r"[\x00\t\n\x0c\r ]*").match(res, k + len("/Font")).end()
-    if res[i : i + 2] == "<<":
-        inner, _ = _rpdf_dict_span(res, i)
-        fdict = inner if inner is not None else ""
-    else:
-        m = _RPDF_REFVAL_RE.match(res, k + len("/Font"))
-        fdict = _rpdf_obj_body(text, objs, vobjs, int(m.group(1))) if m else None
-        if fdict is None:
-            return {}
     fonts = {}
     for fm in _RPDF_FONTENT_RE.finditer(fdict):
         num = int(fm.group(2))
@@ -978,13 +976,109 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     return fonts
 
 
-def _rpdf_content_fonts(text: str):
-    """{content obj num: font table} + object intervals; gated on a literal
-    /ToUnicode or /ObjStm (pure fast path — absent both, identity)."""
-    if "/ToUnicode" not in text and "/ObjStm" not in text:
-        return {}, []
+def _rpdf_xobject_table(text: str, objs: dict, vobjs: dict, body: str):
+    """Body → {xobject name: object number} via /Resources → /XObject
+    (SPEC §3b Form XObjects, v9); validation is lazy, at Do time."""
+    res = _rpdf_key_dict(body, "/Resources", text, objs, vobjs)
+    xdict = _rpdf_key_dict(res, "/XObject", text, objs, vobjs)
+    if xdict is None:
+        return {}
+    return {fm.group(1): int(fm.group(2)) for fm in _RPDF_FONTENT_RE.finditer(xdict)}
+
+
+_RPDF_SUBTYPE_RE = re.compile(
+    r"/Subtype(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)[\x00\t\n\x0c\r ]*"
+    r"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
+_RPDF_MATRIX_RE = re.compile(
+    r"/Matrix(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)[\x00\t\n\x0c\r ]*\[" +
+    r"[\x00\t\n\x0c\r ]*".join(
+        r"([+-]?(?:\d+\.?\d*|\.\d+))(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+        for _ in range(6)
+    )
+    + r"[\x00\t\n\x0c\r ]*\]"
+)
+
+
+def _rpdf_subtype_is(params: str, name: str) -> bool:
+    """First token-exact /Subtype value == /name (SPEC §3b, v9)."""
+    k = params.find("/Subtype")
+    if k < 0:
+        return False
+    m = _RPDF_SUBTYPE_RE.match(params, k)
+    return bool(m) and m.group(1) == name
+
+
+def _rpdf_matrix_ef(params: str):
+    """(e, f) of the first token-exact /Matrix [a b c d e f]; (0,0) on
+    absence/malformation — regex closed form of the kernel's scan."""
+    k = params.find("/Matrix")
+    if k < 0:
+        return 0.0, 0.0
+    m = _RPDF_MATRIX_RE.match(params, k)
+    if not m:
+        return 0.0, 0.0
+    return float(m.group(5)), float(m.group(6))
+
+
+_RPDF_FORM_MAX_DEPTH = 8
+
+
+def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
+    """Object number → (token list, fonts, xobjects, tx, ty) for /Subtype
+    /Form direct stream objects, else None (SPEC §3b Form XObjects, v9) —
+    memoized; the oracle resolves to TOKENS where the kernel resolves to a
+    content string."""
+    cache: dict = {}
+
+    def resolve(num):
+        if num in cache:
+            return cache[num]
+        cache[num] = None
+        if num in vobjs or num not in objs:
+            return None
+        body = text[objs[num][0] : objs[num][1]]
+        m = _RPDF_STREAMKW_RE.search(body)
+        if not m:
+            return None
+        end = body.find("endstream", m.end())
+        if end < 0:
+            return None
+        params = body[: m.start()]
+        if not _rpdf_subtype_is(params, "Form"):
+            return None
+        content = body[m.end() : end]
+        if "/Filter" in params:
+            content = _rpdf_decode_stream(content, params)
+            if content is None:
+                return None
+        tx, ty = _rpdf_matrix_ef(params)
+        entry = (
+            _rpdf_tokens(content),
+            _rpdf_font_table(text, objs, vobjs, params),
+            _rpdf_xobject_table(text, objs, vobjs, params),
+            tx,
+            ty,
+        )
+        cache[num] = entry
+        return entry
+
+    return resolve
+
+
+def _rpdf_content_resources(text: str):
+    """{content obj num: (font table, xobject table)} + object intervals +
+    form resolver; gated on a literal /ToUnicode, /ObjStm or /XObject
+    (pure fast path — absent all three, identity and no forms)."""
+    if (
+        "/ToUnicode" not in text
+        and "/ObjStm" not in text
+        and "/XObject" not in text
+    ):
+        return {}, [], None
     objs, intervals = _rpdf_object_map(text)
     vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
+    want_xobj = "/XObject" in text
     by_content = {}
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
@@ -995,9 +1089,11 @@ def _rpdf_content_fonts(text: str):
         if cref is None:
             continue
         fonts = _rpdf_font_table(text, objs, vobjs, body)
-        if fonts:
-            by_content[cref] = fonts
-    return by_content, intervals
+        xobjs = _rpdf_xobject_table(text, objs, vobjs, body) if want_xobj else {}
+        if fonts or xobjs:
+            by_content[cref] = (fonts, xobjs)
+    resolver = _rpdf_form_resolver(text, objs, vobjs) if want_xobj else None
+    return by_content, intervals, resolver
 
 
 def _rpdf_apply_cmap(s: str, entry):
@@ -1190,20 +1286,31 @@ def _rpdf_tokens(content: str):
 
 
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
-                    fonts=None):
-    """Pass 2: token list → line boxes in canonical top-left coordinates.
-    ``fonts``: name → CMap entry; Tf switches the active map (SPEC §3b
-    Fonts, v6) and show-strings decode through it."""
+                    fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
+                    depth=0, chain=frozenset(), boxes=None):
+    """Pass 2: token list → (line boxes in canonical top-left coordinates,
+    n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
+    switches the active map (SPEC §3b Fonts, v6) and show-strings decode
+    through it. ``xobjs``/``resolver``/``off``/``depth``/``chain``: form
+    XObject invocation via Do (SPEC §3b, v9), recursing over the form's
+    pre-tokenized content into the shared ``boxes`` list."""
     import math
 
     sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
-    boxes = []
-    state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False}
+    if boxes is None:
+        boxes = []
+    ox, oy = off
+    state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
+             "mode": 0.0, "sup": 0}
     fonts = fonts or {}
+    xobjs = xobjs or {}
     cmap = [None]  # boxed for closure-free mutation alongside `state`
     buf = []
     stack = []
     arr = None
+
+    def invisible():
+        return cfg.drop_invisible_text and state["mode"] == 3
 
     def flush():
         txt = "".join(buf)
@@ -1211,10 +1318,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
             adv = 0.5 * state["fs"] * len(txt)
             boxes.append(
                 (
-                    int(math.floor(state["x"] * sx + 0.5)),
-                    int(math.floor((mb_h - state["y"] - state["fs"]) * sy + 0.5)),
-                    int(math.floor((state["x"] + adv) * sx + 0.5)),
-                    int(math.floor((mb_h - state["y"]) * sy + 0.5)),
+                    int(math.floor((ox + state["x"]) * sx + 0.5)),
+                    int(math.floor((mb_h - (oy + state["y"]) - state["fs"]) * sy + 0.5)),
+                    int(math.floor((ox + state["x"] + adv) * sx + 0.5)),
+                    int(math.floor((mb_h - (oy + state["y"])) * sy + 0.5)),
                     len(boxes),
                     txt,
                 )
@@ -1248,6 +1355,26 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 flush()
             state.update(x=0.0, y=0.0, lead=0.0)
             state["in"] = True
+        elif op == "Do":
+            # form XObject invocation (SPEC §3b, v9): in or out of a text
+            # object; no flush; invoker state untouched
+            if (
+                resolver is not None
+                and depth < _RPDF_FORM_MAX_DEPTH
+                and stack
+                and stack[-1][0] == "name"
+            ):
+                num = xobjs.get(stack[-1][1])
+                if num is not None and num not in chain:
+                    form = resolver(num)
+                    if form is not None:
+                        ftoks, ff, fx, tx, ty = form
+                        _b, sup = _rpdf_interpret(
+                            ftoks, mb_w, mb_h, cfg, ff, fx, resolver,
+                            (ox + tx, oy + ty), depth + 1,
+                            chain | {num}, boxes,
+                        )
+                        state["sup"] += sup
         elif state["in"]:
             if op == "Tf" and stack and stack[-1][0] == "num":
                 flush()
@@ -1269,6 +1396,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     state["y"] += v[1]
             elif op == "TL" and stack and stack[-1][0] == "num":
                 state["lead"] = stack[-1][1]
+            elif op == "Tr" and stack and stack[-1][0] == "num":
+                state["mode"] = stack[-1][1]
             elif op == "Tm":
                 v = tail_nums(6)
                 if v:
@@ -1278,32 +1407,42 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 flush()
                 state["y"] -= state["lead"]
             elif op == "Tj" and stack and stack[-1][0] == "str":
-                buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
+                if invisible():
+                    state["sup"] += 1
+                else:
+                    buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op in ("'", '"') and stack and stack[-1][0] == "str":
                 flush()
                 state["y"] -= state["lead"]
-                buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
+                if invisible():
+                    state["sup"] += 1
+                else:
+                    buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op == "TJ" and stack and stack[-1][0] == "arr":
-                buf.append(
-                    "".join(
-                        _rpdf_apply_cmap(el[1], cmap[0])
-                        if el[0] == "str"
-                        else (" " if el[0] == "num" and el[1] <= -180 else "")
-                        for el in stack[-1][1]
+                if invisible():
+                    if any(el[0] == "str" for el in stack[-1][1]):
+                        state["sup"] += 1
+                else:
+                    buf.append(
+                        "".join(
+                            _rpdf_apply_cmap(el[1], cmap[0])
+                            if el[0] == "str"
+                            else (" " if el[0] == "num" and el[1] <= -180 else "")
+                            for el in stack[-1][1]
+                        )
                     )
-                )
             elif op == "ET":
                 flush()
                 state["in"] = False
         stack = []
     if state["in"]:
         flush()
-    return boxes
+    return boxes, state["sup"]
 
 
 def _oracle_realpdf(text: str, cfg: ExtractConfig):
     mb_w, mb_h = _rpdf_mediabox(text)
-    fonts_by_obj, obj_intervals = _rpdf_content_fonts(text)
+    res_by_obj, obj_intervals, resolver = _rpdf_content_resources(text)
     obj_starts = [iv[0] for iv in obj_intervals]
     pages, dropped, page = {}, 0, 0
     min_pos = 0
@@ -1332,20 +1471,27 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         params = text[d0 : m.start()] if d0 >= 0 else ""
         min_pos = end + len("endstream")
         content = text[m.end() : end]
+        if resolver is not None and _rpdf_subtype_is(params, "Form"):
+            continue  # form XObject: never a page, renders only via Do (v9)
         if "/Filter" in params:
             decoded = _rpdf_decode_stream(content, params)
             if decoded is None:
                 dropped += 1
                 continue
             content = decoded
-        if "BT" not in content:
+        if "BT" not in content and not (resolver is not None and "Do" in content):
             continue
-        fonts = None
-        if fonts_by_obj:
+        fonts = xobjs = None
+        if res_by_obj:
             oi = _bisect.bisect_right(obj_starts, m.end()) - 1
             if oi >= 0 and m.end() < obj_intervals[oi][1]:
-                fonts = fonts_by_obj.get(obj_intervals[oi][2])
-        boxes = _rpdf_interpret(_rpdf_tokens(content), mb_w, mb_h, cfg, fonts)
+                entry = res_by_obj.get(obj_intervals[oi][2])
+                if entry is not None:
+                    fonts, xobjs = entry
+        boxes, sup = _rpdf_interpret(
+            _rpdf_tokens(content), mb_w, mb_h, cfg, fonts, xobjs, resolver
+        )
+        dropped += sup
         for b in boxes:
             if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
                 dropped += 1

@@ -927,3 +927,208 @@ def test_inline_image_truncation_fuzz():
             assert (k, spans, drop) == (
                 o["kind"], o["spans"], o["n_dropped"]), (seed, cut)
     assert emitted >= 5  # the corpus really exercises the path
+
+
+# ---------------------------------------------------------------------------
+# v9: form XObjects (Do) + text render mode (Tr) — SPEC §3b
+# ---------------------------------------------------------------------------
+
+def _form_pdf(page_ops: str, forms: str, xents: str) -> str:
+    """One page + explicit /XObject resources + caller-supplied form
+    objects (the v9 analog of ``_pdf``)."""
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        f" /Resources << /XObject << {xents} >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(page_ops)} >>\n"
+        f"stream\n{page_ops}\nendstream\nendobj\n"
+        f"{forms}"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def _texts_of(doc, cfg=DEFAULT_CONFIG):
+    _k, spans, _d = extract_payload(doc, cfg)
+    return [s[2] for s in spans]
+
+
+def test_form_xobject_matrix_translation_and_not_a_page():
+    """The form paints at its /Matrix (e, f) offset; its stream is never a
+    page; a b c d scaling components are IGNORED (SPEC §3b subset rule)."""
+    forms = (
+        "5 0 obj\n<< /Type /XObject /Subtype /Form /Matrix [3 0 0 9 0 -100]"
+        " /Length 52 >>\nstream\n"
+        "BT /F1 10 Tf 72 500 Td (letterhead text) Tj ET\nendstream\nendobj\n"
+    )
+    doc = _form_pdf("BT /F1 12 Tf 72 700 Td (body) Tj ET\n/Fx Do", forms, "/Fx 5 0 R")
+    parsed, dropped = parse_realpdf(doc)
+    assert dropped == 0
+    assert [p for p, _b in parsed] == [0, 0]  # ONE page, form is not a page
+    body, form = parsed[0][1], parsed[1][1]
+    assert form[5] == "letterhead text"
+    # y = 500 - 100 = 400 → Y0 = round((792-400-10)*1000/792) = 482; x
+    # unchanged (e=0): X0 = round(72*800/612) = 94. Scaling a=3/d=9 ignored.
+    assert (form[0], form[1]) == (94, 482)
+    o = oracle_extract(doc)
+    assert [s[2] for s in o["spans"]] == ["body", "letterhead text"]
+
+
+def test_form_do_inside_text_object_preserves_invoker_state():
+    """Do inside BT: the invoker's x/y/fontsize/buffer survive untouched
+    and the pending buffer is NOT flushed by the Do."""
+    forms = (
+        "5 0 obj\n<< /Subtype /Form /Matrix [1 0 0 1 0 0] /Length 44 >>\n"
+        "stream\nBT /F1 8 Tf 200 300 Td (stamp) Tj ET\nendstream\nendobj\n"
+    )
+    ops = "BT /F1 12 Tf 72 700 Td (before ) Tj\n/Fx Do\n(after) Tj ET"
+    doc = _form_pdf(ops, forms, "/Fx 5 0 R")
+    k, spans, d = extract_payload(doc)
+    texts = [s[2] for s in spans]
+    # the stamp box is EMITTED first (paint order at the Do), but the
+    # invoker's line assembles unbroken afterwards
+    assert sorted(texts) == ["before after", "stamp"]
+    o = oracle_extract(doc)
+    assert spans == o["spans"] and d == o["n_dropped"]
+
+
+def test_form_nested_and_cycle_guard():
+    """A invokes B; B invokes A again (cycle) — the chain guard breaks the
+    loop: each form paints exactly once."""
+    forms = (
+        "5 0 obj\n<< /Subtype /Form /Matrix [1 0 0 1 0 -20]"
+        " /Resources << /XObject << /Fy 6 0 R >> >> /Length 48 >>\n"
+        "stream\nBT /F1 9 Tf 72 400 Td (form A) Tj ET\n/Fy Do\nendstream\nendobj\n"
+        "6 0 obj\n<< /Subtype /Form"
+        " /Resources << /XObject << /Fx 5 0 R >> >> /Length 48 >>\n"
+        "stream\nBT /F1 9 Tf 72 350 Td (form B) Tj ET\n/Fx Do\nendstream\nendobj\n"
+    )
+    doc = _form_pdf("BT /F1 12 Tf 72 700 Td (page) Tj ET\n/Fx Do", forms, "/Fx 5 0 R")
+    assert _texts_of(doc) == ["page", "form A", "form B"]
+    o = oracle_extract(doc)
+    assert [s[2] for s in o["spans"]] == ["page", "form A", "form B"]
+
+
+def test_form_depth_cap():
+    """A chain of 12 DISTINCT forms stops painting at depth 8 (page=0)."""
+    forms = []
+    for i in range(12):
+        num = 5 + i
+        nxt = f"\n/N Do" if i < 11 else ""
+        res = (
+            f" /Resources << /XObject << /N {num + 1} 0 R >> >>" if i < 11 else ""
+        )
+        body = f"BT /F1 9 Tf 72 {700 - 12 * i} Td (level {i}) Tj ET{nxt}"
+        forms.append(
+            f"{num} 0 obj\n<< /Subtype /Form{res} /Length {len(body)} >>\n"
+            f"stream\n{body}\nendstream\nendobj\n"
+        )
+    doc = _form_pdf("/N0 Do", "".join(forms), "/N0 5 0 R")
+    texts = _texts_of(doc)
+    assert texts == [f"level {i}" for i in range(8)]  # depths 1..8 paint
+    o = oracle_extract(doc)
+    assert [s[2] for s in o["spans"]] == texts
+
+
+def test_form_unresolvable_targets_noop():
+    """Image subtype, unknown name, non-stream target, bare Do, and a
+    /Length-less garbage object: all no-ops, page text intact."""
+    forms = (
+        "5 0 obj\n<< /Subtype /Image /Length 6 >>\nstream\nABCDEF\nendstream\nendobj\n"
+        "6 0 obj\n<< /Kind /NotAStream >>\nendobj\n"
+    )
+    ops = (
+        "BT /F1 12 Tf 72 700 Td (survives) Tj ET\n"
+        "/Im Do\n/Missing Do\n/Obj Do\nDo\n17 Do"
+    )
+    doc = _form_pdf(ops, forms, "/Im 5 0 R /Obj 6 0 R")
+    assert _texts_of(doc) == ["survives"]
+    o = oracle_extract(doc)
+    assert [s[2] for s in o["spans"]] == ["survives"]
+
+
+def test_form_only_page_counts_ordinal():
+    """A page whose text lives entirely in a form (no BT in the page
+    stream) still counts toward the page ordinal (v9 amendment)."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2"
+        " /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Contents 5 0 R"
+        " /Resources << /XObject << /Fx 7 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< /Type /Page /Contents 6 0 R >>\nendobj\n"
+        "5 0 obj\n<< /Length 6 >>\nstream\n/Fx Do\nendstream\nendobj\n"
+        "6 0 obj\n<< /Length 40 >>\n"
+        "stream\nBT /F1 12 Tf 72 700 Td (page two) Tj ET\nendstream\nendobj\n"
+        "7 0 obj\n<< /Subtype /Form /Length 42 >>\n"
+        "stream\nBT /F1 12 Tf 72 650 Td (page one) Tj ET\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    parsed, _d = parse_realpdf(doc)
+    assert [(p, b[5]) for p, b in parsed] == [(0, "page one"), (1, "page two")]
+    o = oracle_extract(doc)
+    assert [s[2] for s in o["spans"]] == ["page one", "page two"]
+
+
+def test_tr_invisible_extracted_by_default_dropped_on_config():
+    """Mode-3 text (the OCR layer) is extracted by default; with
+    drop_invisible_text=True each suppressed show op counts dropped."""
+    ops = (
+        "BT /F1 12 Tf 14 TL 72 700 Td (visible) Tj\n"
+        "3 Tr T* (ocr line one) Tj T* [(ocr) -300 (two)] TJ\n"
+        "0 Tr T* (visible again) Tj ET"
+    )
+    doc = _pdf(ops)
+    k, spans, d = extract_payload(doc)
+    assert [s[2] for s in spans] == [
+        "visible", "ocr line one", "ocr two", "visible again"]
+    cfg = ExtractConfig(drop_invisible_text=True)
+    k2, spans2, d2 = extract_payload(doc, cfg)
+    assert [s[2] for s in spans2] == ["visible", "visible again"]
+    assert d2 == d + 2  # Tj + TJ suppressed
+    for c in (DEFAULT_CONFIG, cfg):
+        o = oracle_extract(doc, c)
+        kk, ss, dd = extract_payload(doc, c)
+        assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_tr_persists_across_bt_resets_per_stream():
+    """Render mode persists across BT blocks within a stream (like
+    fontsize) and resets for the next stream/form."""
+    cfg = ExtractConfig(drop_invisible_text=True)
+    ops1 = (
+        "BT /F1 12 Tf 72 700 Td 3 Tr (hidden one) Tj ET\n"
+        "BT 72 650 Td (still hidden) Tj ET"
+    )
+    ops2 = "BT /F1 12 Tf 72 600 Td (fresh stream visible) Tj ET"
+    doc = (
+        "%PDF-1.4\n"
+        f"4 0 obj\n<< /Length {len(ops1)} >>\nstream\n{ops1}\nendstream\nendobj\n"
+        f"5 0 obj\n<< /Length {len(ops2)} >>\nstream\n{ops2}\nendstream\nendobj\n"
+    )
+    assert _texts_of(doc, cfg) == ["fresh stream visible"]
+    o = oracle_extract(doc, cfg)
+    assert [s[2] for s in o["spans"]] == ["fresh stream visible"]
+
+
+def test_form_truncation_fuzz():
+    """Every-offset truncation through form-bearing corpus payloads:
+    kernel == oracle on every field, never raises."""
+    emitted = 0
+    for seed in range(60):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/XObject" not in doc:
+            continue
+        emitted += 1
+        for cut in range(0, len(doc), 13):
+            d = doc[:cut]
+            k, spans, drop = extract_payload(d)
+            o = oracle_extract(d)
+            assert (k, spans, drop) == (
+                o["kind"], o["spans"], o["n_dropped"]), (seed, cut)
+        if emitted >= 8:
+            break
+    assert emitted >= 5
