@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 9  # v9: Do forms + Tr OCR layers; v8 inline imgs; v7 ObjStm
+CORPUS_VERSION = 10  # v10: /Rotate + per-page MediaBox; v9 forms/Tr; v8 imgs
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -346,7 +346,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     a deliberate A→B→A cycle the guard must break; image/self/unknown-name
     Do targets that must no-op), and ~12% of pages are scanned-OCR pages —
     an inline image plus a ``3 Tr`` invisible text layer (extracted by
-    default: the OCR-text-layer analog)."""
+    default: the OCR-text-layer analog).
+    v10: ~11% of payloads rotate (Pages-node /Rotate inherited by every
+    kid, or a page-local value incl. 360/450 normalization and a 45 that
+    must resolve to 0), and ~8% of pages carry their own /MediaBox
+    (sometimes a degenerate extent the /Parent walk must skip)."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -503,10 +507,20 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             ops.append("BT ET")
         streams.append("\n".join(ops))
 
+    # v10 rotation draw: Pages-node /Rotate (inherited), a per-page
+    # /Rotate (incl. 360/450 normalization and a non-multiple 45 → 0), or
+    # none. Kept rare so most goldens stay upright.
+    rot_roll = rng.random()
+    pages_rot = f" /Rotate {rng.choice((90, 180, 270))}" if rot_roll < 0.05 else ""
+    page_rot = (
+        f" /Rotate {rng.choice((90, 180, 270, 360, 450, 45))}"
+        if not pages_rot and rot_roll < 0.11
+        else ""
+    )
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
         f"<< /Type /Pages /Kids [{' '.join(f'{3 + i} 0 R' for i in range(n_pages))}]"
-        f" /Count {n_pages} /MediaBox [0 0 {mb_w} {mb_h}] >>",
+        f" /Count {n_pages} /MediaBox [0 0 {mb_w} {mb_h}]{pages_rot} >>",
     ]
     first_content = 3 + n_pages
     font1 = first_content + n_pages + 1  # first_content+n_pages = bad-stream obj
@@ -524,8 +538,17 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         )
     res = f" /Resources << {' '.join(res_inner)} >>" if res_inner else ""
     for i in range(n_pages):
+        extra = page_rot if i == 0 else ""
+        if rng.random() < 0.08:  # v10: page-local MediaBox
+            r = rng.random()
+            if r < 0.6:  # a genuinely different size
+                pw, ph = rng.choice(((500, 500), (420, 595), (792, 612)))
+                extra += f" /MediaBox [0 0 {pw} {ph}]"
+            else:  # degenerate extent: IGNORED, the /Parent walk continues
+                extra += " /MediaBox [0 0 0 792]"
         objs.append(
-            f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R{res} >>"
+            f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R"
+            f"{res}{extra} >>"
         )
 
     # v7: ~40% of CMap payloads pack their page + font DICT objects into a

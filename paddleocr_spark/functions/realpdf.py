@@ -951,35 +951,95 @@ def _subtype_is(params: str, name: str) -> bool:
     return nm == name
 
 
+def _key_num_array(body: str, key: str, count: int) -> Optional[List[float]]:
+    """``/Key [ n1 .. nK ]`` at the key's FIRST token-exact occurrence —
+    exactly ``count`` ws-separated numbers inside the brackets; None on
+    absence/malformation (shared scan of /Matrix and /MediaBox)."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
+        return None
+    i = _skip_ws(body, after)
+    if body[i : i + 1] != "[":
+        return None
+    i += 1
+    vals: List[float] = []
+    n = len(body)
+    for _ in range(count):
+        i = _skip_ws(body, i)
+        j = i
+        while j < n and body[j] not in _WS and body[j] not in _DELIM:
+            j += 1
+        if j == i or not _NUM_RE.match(body[i:j]):
+            return None
+        vals.append(float(body[i:j]))
+        i = j
+    i = _skip_ws(body, i)
+    if body[i : i + 1] != "]":
+        return None
+    return vals
+
+
 def _matrix_ef(params: str) -> Tuple[float, float]:
     """Translation components (e, f) of ``/Matrix [ a b c d e f ]`` at its
     first token-exact occurrence; a b c d are ignored (SPEC §3b subset
     rule: translation-only form placement). Absent/malformed → (0, 0)."""
-    k = params.find("/Matrix")
-    if k < 0:
-        return 0.0, 0.0
-    after = k + len("/Matrix")
-    if after < len(params) and params[after] not in _WS and params[after] not in _DELIM:
-        return 0.0, 0.0
-    i = _skip_ws(params, after)
-    if params[i : i + 1] != "[":
-        return 0.0, 0.0
-    i += 1
-    vals = []
-    n = len(params)
-    for _ in range(6):
-        i = _skip_ws(params, i)
-        j = i
-        while j < n and params[j] not in _WS and params[j] not in _DELIM:
-            j += 1
-        if j == i or not _NUM_RE.match(params[i:j]):
-            return 0.0, 0.0
-        vals.append(float(params[i:j]))
-        i = j
-    i = _skip_ws(params, i)
-    if params[i : i + 1] != "]":
+    vals = _key_num_array(params, "/Matrix", 6)
+    if vals is None:
         return 0.0, 0.0
     return vals[4], vals[5]
+
+
+def _key_mediabox(body: str) -> Optional[Tuple[float, float]]:
+    """Page-local ``/MediaBox [ a b c d ]`` → (w, h) with positive extent,
+    else None (SPEC §3b Per-page geometry, v10)."""
+    vals = _key_num_array(body, "/MediaBox", 4)
+    if vals is None:
+        return None
+    w, h = vals[2] - vals[0], vals[3] - vals[1]
+    if w > 0 and h > 0:
+        return w, h
+    return None
+
+
+_GEO_MAX_HOPS = 16
+
+
+def _page_geometry(text: str, objs: dict, vobjs: dict, body: str,
+                   dflt: Tuple[float, float]) -> Tuple[float, float, int]:
+    """(mb_w, mb_h, rotate) for one page body, resolved up the /Parent
+    chain (SPEC §3b Per-page geometry, v10): each attribute takes its
+    first resolvable value walking page → ancestors (≤ 16 hops, re-visited
+    ref ends the walk); /Rotate must be a plain non-negative integer and
+    normalizes mod 360 to {0, 90, 180, 270} (else 0); MediaBox falls back
+    to the document default."""
+    mb = None
+    rot = None
+    cur = body
+    visited = set()
+    for _ in range(_GEO_MAX_HOPS + 1):
+        if mb is None:
+            mb = _key_mediabox(cur)
+        if rot is None:
+            rot = _key_int(cur, "/Rotate")
+        if mb is not None and rot is not None:
+            break
+        pref = _key_ref(cur, "/Parent")
+        if pref is None or pref in visited:
+            break
+        visited.add(pref)
+        nxt = _obj_body(text, objs, vobjs, pref)
+        if nxt is None:
+            break
+        cur = nxt
+    if mb is None:
+        mb = dflt
+    r = (rot or 0) % 360
+    if r not in (90, 180, 270):
+        r = 0
+    return mb[0], mb[1], r
 
 
 _FORM_MAX_DEPTH = 8
@@ -1225,7 +1285,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                xobjs: Optional[dict] = None, resolver=None,
                off: Tuple[float, float] = (0.0, 0.0), depth: int = 0,
                chain: frozenset = frozenset(),
-               boxes: Optional[List[Box]] = None) -> Tuple[List[Box], int]:
+               boxes: Optional[List[Box]] = None,
+               rot: int = 0) -> Tuple[List[Box], int]:
     """One content stream → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts`` maps font names to CMap
     entries (SPEC §3b Fonts, v6): ``Tf`` switches the active map and
@@ -1235,9 +1296,16 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     forms interpret recursively with fresh text state, their own resource
     tables, user-space offset ``off`` + the form's /Matrix translation, and
     append into the SAME ``boxes`` list (line_idx continues in paint
-    order); ``depth``/``chain`` enforce the depth-8 cap and cycle guard."""
-    sx = cfg.page_w / mb_w
-    sy = cfg.page_h / mb_h
+    order); ``depth``/``chain`` enforce the depth-8 cap and cycle guard.
+    ``rot`` is the page's display rotation (SPEC §3b Rotation
+    canonicalization, v10): boxes canonicalize to the rotated view — what
+    a renderer + OCR would see — via the corner-wise user→viewer map."""
+    if rot in (90, 270):
+        sx = cfg.page_w / mb_h
+        sy = cfg.page_h / mb_w
+    else:
+        sx = cfg.page_w / mb_w
+        sy = cfg.page_h / mb_h
     if boxes is None:
         boxes = []
     ox, oy = off
@@ -1259,12 +1327,22 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         txt = "".join(buf)
         if txt.strip():
             adv = 0.5 * fontsize * len(txt)
+            u0, u1 = ox + x, ox + x + adv
+            v0, v1 = oy + y, oy + y + fontsize
+            if rot == 90:
+                x0, x1, y0, y1 = v0, v1, u0, u1
+            elif rot == 180:
+                x0, x1, y0, y1 = mb_w - u1, mb_w - u0, v0, v1
+            elif rot == 270:
+                x0, x1, y0, y1 = mb_h - v1, mb_h - v0, mb_w - u1, mb_w - u0
+            else:
+                x0, x1, y0, y1 = u0, u1, mb_h - v1, mb_h - v0
             boxes.append(
                 (
-                    int(math.floor((ox + x) * sx + 0.5)),
-                    int(math.floor((mb_h - (oy + y) - fontsize) * sy + 0.5)),
-                    int(math.floor((ox + x + adv) * sx + 0.5)),
-                    int(math.floor((mb_h - (oy + y)) * sy + 0.5)),
+                    int(math.floor(x0 * sx + 0.5)),
+                    int(math.floor(y0 * sy + 0.5)),
+                    int(math.floor(x1 * sx + 0.5)),
+                    int(math.floor(y1 * sy + 0.5)),
                     len(boxes),
                     txt,
                 )
@@ -1365,7 +1443,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         _b, sup = _interpret(
                             fc, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox + tx, oy + ty), depth + 1,
-                            chain | {num}, boxes,
+                            chain | {num}, boxes, rot,
                         )
                         suppressed += sup
         elif in_text:
@@ -1449,15 +1527,20 @@ def _content_resources(text: str):
     """({content-object number: (font table, xobject table)}, object
     intervals, form resolver) from every /Type /Page object — direct or
     ObjStm-contained (token-exact name match, so /Pages never qualifies).
-    Gated on a literal ``/ToUnicode``, ``/ObjStm`` or ``/XObject``
-    appearing anywhere — without all three every table is empty, extraction
-    is identity and no form can exist, so the gate is a pure fast path."""
+    Gated on a literal ``/ToUnicode``, ``/ObjStm``, ``/XObject``,
+    ``/Rotate`` or a 2nd ``/MediaBox`` appearing anywhere — absent all of
+    them every table is empty, extraction is identity, no form can exist
+    and per-page geometry equals the document default, so the gate is a
+    pure fast path (SPEC §3b, v6/v9/v10)."""
     if (
         "/ToUnicode" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
+        and "/Rotate" not in text
+        and text.count("/MediaBox") < 2
     ):
         return {}, [], None
+    dflt = media_box(text)
     objs, intervals = _object_map(text)
     vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
@@ -1472,8 +1555,8 @@ def _content_resources(text: str):
             continue
         fonts = _font_table(text, objs, vobjs, body)
         xobjs = _xobject_table(text, objs, vobjs, body) if want_xobj else {}
-        if fonts or xobjs:
-            by_content[cref] = (fonts, xobjs)
+        geo = _page_geometry(text, objs, vobjs, body, dflt)
+        by_content[cref] = (fonts, xobjs, geo)
     resolver = _make_form_resolver(text, objs, vobjs) if want_xobj else None
     return by_content, intervals, resolver
 
@@ -1540,14 +1623,15 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if "BT" not in content and not (resolver is not None and "Do" in content):
             continue
         fonts = xobjs = None
+        pw, ph, rot = mb_w, mb_h, 0
         if res_by_obj:
             oi = bisect.bisect_right(obj_starts, body_start) - 1
             if oi >= 0 and body_start < obj_intervals[oi][1]:
                 entry = res_by_obj.get(obj_intervals[oi][2])
                 if entry is not None:
-                    fonts, xobjs = entry
+                    fonts, xobjs, (pw, ph, rot) = entry
         boxes, suppressed = _interpret(
-            content, mb_w, mb_h, cfg, fonts, xobjs, resolver
+            content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot
         )
         skipped += suppressed
         for box in boxes:

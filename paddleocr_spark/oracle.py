@@ -1021,6 +1021,60 @@ def _rpdf_matrix_ef(params: str):
     return float(m.group(5)), float(m.group(6))
 
 
+_RPDF_MEDIABOX_KEY_RE = re.compile(
+    r"/MediaBox(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)[\x00\t\n\x0c\r ]*\[" +
+    r"[\x00\t\n\x0c\r ]*".join(
+        r"([+-]?(?:\d+\.?\d*|\.\d+))(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+        for _ in range(4)
+    )
+    + r"[\x00\t\n\x0c\r ]*\]"
+)
+
+
+def _rpdf_key_mediabox(body):
+    """Page-local /MediaBox → (w, h) with positive extent, else None
+    (SPEC §3b Per-page geometry, v10) — regex closed form."""
+    if body is None:
+        return None
+    k = body.find("/MediaBox")
+    if k < 0:
+        return None
+    m = _RPDF_MEDIABOX_KEY_RE.match(body, k)
+    if not m:
+        return None
+    a, b, c, d = (float(m.group(g)) for g in range(1, 5))
+    if c - a > 0 and d - b > 0:
+        return c - a, d - b
+    return None
+
+
+def _rpdf_page_geometry(text, objs, vobjs, body, dflt):
+    """(mb_w, mb_h, rotate) up the /Parent chain — ≤ 16 hops, revisit ends
+    the walk; /Rotate per the plain-integer rule, normalized mod 360 to
+    {0, 90, 180, 270} else 0 (SPEC §3b Per-page geometry, v10)."""
+    mb = rot = None
+    cur = body
+    visited = set()
+    for _ in range(17):
+        if mb is None:
+            mb = _rpdf_key_mediabox(cur)
+        if rot is None:
+            rot = _rpdf_key_int(cur, "/Rotate")
+        if mb is not None and rot is not None:
+            break
+        pref = _rpdf_key_ref(cur, "/Parent")
+        if pref is None or pref in visited:
+            break
+        visited.add(pref)
+        cur = _rpdf_obj_body(text, objs, vobjs, pref)
+        if cur is None:
+            break
+    if mb is None:
+        mb = dflt
+    r = (rot or 0) % 360
+    return mb[0], mb[1], r if r in (90, 180, 270) else 0
+
+
 _RPDF_FORM_MAX_DEPTH = 8
 
 
@@ -1067,15 +1121,19 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
 
 
 def _rpdf_content_resources(text: str):
-    """{content obj num: (font table, xobject table)} + object intervals +
-    form resolver; gated on a literal /ToUnicode, /ObjStm or /XObject
-    (pure fast path — absent all three, identity and no forms)."""
+    """{content obj num: (font table, xobject table, geometry)} + object
+    intervals + form resolver; gated on a literal /ToUnicode, /ObjStm,
+    /XObject, /Rotate or a 2nd /MediaBox (pure fast path — absent all,
+    identity, no forms, document-default geometry)."""
     if (
         "/ToUnicode" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
+        and "/Rotate" not in text
+        and text.count("/MediaBox") < 2
     ):
         return {}, [], None
+    dflt = _rpdf_mediabox(text)
     objs, intervals = _rpdf_object_map(text)
     vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
@@ -1090,8 +1148,8 @@ def _rpdf_content_resources(text: str):
             continue
         fonts = _rpdf_font_table(text, objs, vobjs, body)
         xobjs = _rpdf_xobject_table(text, objs, vobjs, body) if want_xobj else {}
-        if fonts or xobjs:
-            by_content[cref] = (fonts, xobjs)
+        geo = _rpdf_page_geometry(text, objs, vobjs, body, dflt)
+        by_content[cref] = (fonts, xobjs, geo)
     resolver = _rpdf_form_resolver(text, objs, vobjs) if want_xobj else None
     return by_content, intervals, resolver
 
@@ -1287,7 +1345,7 @@ def _rpdf_tokens(content: str):
 
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
-                    depth=0, chain=frozenset(), boxes=None):
+                    depth=0, chain=frozenset(), boxes=None, rot=0):
     """Pass 2: token list → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
     switches the active map (SPEC §3b Fonts, v6) and show-strings decode
@@ -1296,7 +1354,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     pre-tokenized content into the shared ``boxes`` list."""
     import math
 
-    sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
+    if rot in (90, 270):  # rotated view swaps the scaled page extent (v10)
+        sx, sy = cfg.page_w / mb_h, cfg.page_h / mb_w
+    else:
+        sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
     if boxes is None:
         boxes = []
     ox, oy = off
@@ -1316,12 +1377,21 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
         txt = "".join(buf)
         if txt.strip():
             adv = 0.5 * state["fs"] * len(txt)
+            u0, u1 = ox + state["x"], ox + state["x"] + adv
+            v0, v1 = oy + state["y"], oy + state["y"] + state["fs"]
+            # user→viewer corner map per display rotation (SPEC §3b, v10)
+            corners = {
+                0: (u0, mb_h - v1, u1, mb_h - v0),
+                90: (v0, u0, v1, u1),
+                180: (mb_w - u1, v0, mb_w - u0, v1),
+                270: (mb_h - v1, mb_w - u1, mb_h - v0, mb_w - u0),
+            }[rot]
             boxes.append(
                 (
-                    int(math.floor((ox + state["x"]) * sx + 0.5)),
-                    int(math.floor((mb_h - (oy + state["y"]) - state["fs"]) * sy + 0.5)),
-                    int(math.floor((ox + state["x"] + adv) * sx + 0.5)),
-                    int(math.floor((mb_h - (oy + state["y"])) * sy + 0.5)),
+                    int(math.floor(corners[0] * sx + 0.5)),
+                    int(math.floor(corners[1] * sy + 0.5)),
+                    int(math.floor(corners[2] * sx + 0.5)),
+                    int(math.floor(corners[3] * sy + 0.5)),
                     len(boxes),
                     txt,
                 )
@@ -1372,7 +1442,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                         _b, sup = _rpdf_interpret(
                             ftoks, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox + tx, oy + ty), depth + 1,
-                            chain | {num}, boxes,
+                            chain | {num}, boxes, rot,
                         )
                         state["sup"] += sup
         elif state["in"]:
@@ -1482,14 +1552,15 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         if "BT" not in content and not (resolver is not None and "Do" in content):
             continue
         fonts = xobjs = None
+        pw, ph, rot = mb_w, mb_h, 0
         if res_by_obj:
             oi = _bisect.bisect_right(obj_starts, m.end()) - 1
             if oi >= 0 and m.end() < obj_intervals[oi][1]:
                 entry = res_by_obj.get(obj_intervals[oi][2])
                 if entry is not None:
-                    fonts, xobjs = entry
+                    fonts, xobjs, (pw, ph, rot) = entry
         boxes, sup = _rpdf_interpret(
-            _rpdf_tokens(content), mb_w, mb_h, cfg, fonts, xobjs, resolver
+            _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver, rot=rot
         )
         dropped += sup
         for b in boxes:

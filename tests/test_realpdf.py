@@ -1132,3 +1132,155 @@ def test_form_truncation_fuzz():
         if emitted >= 8:
             break
     assert emitted >= 5
+
+
+# ---------------------------------------------------------------------------
+# v10: /Rotate display rotation + per-page /MediaBox inheritance — SPEC §3b
+# ---------------------------------------------------------------------------
+
+def _pages_pdf(pages: list, pages_extra: str = "") -> str:
+    """n pages with per-page (content_ops, page_extra) and an optional
+    Pages-node suffix (/Rotate etc.)."""
+    n = len(pages)
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    parts = [
+        "%PDF-1.4",
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /Count {n}"
+        f" /MediaBox [0 0 612 792]{pages_extra} >>\nendobj",
+    ]
+    for i, (_ops, extra) in enumerate(pages):
+        parts.append(
+            f"{3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R"
+            f" /Contents {3 + n + i} 0 R{extra} >>\nendobj"
+        )
+    for i, (ops, _extra) in enumerate(pages):
+        parts.append(
+            f"{3 + n + i} 0 obj\n<< /Length {len(ops)} >>\n"
+            f"stream\n{ops}\nendstream\nendobj"
+        )
+    parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
+    return "\n".join(parts)
+
+
+_LINE = "BT /F1 12 Tf 72 700 Td (twelve chars) Tj ET"
+
+
+def _box_of(doc):
+    parsed, _d = parse_realpdf(doc)
+    assert len(parsed) == 1
+    return parsed[0][1][:4]
+
+
+def test_rotate_all_quadrants_and_normalization():
+    """/Rotate 90/180/270 map the same user-space line per the corner
+    table; 360 and 450 normalize; 45 (not a multiple of 90) → 0."""
+    b0 = _box_of(_pages_pdf([(_LINE, "")]))
+    # user extent: u∈[72,144] (adv=0.5*12*12=72), v∈[700,712]
+    assert b0 == (94, 101, 188, 116)
+    b90 = _box_of(_pages_pdf([(_LINE, " /Rotate 90")]))
+    # r90: X=v∈[700,712] *800/792; Y=u∈[72,144] *1000/612
+    assert b90 == (707, 118, 719, 235)
+    b180 = _box_of(_pages_pdf([(_LINE, " /Rotate 180")]))
+    # r180: X=612-u reversed ∈[468,540] *800/612; Y=v∈[700,712] *1000/792
+    assert b180 == (612, 884, 706, 899)
+    b270 = _box_of(_pages_pdf([(_LINE, " /Rotate 270")]))
+    # r270: X=792-v∈[80,92] *800/792; Y=612-u∈[468,540] *1000/612
+    assert b270 == (81, 765, 93, 882)
+    assert _box_of(_pages_pdf([(_LINE, " /Rotate 360")])) == b0
+    assert _box_of(_pages_pdf([(_LINE, " /Rotate 450")])) == b90
+    assert _box_of(_pages_pdf([(_LINE, " /Rotate 45")])) == b0
+    for extra in ("", " /Rotate 90", " /Rotate 180", " /Rotate 270"):
+        doc = _pages_pdf([(_LINE, extra)])
+        o = oracle_extract(doc)
+        kk, ss, dd = extract_payload(doc)
+        assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_rotate_inherited_from_pages_node():
+    """/Rotate on the Pages node applies to every kid; a kid's own value
+    overrides (independent walks)."""
+    doc = _pages_pdf(
+        [(_LINE, ""), (_LINE, " /Rotate 0")], pages_extra=" /Rotate 90"
+    )
+    parsed, _d = parse_realpdf(doc)
+    assert parsed[0][1][:4] == (707, 118, 719, 235)  # inherited 90
+    assert parsed[1][1][:4] == (94, 101, 188, 116)   # own 0 overrides
+    o = oracle_extract(doc)
+    kk, ss, dd = extract_payload(doc)
+    assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_page_local_mediabox_and_degenerate_fallback():
+    """A page's own /MediaBox wins; a degenerate extent is ignored and the
+    /Parent walk continues to the Pages-node size."""
+    line400 = "BT /F1 10 Tf 40 200 Td (low line) Tj ET"
+    doc = _pages_pdf([
+        (line400, " /MediaBox [0 0 400 400]"),
+        (line400, " /MediaBox [0 0 0 792]"),  # w=0 → inherited 612x792
+    ])
+    parsed, _d = parse_realpdf(doc)
+    own, inherited = parsed[0][1], parsed[1][1]
+    # own 400x400: X0=40*2=80, Y0=(400-210)*2.5=475
+    assert own[:4] == (80, 475, 160, 500)
+    # inherited 612x792: X0=round(40*800/612)=52
+    assert inherited[0] == 52
+    o = oracle_extract(doc)
+    kk, ss, dd = extract_payload(doc)
+    assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_rotation_applies_to_forms_of_the_page():
+    """A form painted via Do canonicalizes with the INVOKING page's
+    rotation (forms inherit page geometry)."""
+    forms = (
+        "5 0 obj\n<< /Subtype /Form /Matrix [1 0 0 1 0 -100] /Length 46 >>\n"
+        "stream\nBT /F1 12 Tf 72 800 Td (twelve chars) Tj ET\nendstream\nendobj\n"
+    )
+    doc = _form_pdf("/Fx Do", forms, "/Fx 5 0 R")
+    # wedge /Rotate 90 into the page object
+    doc_rot = doc.replace("/Contents 4 0 R", "/Contents 4 0 R /Rotate 90")
+    b = _box_of(doc_rot)
+    # form line lands at user y=700 (800-100): same as _LINE under r90
+    assert b == (707, 118, 719, 235)
+    o = oracle_extract(doc_rot)
+    kk, ss, dd = extract_payload(doc_rot)
+    assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_parent_chain_cycle_and_hop_bound():
+    """A /Parent cycle ends the geometry walk (document default applies);
+    never hangs."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /Parent 3 0 R >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Rotate 90 >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(_LINE)} >>\nstream\n{_LINE}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    b = _box_of(doc)  # rotate applies; MediaBox default 612x792 (cycle → default)
+    assert b == (707, 118, 719, 235)
+    o = oracle_extract(doc)
+    kk, ss, dd = extract_payload(doc)
+    assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_rotation_truncation_fuzz():
+    """Every-offset truncation through rotated/per-page-MediaBox corpus
+    payloads: kernel == oracle, never raises."""
+    emitted = 0
+    for seed in range(200):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Rotate" not in doc and doc.count("/MediaBox") < 2:
+            continue
+        emitted += 1
+        for cut in range(0, len(doc), 17):
+            d = doc[:cut]
+            k, spans, drop = extract_payload(d)
+            o = oracle_extract(d)
+            assert (k, spans, drop) == (
+                o["kind"], o["spans"], o["n_dropped"]), (seed, cut)
+        if emitted >= 8:
+            break
+    assert emitted >= 5
