@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 10  # v10: /Rotate + per-page MediaBox; v9 forms/Tr; v8 imgs
+CORPUS_VERSION = 11  # v11: /Encrypt refusal + Tc/Tw; v10 rotate; v9 forms
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -479,6 +479,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 if li == 1 and rng.random() < 0.08:
                     # v9: a visible render mode — extraction unchanged
                     ops.append(f"{rng.choice((0, 1, 2))} Tr")
+                if li == 1 and rng.random() < 0.10:
+                    # v11: char/word spacing feed the advance estimate
+                    ops.append(
+                        f"{rng.choice((0.4, 1, 2, -0.3))} Tc"
+                        f" {rng.choice((1, 3, -1))} Tw"
+                    )
                 if li == 2 and use_forms and rng.random() < 0.25:
                     # v9: Do INSIDE the text object — invoker x/y/leading/
                     # font/buffer state must survive it untouched
@@ -773,7 +779,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"<< /Length {len(sbody)} {decl} >>\n"
             f"stream\n{sbody}\nendstream\nendobj"
         )
-    parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
+    if rng.random() < 0.03:  # v11: encrypted document → whole-payload refusal
+        parts.append("trailer\n<< /Root 1 0 R /Encrypt 99 0 R >>\n%%EOF")
+    else:
+        parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
     doc = "\n".join(parts)
     if rng.random() < 0.07:  # truncated payload → must not error
         doc = doc[: rng.randint(len(doc) // 2, len(doc) - 1)]

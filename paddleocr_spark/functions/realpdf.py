@@ -1314,6 +1314,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     leading = 0.0
     fontsize = 12.0
     mode = 0.0  # text render mode (Tr, v9); 3 = invisible
+    charspace = 0.0  # Tc (v11); persists across BT like fontsize
+    wordspace = 0.0  # Tw (v11)
     suppressed = 0
     cur_map = None
     fonts = fonts or {}
@@ -1326,7 +1328,11 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         nonlocal buf
         txt = "".join(buf)
         if txt.strip():
-            adv = 0.5 * fontsize * len(txt)
+            adv = max(
+                0.0,
+                (0.5 * fontsize + charspace) * len(txt)
+                + wordspace * txt.count(" "),
+            )
             u0, u1 = ox + x, ox + x + adv
             v0, v1 = oy + y, oy + y + fontsize
             if rot == 90:
@@ -1476,6 +1482,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             elif tok == "Tr":
                 if stack and isinstance(stack[-1], float):
                     mode = stack[-1]
+            elif tok == "Tc":
+                if stack and isinstance(stack[-1], float):
+                    charspace = stack[-1]
+            elif tok == "Tw":
+                if stack and isinstance(stack[-1], float):
+                    wordspace = stack[-1]
             elif tok == "Tm":
                 v = nums(6)
                 if v:
@@ -1561,8 +1573,25 @@ def _content_resources(text: str):
     return by_content, intervals, resolver
 
 
+def _has_encrypt(text: str) -> bool:
+    """Token-exact ``/Encrypt`` anywhere (SPEC §3b Encryption refusal,
+    v11); ``/EncryptMetadata`` does not match."""
+    k = -1
+    while True:
+        k = text.find("/Encrypt", k + 1)
+        if k < 0:
+            return False
+        after = k + len("/Encrypt")
+        if after >= len(text) or text[after] in _WS or text[after] in _DELIM:
+            return True
+
+
 def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Payload → (list of (page_idx, Box), n_skipped_streams)."""
+    if "/Encrypt" in text and _has_encrypt(text):
+        # encrypted document: stream contents are ciphertext — refuse
+        # whole-payload rather than garbage-extract (SPEC §3b, v11)
+        return [], 1
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
     res_by_obj, obj_intervals, resolver = _content_resources(text)

@@ -1362,7 +1362,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
         boxes = []
     ox, oy = off
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
-             "mode": 0.0, "sup": 0}
+             "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0}
     fonts = fonts or {}
     xobjs = xobjs or {}
     cmap = [None]  # boxed for closure-free mutation alongside `state`
@@ -1376,7 +1376,11 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     def flush():
         txt = "".join(buf)
         if txt.strip():
-            adv = 0.5 * state["fs"] * len(txt)
+            adv = max(
+                0.0,
+                (0.5 * state["fs"] + state["tc"]) * len(txt)
+                + state["tw"] * txt.count(" "),
+            )
             u0, u1 = ox + state["x"], ox + state["x"] + adv
             v0, v1 = oy + state["y"], oy + state["y"] + state["fs"]
             # user→viewer corner map per display rotation (SPEC §3b, v10)
@@ -1468,6 +1472,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 state["lead"] = stack[-1][1]
             elif op == "Tr" and stack and stack[-1][0] == "num":
                 state["mode"] = stack[-1][1]
+            elif op == "Tc" and stack and stack[-1][0] == "num":
+                state["tc"] = stack[-1][1]
+            elif op == "Tw" and stack and stack[-1][0] == "num":
+                state["tw"] = stack[-1][1]
             elif op == "Tm":
                 v = tail_nums(6)
                 if v:
@@ -1510,7 +1518,12 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     return boxes, state["sup"]
 
 
+_RPDF_ENCRYPT_RE = re.compile(r"/Encrypt(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
+
+
 def _oracle_realpdf(text: str, cfg: ExtractConfig):
+    if _RPDF_ENCRYPT_RE.search(text):
+        return [], 1  # encrypted document: whole-payload refusal (v11)
     mb_w, mb_h = _rpdf_mediabox(text)
     res_by_obj, obj_intervals, resolver = _rpdf_content_resources(text)
     obj_starts = [iv[0] for iv in obj_intervals]

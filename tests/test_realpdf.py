@@ -1284,3 +1284,62 @@ def test_rotation_truncation_fuzz():
         if emitted >= 8:
             break
     assert emitted >= 5
+
+
+# ---------------------------------------------------------------------------
+# v11: /Encrypt whole-payload refusal + Tc/Tw spacing-aware advance
+# ---------------------------------------------------------------------------
+
+def test_encrypt_refusal_whole_payload():
+    """A token-exact /Encrypt anywhere → zero spans, n_dropped=1, kind
+    stays pdf_real; /EncryptMetadata does NOT match."""
+    ops = "BT /F1 12 Tf 72 700 Td (secret) Tj ET"
+    doc = _pdf(ops).replace(
+        "trailer\n<< /Root 1 0 R >>", "trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>"
+    )
+    k, spans, d = extract_payload(doc)
+    assert (k, spans, d) == ("pdf_real", [], 1)
+    o = oracle_extract(doc)
+    assert o["spans"] == [] and o["n_dropped"] == 1 and o["kind"] == "pdf_real"
+    meta = _pdf(ops).replace(
+        "trailer\n<< /Root 1 0 R >>",
+        "trailer\n<< /Root 1 0 R /EncryptMetadata true >>",
+    )
+    k2, spans2, _d2 = extract_payload(meta)
+    assert [s[2] for s in spans2] == ["secret"]
+    o2 = oracle_extract(meta)
+    assert spans2 == o2["spans"]
+
+
+def test_tc_tw_advance_and_clamp():
+    """Tc/Tw widen the advance (per SPEC flush formula) and a negative
+    total clamps at zero width."""
+    base = _box_of(_pages_pdf([(_LINE, "")]))
+    wide = _box_of(_pages_pdf([(_LINE.replace("Td", "Td 2 Tc 4 Tw"), "")]))
+    # "twelve chars": 12 chars, 1 space → adv 72 → 72+2*12+4*1=100
+    assert wide[2] - wide[0] > base[2] - base[0]
+    assert wide[:2] == base[:2]
+    neg = "BT /F1 12 Tf -20 Tc 72 700 Td (abc) Tj ET"
+    b = _box_of(_pages_pdf([(neg, "")]))
+    assert b[0] == b[2]  # clamped zero-width advance
+    for ops in (_LINE.replace("Td", "Td 2 Tc 4 Tw"), neg):
+        doc = _pages_pdf([(ops, "")])
+        o = oracle_extract(doc)
+        kk, ss, dd = extract_payload(doc)
+        assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_tc_tw_persist_across_bt():
+    """Spacing persists across BT blocks within a stream, like fontsize."""
+    ops = (
+        "BT /F1 12 Tf 3 Tc 72 700 Td (one space here) Tj ET\n"
+        "BT 72 650 Td (one space here) Tj ET"
+    )
+    doc = _pages_pdf([(ops, "")])
+    parsed, _d = parse_realpdf(doc)
+    w0 = parsed[0][1][2] - parsed[0][1][0]
+    w1 = parsed[1][1][2] - parsed[1][1][0]
+    assert w0 == w1  # second BT still pays the Tc term
+    o = oracle_extract(doc)
+    kk, ss, dd = extract_payload(doc)
+    assert ss == o["spans"] and dd == o["n_dropped"]
