@@ -34,6 +34,8 @@ import re
 import zlib
 from typing import List, Optional, Tuple
 
+import numpy as _np
+
 from ..config import ExtractConfig, DEFAULT_CONFIG
 from .pdflike import (
     Box,
@@ -82,19 +84,29 @@ def _dict_matches(text: str) -> Tuple[List[int], List[int]]:
     pos: List[int] = []
     match: List[int] = []
     stack: List[int] = []
+    # C-level find() per token instead of a per-char Python scan: advance to
+    # the leftmost of the next "<<" / ">>" and consume 2 chars — identical
+    # non-overlapping leftmost tokenization (e.g. "<<<" yields one token).
+    find = text.find
     i = 0
-    last = len(text) - 1
-    while i < last:
-        c = text[i]
-        if c == "<" and text[i + 1] == "<":
-            stack.append(i)
-            i += 2
-        elif c == ">" and text[i + 1] == ">":
-            pos.append(i)
-            match.append(stack.pop() if stack else -1)
-            i += 2
+    p_open = find("<<")
+    p_close = find(">>")
+    while p_open != -1 or p_close != -1:
+        if p_open != -1 and p_open < i:
+            p_open = find("<<", i)
+            continue
+        if p_close != -1 and p_close < i:
+            p_close = find(">>", i)
+            continue
+        if p_close == -1 or (p_open != -1 and p_open < p_close):
+            stack.append(p_open)
+            i = p_open + 2
+            p_open = find("<<", i)
         else:
-            i += 1
+            pos.append(p_close)
+            match.append(stack.pop() if stack else -1)
+            i = p_close + 2
+            p_close = find(">>", i)
     return pos, match
 
 
@@ -395,6 +407,12 @@ def _rle_decode(data: bytes) -> Optional[bytes]:
 
 
 _A85_BASE = ord("!")
+_WS_BYTES = _WS.encode("latin-1")
+# big-endian base-85 digit weights for one 5-char group
+_POW85 = _np.array([85**4, 85**3, 85**2, 85, 1], dtype=_np.int64)
+# contribution of the 'u' (=84) padding for a trailing group of k data chars:
+# sum_{j=0}^{4-k} 84*85^j == 85^(5-k) - 1, indexed by k (k=0 unused)
+_PAD85 = (0, 85**4 - 1, 85**3 - 1, 85**2 - 1, 85 - 1)
 
 
 def _a85_decode(data: bytes) -> Optional[bytes]:
@@ -403,47 +421,48 @@ def _a85_decode(data: bytes) -> Optional[bytes]:
     trailing group of k∈[1,5] chars padded with ``u`` yields k−1 bytes (so a
     single leftover char contributes nothing — stdlib-a85decode semantics,
     which the oracle mirror inherits); group overflow or any other char →
-    None (failure)."""
-    out = bytearray()
-    group: List[int] = []
-    ws = _WS.encode("latin-1")
-    i, n = 0, len(data)
-    while i < n:
-        c = data[i]
-        if c in ws:
-            i += 1
-            continue
-        if c == 0x7E:  # '~'
-            if i + 1 < n and data[i + 1 : i + 2] == b">":
-                break
+    None (failure). Vectorized (numpy 5-char group dot-product) — the
+    original sequential scan's semantics are preserved exactly: the first
+    ``~`` must be followed by ``>`` in the RAW stream (whitespace between
+    them fails), ``z`` is legal only at a group boundary (multiple-of-5
+    count of non-``z`` data chars), and a padded trailing group that
+    overflows 2^32 fails even when it would contribute zero output bytes."""
+    t = data.find(0x7E)  # first '~' — EOD marker (raw, pre-ws-strip)
+    if t >= 0:
+        if data[t + 1 : t + 2] != b">":
             return None
-        if c == 0x7A:  # 'z'
-            if group:
+        data = data[:t]
+    body = data.translate(None, _WS_BYTES)
+    parts = body.split(b"z")
+    out = []
+    seen = 0
+    last = len(parts) - 1
+    for k, part in enumerate(parts):
+        if k:  # a 'z' preceded this part: group must have been empty
+            if seen % 5:
                 return None
-            out += b"\x00\x00\x00\x00"
-            i += 1
+            out.append(b"\x00\x00\x00\x00")
+        seen += len(part)
+        if not part:
             continue
-        if not (0x21 <= c <= 0x75):  # '!'..'u'
+        a = _np.frombuffer(part, _np.uint8).astype(_np.int64) - _A85_BASE
+        if (a < 0).any() or (a > 84).any():
             return None
-        group.append(c - _A85_BASE)
-        if len(group) == 5:
-            v = 0
-            for d in group:
-                v = v * 85 + d
+        m = (a.size // 5) * 5
+        if m:
+            v = a[:m].reshape(-1, 5) @ _POW85
+            if (v > 0xFFFFFFFF).any():
+                return None
+            out.append(v.astype(">u4").tobytes())
+        tail = a.size - m
+        if tail:
+            if k != last:
+                return None  # partial group at a 'z' boundary
+            v = int(a[m:] @ _POW85[:tail]) + int(_PAD85[tail])
             if v > 0xFFFFFFFF:
                 return None
-            out += v.to_bytes(4, "big")
-            group = []
-        i += 1
-    if group:
-        k = len(group)
-        v = 0
-        for d in group + [84] * (5 - k):  # pad with 'u'
-            v = v * 85 + d
-        if v > 0xFFFFFFFF:
-            return None
-        out += v.to_bytes(4, "big")[: k - 1]
-    return bytes(out)
+            out.append(v.to_bytes(4, "big")[: tail - 1])
+    return b"".join(out)
 
 
 def _hex_decode(data: bytes) -> Optional[bytes]:
