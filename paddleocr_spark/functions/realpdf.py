@@ -57,6 +57,10 @@ MEDIABOX_RE = re.compile(
 )
 
 _ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", "b": "\x08", "f": "\x0c"}
+_NONHEX_RE = re.compile(r"[^0-9a-fA-F]+")
+_LIT_SPECIAL_RE = re.compile(r"[\\()]")
+# a regular-character run: neither PDF whitespace nor a delimiter
+_RUN_RE = re.compile(r"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 
 
 def media_box(text: str) -> Tuple[float, float]:
@@ -468,27 +472,19 @@ def _a85_decode(data: bytes) -> Optional[bytes]:
 def _hex_decode(data: bytes) -> Optional[bytes]:
     """ASCIIHexDecode per SPEC §3b: chars up to the first ``>`` (or end);
     PDF whitespace ignored; odd digit count padded with ``0``; any other
-    char → None (failure)."""
-    digits: List[int] = []
-    ws = _WS.encode("latin-1")
-    for c in data:
-        if c == 0x3E:  # '>'
-            break
-        if c in ws:
-            continue
-        if 0x30 <= c <= 0x39:
-            digits.append(c - 0x30)
-        elif 0x41 <= c <= 0x46:
-            digits.append(c - 0x41 + 10)
-        elif 0x61 <= c <= 0x66:
-            digits.append(c - 0x61 + 10)
-        else:
-            return None
-    if len(digits) % 2:
-        digits.append(0)
-    return bytes(
-        digits[k] * 16 + digits[k + 1] for k in range(0, len(digits), 2)
-    )
+    char → None (failure). C-path via ``bytes.fromhex`` — the explicit
+    ``\\x0b`` guard preserves the failure semantics (vertical tab is ASCII
+    whitespace to ``fromhex`` since 3.11 but NOT PDF whitespace, so it must
+    fail, not skip)."""
+    body = data.split(b">", 1)[0].translate(None, _WS_BYTES)
+    if b"\x0b" in body:
+        return None
+    if len(body) % 2:
+        body += b"0"
+    try:
+        return bytes.fromhex(body.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
 
 
 def apply_stream_filters(
@@ -844,7 +840,12 @@ def _parse_cmap(content: str):
         pos = i
     if not cmap:
         return None
-    return cmap, sorted(lengths, reverse=True)
+    lens = sorted(lengths, reverse=True)
+    # 1-byte-only CMaps (the overwhelmingly common case) get a str.translate
+    # table: ordinal -> replacement string, unmapped chars pass identity —
+    # exactly the per-char loop's semantics, in one C call per show-string.
+    xlate = {code: dst for (code, _nb), dst in cmap.items()} if lens == [1] else None
+    return cmap, lens, xlate
 
 
 def _dict_extent(body: str, at: int) -> Tuple[int, int]:
@@ -1159,7 +1160,9 @@ def _apply_cmap(s: str, entry) -> str:
     identity one char at a time."""
     if entry is None:
         return s
-    cmap, lengths = entry
+    cmap, lengths, xlate = entry
+    if xlate is not None:
+        return s.translate(xlate)
     out: List[str] = []
     i, n = 0, len(s)
     while i < n:
@@ -1191,66 +1194,68 @@ def _apply_cmap(s: str, entry) -> str:
 
 def _read_literal(s: str, i: int) -> Tuple[str, int, bool]:
     """Read a literal string starting at the '(' at ``i``.
-    Returns (decoded, index-after-')', terminated?)."""
-    out = []
+    Returns (decoded, index-after-')', terminated?). Plain runs between
+    the special chars ``\\ ( )`` copy as slices (regex search per special
+    char instead of a per-char scan — same decode, C-speed common case)."""
+    out: List[str] = []
     depth = 1
     i += 1
     n = len(s)
+    search = _LIT_SPECIAL_RE.search
     while i < n:
-        ch = s[i]
+        m = search(s, i)
+        if m is None:
+            out.append(s[i:])
+            break
+        j = m.start()
+        if j > i:
+            out.append(s[i:j])
+        ch = s[j]
         if ch == "\\":
-            if i + 1 >= n:
-                i += 1
+            if j + 1 >= n:
                 break
-            nxt = s[i + 1]
+            nxt = s[j + 1]
             if nxt in _ESC_MAP:
                 out.append(_ESC_MAP[nxt])
-                i += 2
+                i = j + 2
             elif nxt in "()\\":
                 out.append(nxt)
-                i += 2
+                i = j + 2
             elif nxt == "\n":
-                i += 2  # line continuation
+                i = j + 2  # line continuation
             elif "0" <= nxt <= "7":
-                j = i + 1
-                while j < min(i + 4, n) and "0" <= s[j] <= "7":
-                    j += 1
-                out.append(chr(int(s[i + 1 : j], 8) % 256))
-                i = j
+                k = j + 1
+                while k < min(j + 4, n) and "0" <= s[k] <= "7":
+                    k += 1
+                out.append(chr(int(s[j + 1 : k], 8) % 256))
+                i = k
             else:
                 out.append(nxt)
-                i += 2
-            continue
-        if ch == "(":
+                i = j + 2
+        elif ch == "(":
             depth += 1
             out.append(ch)
-        elif ch == ")":
+            i = j + 1
+        else:  # ')'
             depth -= 1
             if depth == 0:
-                return "".join(out), i + 1, True
+                return "".join(out), j + 1, True
             out.append(ch)
-        else:
-            out.append(ch)
-        i += 1
+            i = j + 1
     return "".join(out), len(s), False
 
 
 def _read_hex(s: str, i: int) -> Tuple[str, int]:
     """Read a hex string starting at the '<' at ``i``; returns (decoded,
-    index-after-'>')."""
-    digits = []
-    i += 1
-    n = len(s)
-    while i < n and s[i] != ">":
-        if s[i] in "0123456789abcdefABCDEF":
-            digits.append(s[i])
-        i += 1
+    index-after-'>'). Non-hex chars before the '>' are silently ignored
+    (scanner leniency, unlike the byte-filter `_hex_decode` which fails);
+    C-path: one regex sub to keep hex digits, fromhex, latin-1."""
+    j = s.find(">", i + 1)
+    end = len(s) if j < 0 else j
+    digits = _NONHEX_RE.sub("", s[i + 1 : end])
     if len(digits) % 2:
-        digits.append("0")
-    out = "".join(
-        chr(int(digits[k] + digits[k + 1], 16)) for k in range(0, len(digits), 2)
-    )
-    return out, min(i + 1, n)
+        digits += "0"
+    return bytes.fromhex(digits).decode("latin-1"), min(end + 1, len(s))
 
 
 def _inline_image_skip(content: str, i: int, stack: list) -> int:
@@ -1421,16 +1426,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             i += 1
             continue
         if ch == "/":
-            j = i + 1
-            while j < n and content[j] not in _WS and content[j] not in _DELIM:
-                j += 1
+            j = _RUN_RE.match(content, i + 1).end()
             (arr if arr is not None else stack).append(("n", content[i + 1 : j]))
             i = j
             continue
         # regular-character run: number or operator
-        j = i
-        while j < n and content[j] not in _WS and content[j] not in _DELIM:
-            j += 1
+        j = _RUN_RE.match(content, i).end()
         if j == i:  # stray delimiter (e.g. an unmatched ')') — skip it
             i += 1
             continue
