@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 11  # v11: /Encrypt refusal + Tc/Tw; v10 rotate; v9 forms
+CORPUS_VERSION = 12  # v12: Tz/Ts; v11 /Encrypt + Tc/Tw; v10 rotate; v9 forms
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -350,7 +350,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     v10: ~11% of payloads rotate (Pages-node /Rotate inherited by every
     kid, or a page-local value incl. 360/450 normalization and a 45 that
     must resolve to 0), and ~8% of pages carry their own /MediaBox
-    (sometimes a degenerate extent the /Parent walk must skip)."""
+    (sometimes a degenerate extent the /Parent walk must skip).
+    v12: ~10% of body lines set horizontal scaling + rise (`Tz`/`Ts`,
+    ISO §9.3.4/9.3.7) — incl. a negative Tz whose advance must clamp to
+    0 — completing the seven-parameter §9.3 text-state set."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -484,6 +487,13 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     ops.append(
                         f"{rng.choice((0.4, 1, 2, -0.3))} Tc"
                         f" {rng.choice((1, 3, -1))} Tw"
+                    )
+                if li == 2 and rng.random() < 0.10:
+                    # v12: horizontal scaling scales the advance (a negative
+                    # value clamps it to 0); rise shifts the baseline
+                    ops.append(
+                        f"{rng.choice((50, 120, 200, -40))} Tz"
+                        f" {rng.choice((3, -2, 0.5))} Ts"
                     )
                 if li == 2 and use_forms and rng.random() < 0.25:
                     # v9: Do INSIDE the text object — invoker x/y/leading/

@@ -1340,6 +1340,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     mode = 0.0  # text render mode (Tr, v9); 3 = invisible
     charspace = 0.0  # Tc (v11); persists across BT like fontsize
     wordspace = 0.0  # Tw (v11)
+    hscale = 100.0  # Tz percent (v12); scales the whole advance, ISO §9.3.4
+    rise = 0.0  # Ts (v12); shifts the baseline at flush time, ISO §9.3.7
     suppressed = 0
     cur_map = None
     fonts = fonts or {}
@@ -1354,11 +1356,14 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         if txt.strip():
             adv = max(
                 0.0,
-                (0.5 * fontsize + charspace) * len(txt)
-                + wordspace * txt.count(" "),
+                (
+                    (0.5 * fontsize + charspace) * len(txt)
+                    + wordspace * txt.count(" ")
+                )
+                * (hscale / 100.0),
             )
             u0, u1 = ox + x, ox + x + adv
-            v0, v1 = oy + y, oy + y + fontsize
+            v0, v1 = oy + y + rise, oy + y + rise + fontsize
             if rot == 90:
                 x0, x1, y0, y1 = v0, v1, u0, u1
             elif rot == 180:
@@ -1508,6 +1513,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             elif tok == "Tw":
                 if stack and isinstance(stack[-1], float):
                     wordspace = stack[-1]
+            elif tok == "Tz":
+                if stack and isinstance(stack[-1], float):
+                    hscale = stack[-1]
+            elif tok == "Ts":
+                if stack and isinstance(stack[-1], float):
+                    rise = stack[-1]
             elif tok == "Tm":
                 v = nums(6)
                 if v:

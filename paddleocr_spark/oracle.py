@@ -1362,7 +1362,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
         boxes = []
     ox, oy = off
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
-             "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0}
+             "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0,
+             "tz": 100.0, "rise": 0.0}
     fonts = fonts or {}
     xobjs = xobjs or {}
     cmap = [None]  # boxed for closure-free mutation alongside `state`
@@ -1378,11 +1379,15 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
         if txt.strip():
             adv = max(
                 0.0,
-                (0.5 * state["fs"] + state["tc"]) * len(txt)
-                + state["tw"] * txt.count(" "),
+                (
+                    (0.5 * state["fs"] + state["tc"]) * len(txt)
+                    + state["tw"] * txt.count(" ")
+                )
+                * (state["tz"] / 100.0),
             )
             u0, u1 = ox + state["x"], ox + state["x"] + adv
-            v0, v1 = oy + state["y"], oy + state["y"] + state["fs"]
+            v0 = oy + state["y"] + state["rise"]
+            v1 = v0 + state["fs"]
             # user→viewer corner map per display rotation (SPEC §3b, v10)
             corners = {
                 0: (u0, mb_h - v1, u1, mb_h - v0),
@@ -1476,6 +1481,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 state["tc"] = stack[-1][1]
             elif op == "Tw" and stack and stack[-1][0] == "num":
                 state["tw"] = stack[-1][1]
+            elif op == "Tz" and stack and stack[-1][0] == "num":
+                state["tz"] = stack[-1][1]
+            elif op == "Ts" and stack and stack[-1][0] == "num":
+                state["rise"] = stack[-1][1]
             elif op == "Tm":
                 v = tail_nums(6)
                 if v:

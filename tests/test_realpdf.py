@@ -1343,3 +1343,75 @@ def test_tc_tw_persist_across_bt():
     o = oracle_extract(doc)
     kk, ss, dd = extract_payload(doc)
     assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+# ---------------------------------------------------------------------------
+# v12: Tz horizontal scaling + Ts rise — the last §9.3 text-state params
+# ---------------------------------------------------------------------------
+
+def test_tz_scales_advance_and_negative_clamps():
+    """Tz multiplies the whole advance by h/100 (SPEC flush formula, v12);
+    a negative Tz clamps to a zero-width box."""
+    base = _box_of(_pages_pdf([(_LINE, "")]))
+    dbl = _box_of(_pages_pdf([(_LINE.replace("Td", "Td 200 Tz"), "")]))
+    half = _box_of(_pages_pdf([(_LINE.replace("Td", "Td 50 Tz"), "")]))
+    assert dbl[2] - dbl[0] == 2 * (base[2] - base[0])
+    assert (dbl[:2], dbl[3]) == (base[:2], base[3])  # origin/height untouched
+    assert half[2] - half[0] < base[2] - base[0]
+    neg = _box_of(_pages_pdf([(_LINE.replace("Td", "Td -40 Tz"), "")]))
+    assert neg[0] == neg[2]  # clamped zero-width
+    # Tz also scales the Tc/Tw spacing terms (ISO: tx = (w0·fs+Tc+Tw)·Th)
+    spaced = _box_of(_pages_pdf([(_LINE.replace("Td", "Td 2 Tc 4 Tw"), "")]))
+    spaced2x = _box_of(
+        _pages_pdf([(_LINE.replace("Td", "Td 2 Tc 4 Tw 200 Tz"), "")])
+    )
+    assert spaced2x[2] - spaced2x[0] == 2 * (spaced[2] - spaced[0])
+    for ops in ("Td 200 Tz", "Td 50 Tz", "Td -40 Tz", "Td 2 Tc 4 Tw 200 Tz"):
+        doc = _pages_pdf([(_LINE.replace("Td", ops), "")])
+        o = oracle_extract(doc)
+        kk, ss, dd = extract_payload(doc)
+        assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_ts_rise_shifts_baseline():
+    """Ts shifts the baseline at flush time: the box moves UP by rise in
+    user space (down in canonical top-left coords), width untouched."""
+    base = _box_of(_pages_pdf([(_LINE, "")]))
+    risen = _box_of(_pages_pdf([(_LINE.replace("Td", "Td 10 Ts"), "")]))
+    assert risen[2] - risen[0] == base[2] - base[0]
+    assert risen[1] < base[1] and risen[3] < base[3]  # higher on the page
+    # same user-space height; canonical edges round independently → ±1
+    assert abs((risen[3] - risen[1]) - (base[3] - base[1])) <= 1
+    sunk = _box_of(_pages_pdf([(_LINE.replace("Td", "Td -10 Ts"), "")]))
+    assert sunk[1] > base[1]
+    for ops in ("Td 10 Ts", "Td -10 Ts"):
+        doc = _pages_pdf([(_LINE.replace("Td", ops), "")])
+        o = oracle_extract(doc)
+        kk, ss, dd = extract_payload(doc)
+        assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+def test_tz_ts_persist_across_bt_reset_per_stream_and_form():
+    """Tz/Ts persist across BT within a stream (like fontsize) and reset
+    in a fresh stream — and a form's fresh text state does not leak the
+    invoker's scaling."""
+    ops = (
+        "BT /F1 12 Tf 200 Tz 5 Ts 72 700 Td (twelve chars) Tj ET\n"
+        "BT 72 650 Td (twelve chars) Tj ET"
+    )
+    doc = _pages_pdf([(ops, "")])
+    parsed, _d = parse_realpdf(doc)
+    w0 = parsed[0][1][2] - parsed[0][1][0]
+    w1 = parsed[1][1][2] - parsed[1][1][0]
+    assert w0 == w1  # second BT still pays the Tz factor
+    # second page: fresh stream, defaults restored
+    doc2 = _pages_pdf([(ops, ""), (_LINE, "")])
+    parsed2, _d2 = parse_realpdf(doc2)
+    pages = {}
+    for pg, box in parsed2:
+        pages.setdefault(pg, []).append(box)
+    base_w = pages[1][0][2] - pages[1][0][0]
+    assert pages[0][0][2] - pages[0][0][0] == 2 * base_w
+    o = oracle_extract(doc2)
+    kk, ss, dd = extract_payload(doc2)
+    assert ss == o["spans"] and dd == o["n_dropped"]
