@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 12  # v12: Tz/Ts; v11 /Encrypt + Tc/Tw; v10 rotate; v9 forms
+CORPUS_VERSION = 13  # v13: /Differences fonts + " operands; v12 Tz/Ts; v11 /Encrypt
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -328,6 +328,65 @@ def _inline_img(rng: random.Random) -> str:
     return f"BI /W {w} /H {h} /IM true ID \nEI"
 
 
+# v13: the typographic pool a /Differences font remaps, with the AGL name
+# used in the encoding array (generator-side data only — the two decoders
+# carry their own independent tables).
+_DIFF_NAMES = {
+    "€": "Euro", "‘": "quoteleft", "’": "quoteright", "“": "quotedblleft",
+    "”": "quotedblright", "–": "endash", "—": "emdash", "•": "bullet",
+    "…": "ellipsis", "ß": "germandbls", "é": "eacute", "ä": "adieresis",
+    "ö": "odieresis", "ü": "udieresis", "æ": "ae", "ñ": "ntilde",
+    "ﬁ": "fi", "»": "guillemotright", "«": "guillemotleft",
+}
+
+
+def _mk_diffmap(rng: random.Random) -> dict:
+    """{char: code} for a v13 /Differences font: 3–6 pool chars on mostly
+    consecutive codes starting in the WinAnsi high range."""
+    chars = rng.sample(sorted(_DIFF_NAMES), rng.randint(3, 6))
+    code = rng.choice((0x80, 0x8C, 0xA1, 0xB0))
+    m = {}
+    for ch in chars:
+        m[ch] = code
+        code += 1 if rng.random() < 0.8 else rng.randint(2, 4)
+    return m
+
+
+def _diff_decorate(rng: random.Random, sent: str, m: dict) -> str:
+    """Sprinkle 1–3 remapped chars into a sentence so the Differences
+    decode path is actually exercised by the body text."""
+    chars = sorted(m)
+    ws = sent.split(" ")
+    for _ in range(rng.randint(1, 3)):
+        ch = rng.choice(chars)
+        k = rng.randrange(len(ws))
+        ws[k] = ws[k] + ch if rng.random() < 0.5 else ch + ws[k]
+    return " ".join(ws)
+
+
+def _diff_array(rng: random.Random, m: dict) -> str:
+    """/Differences array text from a {char: code} map: runs of consecutive
+    codes share one integer restart; ~25% of names use the AGL uniXXXX form;
+    occasional traps — a leading out-of-range pair (skipped, still
+    increments) and a trailing unknown glyph name (identity pass-through)."""
+    by_code = sorted((c, ch) for ch, c in m.items())
+    toks: List[str] = []
+    prev = None
+    for c, ch in by_code:
+        if prev is None or c != prev + 1:
+            toks.append(str(c))
+        nm = (
+            f"uni{ord(ch):04X}" if rng.random() < 0.25 else _DIFF_NAMES[ch]
+        )
+        toks.append(f"/{nm}")
+        prev = c
+    if rng.random() < 0.15:  # out-of-range start code: name skipped
+        toks = ["-3", "/emdash"] + toks
+    if rng.random() < 0.20:  # unknown glyph name: code stays identity
+        toks.append("/q7zglyph")
+    return " ".join(toks)
+
+
 def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     """A deterministic real PDF (uncompressed text objects, SPEC §3b):
     classic skeleton (catalog/pages/page objects, MediaBox, xref-less
@@ -353,7 +412,14 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     (sometimes a degenerate extent the /Parent walk must skip).
     v12: ~10% of body lines set horizontal scaling + rise (`Tz`/`Ts`,
     ISO §9.3.4/9.3.7) — incl. a negative Tz whose advance must clamp to
-    0 — completing the seven-parameter §9.3 text-state set."""
+    0 — completing the seven-parameter §9.3 text-state set.
+    v13: ~10% of payloads use an /Encoding /Differences simple font
+    (ISO §9.6.6; inline dict or referenced /Type /Encoding object, AGL
+    and uniXXXX glyph names, unknown-name and out-of-range traps), ~15%
+    of CMap fonts carry a conflicting Differences the ToUnicode must
+    beat, and ~40% of the quote-continuation lines become the
+    three-operand `aw ac string "` form whose spacing persists
+    (ISO §9.4.3)."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -365,10 +431,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     # bfrange back); ("cid", {}) → on-demand 2-byte codes from 0x0100
     # (bfchar list). scheme2 exercises mid-page Tf switching.
     scheme = scheme2 = None
-    if rng.random() < 0.30:
+    r2 = rng.random()
+    if r2 < 0.30:
         scheme = ("shift", rng.randint(1, 5)) if rng.random() < 0.6 else ("cid", {})
         if rng.random() < 0.25:
             scheme2 = ("cid", {}) if scheme[0] == "shift" else ("shift", 6)
+    elif r2 < 0.40:  # v13: /Encoding /Differences simple font
+        scheme = ("diff", _mk_diffmap(rng))
+        if rng.random() < 0.20:
+            scheme2 = ("shift", 4)
 
     def _codes(sent: str, sch) -> str:
         kind, m = sch
@@ -380,12 +451,20 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     f"{o + m:02X}" if 0x23 <= o <= 0x7E
                     else f"{o:02X}" if o <= 0xFF else "3F"
                 )
+            elif kind == "diff":  # v13: mapped chars by code, ASCII identity
+                c = m.get(ch)
+                out.append(
+                    f"{c:02X}" if c is not None
+                    else f"{o:02X}" if 0x20 <= o <= 0x7E else "3F"
+                )
             else:
                 out.append(f"{m.setdefault(ch, 0x0100 + len(m)):04X}")
         return "".join(out)
 
     def show(sent: str, sch=None) -> str:
         roll = rng.random()
+        if sch is not None and sch[0] == "diff":
+            sent = _diff_decorate(rng, sent, sch[1])
         if sch is not None:  # encoded shows are hex-string forms only
             if roll < 0.5:
                 return f"<{_codes(sent, sch)}> Tj"
@@ -507,10 +586,20 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         ops.append(f"0 -{ll} Td")
                     else:
                         sent = _sent(rng, words, rng.randint(4, 8))
-                        if sch is not None:
-                            ops.append(f"<{_codes(sent, sch)}> '")
+                        if sch is not None and sch[0] == "diff":
+                            sent = _diff_decorate(rng, sent, sch[1])
+                        sstr = (
+                            f"<{_codes(sent, sch)}>" if sch is not None
+                            else f"({_pdf_str(sent)})"
+                        )
+                        if rng.random() < 0.4:
+                            # v13: aw ac string " — word/char spacing set
+                            # by the show op itself, persisting after
+                            aw = rng.choice((2, 4, -1, 0.5))
+                            ac = rng.choice((0.5, 1.5, -0.3))
+                            ops.append(f'{aw} {ac} {sstr} "')
                         else:
-                            ops.append(f"({_pdf_str(sent)}) '")
+                            ops.append(f"{sstr} '")
                         continue
                 ops.append(show(_sent(rng, words, rng.randint(4, 10)), sch))
             ops.append("ET")
@@ -667,13 +756,48 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         pairs = [(scheme, font1)] + ([(scheme2, font1 + 2)] if scheme2 else [])
         for sch, fnum in pairs:
             cnum = fnum + 1
+            if sch[0] == "diff":
+                # v13: a simple font whose decode table is /Encoding
+                # /Differences — inline dict or a referenced /Type /Encoding
+                # object (a dict object, so it may ride the ObjStm)
+                arr = _diff_array(rng, sch[1])
+                if rng.random() < 0.4:
+                    fbody = (
+                        "<< /Type /Font /Subtype /Type1 /BaseFont"
+                        f" /Helvetica /Encoding {cnum} 0 R >>"
+                    )
+                    ebody = f"<< /Type /Encoding /Differences [ {arr} ] >>"
+                    if use_objstm:
+                        objstm_inner.append((cnum, ebody))
+                    else:
+                        parts.append(f"{cnum} 0 obj\n{ebody}\nendobj")
+                else:
+                    fbody = (
+                        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                        f" /Encoding << /Differences [ {arr} ] >> >>"
+                    )
+                if use_objstm:
+                    objstm_inner.append((fnum, fbody))
+                else:
+                    parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
+                continue
             cm = _cmap_body(sch)
             if rng.random() < 0.5:  # the CMap stream itself compressed
                 cbody = _a85body(zlib.compress(cm.encode("latin-1"), 6))
                 cdecl = " /Filter [/ASCII85Decode /FlateDecode]"
             else:
                 cbody, cdecl = cm, ""
-            fbody = f"<< /Type /Font /Subtype /Type0 /ToUnicode {cnum} 0 R >>"
+            # v13 precedence trap (~15%): a conflicting Differences rides
+            # NEXT TO the ToUnicode — the CMap must win for extraction
+            tu_extra = (
+                " /Encoding << /Differences [ 35 /bullet ] >>"
+                if rng.random() < 0.15
+                else ""
+            )
+            fbody = (
+                f"<< /Type /Font /Subtype /Type0 /ToUnicode {cnum} 0 R"
+                f"{tu_extra} >>"
+            )
             if use_objstm:
                 objstm_inner.append((fnum, fbody))
             else:

@@ -916,11 +916,155 @@ def _name_ref_pairs(ndict: str):
         yield nm, num
 
 
+# --- /Encoding /Differences → glyph-name decoding (SPEC §3b, v13) -----------
+# Adobe Glyph List subset: the Standard/WinAnsi glyph names a Differences
+# array realistically remaps (ASCII punctuation/digit/letter names, the
+# Latin-1 supplement, WinAnsi typographic marks, fi/fl). Public data
+# (Adobe AGL). A name outside the table (and not uniXXXX) leaves its code
+# UNMAPPED — identity pass-through, the same degradation rule as fonts
+# without a usable CMap.
+_GLYPH_UNI: dict = {c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"}
+_GLYPH_UNI.update({
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 supplement (AGL names, code points U+00A1..U+00FF)
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·", "cedilla": "¸",
+    "onesuperior": "¹", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    # WinAnsi typographic set (ISO 32000 Annex D.2 codes 0x80..0x9F)
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ",
+    "Zcaron": "Ž", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”", "bullet": "•",
+    "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š", "guilsinglright": "›",
+    "oe": "œ", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "fi": "ﬁ", "fl": "ﬂ",
+})
+_UNI_NAME_RE = re.compile(r"uni([0-9A-F]{4})\Z")
+
+
+def _glyph_uni(name: str) -> Optional[str]:
+    """Glyph name → unicode: the AGL-subset table, else the AGL ``uniXXXX``
+    rule (exactly 4 uppercase hex digits; surrogate range refused), else
+    None (code stays identity)."""
+    hit = _GLYPH_UNI.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return None
+
+
+def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
+    """Font body → cmap entry from ``/Encoding << /Differences [...] >>``
+    (inline dict or referenced encoding object — ISO 32000 §9.6.6). The
+    array alternates integer start-codes and glyph names; each name maps
+    the current code and increments it. Base encoding is the identity
+    (latin-1 byte value), so only table-resolvable names produce entries;
+    codes outside 0..255 and unknown names are skipped (still increment).
+    Returns the same (cmap, lengths, xlate) shape as a 1-byte ToUnicode
+    CMap so ``_apply_cmap``'s translate fast path applies unchanged, or
+    None when no usable Differences exist. A bare-name /Encoding (e.g.
+    /WinAnsiEncoding) yields no dict → None → identity, the documented
+    subset rule."""
+    enc = _key_dict_body(fbody, "/Encoding", text, objs, vobjs)
+    if enc is None:
+        return None
+    k = enc.find("/Differences")
+    if k < 0:
+        return None
+    after = k + len("/Differences")
+    if after < len(enc) and enc[after] not in _WS and enc[after] not in _DELIM:
+        return None
+    i = _skip_ws(enc, after)
+    if enc[i : i + 1] != "[":
+        return None
+    i += 1
+    n = len(enc)
+    code = -1
+    xlate: dict = {}
+    while i < n:
+        ch = enc[i]
+        if ch in _WS:
+            i += 1
+            continue
+        if ch == "]":
+            break
+        if ch == "/":
+            nm, i = _read_name_token(enc, i)
+            if 0 <= code <= 0xFF:
+                uni = _glyph_uni(nm)
+                if uni is not None:
+                    xlate[code] = uni
+            code += 1
+            continue
+        j = i
+        while j < n and enc[j] not in _WS and enc[j] not in _DELIM:
+            j += 1
+        tok = enc[i:j]
+        i = j if j > i else i + 1
+        try:
+            code = int(tok)
+        except ValueError:
+            code = -1  # malformed token: following names don't map
+    if not xlate:
+        return None
+    return {(c, 1): u for c, u in xlate.items()}, [1], xlate
+
+
 def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     """Page (or form-params) body → {font name: cmap entry} via /Resources
     (inline dict or ref) → /Font (inline dict or ref) → per-entry font
-    object → /ToUnicode stream decoded through its own filters. Every
-    failure degrades to identity (entry absent), never raises."""
+    object → /ToUnicode stream decoded through its own filters; a font
+    without a usable ToUnicode falls back to an /Encoding /Differences
+    table (v13 — ToUnicode wins when both parse, matching §9.10.2's text
+    extraction preference order). Every failure degrades to identity
+    (entry absent), never raises."""
     res = _key_dict_body(page_body, "/Resources", text, objs, vobjs)
     if res is None:
         return {}
@@ -934,9 +1078,11 @@ def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
             continue
         tref = _key_ref(fbody, "/ToUnicode")
         # an ObjStm-contained object cannot be a stream → no CMap from vobjs
-        if tref is None or tref in vobjs or tref not in objs:
-            continue
-        cm = _cmap_from_stream_object(text, objs[tref])
+        cm = None
+        if tref is not None and tref not in vobjs and tref in objs:
+            cm = _cmap_from_stream_object(text, objs[tref])
+        if cm is None and "/Encoding" in fbody:
+            cm = _differences_entry(text, objs, vobjs, fbody)
         if cm is not None:
             fonts[nm] = cm
     return fonts
@@ -1535,6 +1681,18 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok in ("'", '"'):
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
+                    if (
+                        tok == '"'
+                        and len(stack) >= 3
+                        and isinstance(stack[-3], float)
+                        and isinstance(stack[-2], float)
+                    ):
+                        # aw ac string " ≡ aw Tw ac Tc string ' (ISO
+                        # §9.4.3): the spacing persists and — because Tw/Tc
+                        # set state without flushing — is in effect for the
+                        # flush below (v13)
+                        wordspace = stack[-3]
+                        charspace = stack[-2]
                     flush()
                     y -= leading
                     if cfg.drop_invisible_text and mode == 3:
@@ -1570,13 +1728,14 @@ def _content_resources(text: str):
     """({content-object number: (font table, xobject table)}, object
     intervals, form resolver) from every /Type /Page object — direct or
     ObjStm-contained (token-exact name match, so /Pages never qualifies).
-    Gated on a literal ``/ToUnicode``, ``/ObjStm``, ``/XObject``,
-    ``/Rotate`` or a 2nd ``/MediaBox`` appearing anywhere — absent all of
+    Gated on a literal ``/ToUnicode``, ``/Differences``, ``/ObjStm``,
+    ``/XObject``, ``/Rotate`` or a 2nd ``/MediaBox`` appearing anywhere — absent all of
     them every table is empty, extraction is identity, no form can exist
     and per-page geometry equals the document default, so the gate is a
     pure fast path (SPEC §3b, v6/v9/v10)."""
     if (
         "/ToUnicode" not in text
+        and "/Differences" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
         and "/Rotate" not in text

@@ -955,6 +955,112 @@ def _rpdf_key_dict(container, key: str, text: str, objs: dict, vobjs: dict):
     return _rpdf_obj_body(text, objs, vobjs, int(m.group(1))) if m else None
 
 
+# AGL-subset glyph table, mirror of the kernel's dict literal in a compact
+# name=hexcodepoint form (public data — Adobe Glyph List / ISO 32000 Annex
+# D.2); tests/test_realpdf.py asserts content equality of the two tables.
+_RPDF_GLYPH_UNI = {
+    nm: chr(int(cp, 16))
+    for nm, cp in (
+        e.split("=")
+        for e in (
+            "A=0041 AE=00C6 Aacute=00C1 Acircumflex=00C2 Adieresis=00C4 "
+            "Agrave=00C0 Aring=00C5 Atilde=00C3 B=0042 C=0043 Ccedilla=00C7 "
+            "D=0044 E=0045 Eacute=00C9 Ecircumflex=00CA Edieresis=00CB "
+            "Egrave=00C8 Eth=00D0 Euro=20AC F=0046 G=0047 H=0048 I=0049 "
+            "Iacute=00CD Icircumflex=00CE Idieresis=00CF Igrave=00CC J=004A "
+            "K=004B L=004C M=004D N=004E Ntilde=00D1 O=004F OE=0152 Oacute=00D3 "
+            "Ocircumflex=00D4 Odieresis=00D6 Ograve=00D2 Oslash=00D8 "
+            "Otilde=00D5 P=0050 Q=0051 R=0052 S=0053 Scaron=0160 T=0054 "
+            "Thorn=00DE U=0055 Uacute=00DA Ucircumflex=00DB Udieresis=00DC "
+            "Ugrave=00D9 V=0056 W=0057 X=0058 Y=0059 Yacute=00DD Ydieresis=0178 "
+            "Z=005A Zcaron=017D a=0061 aacute=00E1 acircumflex=00E2 acute=00B4 "
+            "adieresis=00E4 ae=00E6 agrave=00E0 ampersand=0026 aring=00E5 "
+            "asciicircum=005E asciitilde=007E asterisk=002A at=0040 atilde=00E3 "
+            "b=0062 backslash=005C bar=007C braceleft=007B braceright=007D "
+            "bracketleft=005B bracketright=005D brokenbar=00A6 bullet=2022 "
+            "c=0063 ccedilla=00E7 cedilla=00B8 cent=00A2 circumflex=02C6 "
+            "colon=003A comma=002C copyright=00A9 currency=00A4 d=0064 "
+            "dagger=2020 daggerdbl=2021 degree=00B0 dieresis=00A8 divide=00F7 "
+            "dollar=0024 e=0065 eacute=00E9 ecircumflex=00EA edieresis=00EB "
+            "egrave=00E8 eight=0038 ellipsis=2026 emdash=2014 endash=2013 "
+            "equal=003D eth=00F0 exclam=0021 exclamdown=00A1 f=0066 fi=FB01 "
+            "five=0035 fl=FB02 florin=0192 four=0034 g=0067 germandbls=00DF "
+            "grave=0060 greater=003E guillemotleft=00AB guillemotright=00BB "
+            "guilsinglleft=2039 guilsinglright=203A h=0068 hyphen=002D i=0069 "
+            "iacute=00ED icircumflex=00EE idieresis=00EF igrave=00EC j=006A "
+            "k=006B l=006C less=003C logicalnot=00AC m=006D macron=00AF mu=00B5 "
+            "multiply=00D7 n=006E nine=0039 ntilde=00F1 numbersign=0023 o=006F "
+            "oacute=00F3 ocircumflex=00F4 odieresis=00F6 oe=0153 ograve=00F2 "
+            "one=0031 onehalf=00BD onequarter=00BC onesuperior=00B9 "
+            "ordfeminine=00AA ordmasculine=00BA oslash=00F8 otilde=00F5 p=0070 "
+            "paragraph=00B6 parenleft=0028 parenright=0029 percent=0025 "
+            "period=002E periodcentered=00B7 perthousand=2030 plus=002B "
+            "plusminus=00B1 q=0071 question=003F questiondown=00BF "
+            "quotedbl=0022 quotedblbase=201E quotedblleft=201C "
+            "quotedblright=201D quoteleft=2018 quoteright=2019 "
+            "quotesinglbase=201A quotesingle=0027 r=0072 registered=00AE s=0073 "
+            "scaron=0161 section=00A7 semicolon=003B seven=0037 six=0036 "
+            "slash=002F space=0020 sterling=00A3 t=0074 thorn=00FE three=0033 "
+            "threequarters=00BE threesuperior=00B3 tilde=02DC trademark=2122 "
+            "two=0032 twosuperior=00B2 u=0075 uacute=00FA ucircumflex=00FB "
+            "udieresis=00FC ugrave=00F9 underscore=005F v=0076 w=0077 x=0078 "
+            "y=0079 yacute=00FD ydieresis=00FF yen=00A5 z=007A zcaron=017E "
+            "zero=0030"
+        ).split()
+    )
+}
+_RPDF_UNINAME_RE = re.compile(r"uni([0-9A-F]{4})\Z")
+_RPDF_DIFFTOK_RE = re.compile(
+    r"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"      # 1: name → map & increment
+    r"|(\])"                                    # 2: array end
+    r"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"      # 3: regular token → int or reset
+    r"|([()<>\[{}%])"                           # 4: stray delimiter → reset
+)
+
+
+def _rpdf_glyph_name_uni(nm: str):
+    hit = _RPDF_GLYPH_UNI.get(nm)
+    if hit is not None:
+        return hit
+    m = _RPDF_UNINAME_RE.match(nm)
+    if m and not 0xD800 <= int(m.group(1), 16) <= 0xDFFF:
+        return chr(int(m.group(1), 16))
+    return None
+
+
+def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
+    """Mirror of the kernel Differences rule (SPEC §3b, v13): /Encoding
+    (inline dict or ref) → /Differences [ ... ]; ints set the code, names
+    map-and-increment; base = identity; unknown names skip (still
+    increment); codes outside 0..255 skip. Entry shape = a 1-byte cmap."""
+    enc = _rpdf_key_dict(fbody, "/Encoding", text, objs, vobjs)
+    if enc is None:
+        return None
+    k = re.search(
+        r"/Differences(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+        r"[\x00\t\n\x0c\r ]*\[", enc
+    )
+    if not k:
+        return None
+    code, cmap = -1, {}
+    for m in _RPDF_DIFFTOK_RE.finditer(enc, k.end()):
+        if m.group(2):
+            break
+        if m.group(1) is not None:
+            if 0 <= code <= 0xFF:
+                uni = _rpdf_glyph_name_uni(m.group(1))
+                if uni is not None:
+                    cmap[(code, 1)] = uni
+            code += 1
+            continue
+        tok = m.group(3)
+        try:
+            code = int(tok) if tok is not None else -1
+        except ValueError:
+            code = -1  # malformed token: following names don't map
+    return (cmap, [1]) if cmap else None
+
+
 def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     res = _rpdf_key_dict(page_body, "/Resources", text, objs, vobjs)
     fdict = _rpdf_key_dict(res, "/Font", text, objs, vobjs)
@@ -968,9 +1074,12 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
             continue
         tref = _rpdf_key_ref(fbody, "/ToUnicode")
         # ObjStm-contained objects cannot be streams → no CMap from vobjs
-        if tref is None or tref in vobjs or tref not in objs:
-            continue
-        cm = _rpdf_cmap_from_obj(text, objs[tref])
+        cm = None
+        if tref is not None and tref not in vobjs and tref in objs:
+            cm = _rpdf_cmap_from_obj(text, objs[tref])
+        if cm is None and "/Encoding" in fbody:
+            # v13: Differences fallback — ToUnicode wins when both parse
+            cm = _rpdf_differences(text, objs, vobjs, fbody)
         if cm is not None:
             fonts[fm.group(1)] = cm
     return fonts
@@ -1122,11 +1231,12 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
 
 def _rpdf_content_resources(text: str):
     """{content obj num: (font table, xobject table, geometry)} + object
-    intervals + form resolver; gated on a literal /ToUnicode, /ObjStm,
-    /XObject, /Rotate or a 2nd /MediaBox (pure fast path — absent all,
-    identity, no forms, document-default geometry)."""
+    intervals + form resolver; gated on a literal /ToUnicode, /Differences,
+    /ObjStm, /XObject, /Rotate or a 2nd /MediaBox (pure fast path — absent
+    all, identity, no forms, document-default geometry)."""
     if (
         "/ToUnicode" not in text
+        and "/Differences" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
         and "/Rotate" not in text
@@ -1499,6 +1609,16 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 else:
                     buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op in ("'", '"') and stack and stack[-1][0] == "str":
+                if (
+                    op == '"'
+                    and len(stack) >= 3
+                    and stack[-3][0] == "num"
+                    and stack[-2][0] == "num"
+                ):
+                    # aw ac string " ≡ aw Tw ac Tc string ' (ISO §9.4.3):
+                    # spacing set before the flush, persists after (v13)
+                    state["tw"] = stack[-3][1]
+                    state["tc"] = stack[-2][1]
                 flush()
                 state["y"] -= state["lead"]
                 if invisible():

@@ -1415,3 +1415,164 @@ def test_tz_ts_persist_across_bt_reset_per_stream_and_form():
     o = oracle_extract(doc2)
     kk, ss, dd = extract_payload(doc2)
     assert ss == o["spans"] and dd == o["n_dropped"]
+
+
+# --- v13: /Encoding /Differences fonts + three-operand " (SPEC §3b) ---------
+
+
+def _font_pdf(fontobj: str, body: str, extra_objs: str = "") -> str:
+    content = f"BT /F7 12 Tf 16 TL 72 700 Td {body} ET"
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F7 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(content)} >>\nstream\n{content}\n"
+        "endstream\nendobj\n"
+        f"5 0 obj\n{fontobj}\nendobj\n"
+        f"{extra_objs}"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def _assert_parity(doc):
+    o = oracle_extract(doc)
+    k, spans, drop = extract_payload(doc)
+    assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"])
+    return spans
+
+
+def test_differences_decode_inline_dict():
+    """Remapped codes decode through the AGL-subset table; unlisted codes
+    stay identity (base encoding is the identity, SPEC §3b v13)."""
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding"
+        " << /Differences [ 128 /Euro 145 /quoteleft /quoteright ] >> >>",
+        "<80918079919220616E6420706C61696E20746578742068657265> Tj",
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "€‘€y‘’ and plain text here"
+
+
+def test_differences_referenced_encoding_object():
+    """/Encoding as a ref to a /Type /Encoding object; uniXXXX form and an
+    unknown glyph name that must stay identity."""
+    doc = _font_pdf(
+        "<< /Type /Font /Encoding 6 0 R >>",
+        "<808182832077697468206D6F726520776F7264732068657265> Tj",
+        "6 0 obj\n<< /Type /Encoding /Differences"
+        " [ 128 /emdash /uni0041 /zz7unknown ] >>\nendobj\n",
+    )
+    spans = _assert_parity(doc)
+    # 0x80→emdash, 0x81→uni0041='A', 0x82 unknown→identity, 0x83 unmapped
+    assert spans[0][2].startswith("—A\x82\x83 with")
+
+
+def test_differences_range_traps_and_restarts():
+    """Out-of-range codes skip-but-increment; integer restarts; a malformed
+    token resets so following names cannot map."""
+    doc = _font_pdf(
+        "<< /Type /Font /Encoding << /Differences"
+        " [ -1 /emdash 300 /bullet 128 /Euro 255 /fl bad /endash ] >> >>",
+        "<80FF2061626320776F72647320686572652E> Tj",
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "€ﬂ abc words here."
+
+
+def test_differences_tounicode_precedence():
+    """A font carrying BOTH a parsable ToUnicode and a conflicting
+    Differences decodes via the CMap (§9.10.2 preference order)."""
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 beginbfrange\n<24> <7F> <0023>\nendbfrange\nendcmap\nend"
+    )
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R"
+        " /Encoding << /Differences [ 36 /bullet ] >> >>",
+        "<2425262728292A2B2C2D2E2F3031> Tj",
+        f"6 0 obj\n<< /Length {len(cmap)} >>\nstream\n{cmap}\n"
+        "endstream\nendobj\n",
+    )
+    spans = _assert_parity(doc)
+    # shift-by-one CMap applies; 0x24 → '#', NOT the Differences bullet
+    assert spans[0][2].startswith("#$%&'()*+,-./0")
+
+
+def test_differences_bare_name_encoding_is_identity():
+    doc = _font_pdf(
+        "<< /Type /Font /Encoding /WinAnsiEncoding >>",
+        "(plain words stay as they are) Tj",
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "plain words stay as they are"
+
+
+def test_glyph_tables_kernel_oracle_equal():
+    """The AGL-subset tables are independent representations of the same
+    public data — content must be identical."""
+    from paddleocr_spark.functions.realpdf import _GLYPH_UNI
+    from paddleocr_spark.oracle import _RPDF_GLYPH_UNI
+
+    assert _GLYPH_UNI == _RPDF_GLYPH_UNI
+
+
+def test_dquote_sets_spacing_and_persists():
+    """aw ac string " ≡ aw Tw ac Tc string ' (ISO §9.4.3): the spacing is
+    in effect for the flush it triggers AND persists for later shows."""
+    base = _pages_pdf([(
+        "BT /F1 12 Tf 16 TL 72 700 Td (twelve chars) Tj T*"
+        " (twelve chars) ' ET", "")])
+    wide = _pages_pdf([(
+        "BT /F1 12 Tf 16 TL 72 700 Td (twelve chars) Tj"
+        ' 4 2 (twelve chars) " T* (twelve chars) Tj ET', "")])
+    pb, _ = parse_realpdf(base)
+    pw, _ = parse_realpdf(wide)
+    w_base = pb[1][1][2] - pb[1][1][0]
+    # the "-shown line pays Tc=2 (12 chars) + Tw=4 (1 space): +28 user units
+    assert pw[1][1][2] - pw[1][1][0] > w_base
+    # the NEXT line (plain Tj) still pays it — spacing persisted
+    assert pw[2][1][2] - pw[2][1][0] == pw[1][1][2] - pw[1][1][0]
+    # first line (flushed by " AFTER the operands were set) pays it too:
+    # Tw/Tc set state without flushing, so the flush sees the new values
+    assert pb[0][1][2] - pb[0][1][0] == w_base
+    assert pw[0][1][2] - pw[0][1][0] > w_base
+    for doc in (base, wide):
+        _assert_parity(doc)
+
+
+def test_dquote_negative_clamp_and_missing_operands():
+    """Negative spacing from " clamps the advance at zero; a " without
+    numeric operands degrades to the ' behavior (no state change)."""
+    neg = _pages_pdf([(
+        'BT /F1 12 Tf 16 TL 72 700 Td -30 -3 (abc def) " ET', "")])
+    pn, _ = parse_realpdf(neg)
+    assert pn[0][1][0] == pn[0][1][2]  # zero-width clamp
+    bare = _pages_pdf([(
+        'BT /F1 12 Tf 16 TL 72 700 Td (first words) Tj (next words) " ET',
+        "")])
+    pb, _ = parse_realpdf(bare)
+    b = _pages_pdf([(
+        "BT /F1 12 Tf 16 TL 72 700 Td (first words) Tj (next words) ' ET",
+        "")])
+    pq, _ = parse_realpdf(b)
+    assert [x[1] for x in pb] == [x[1] for x in pq]
+    for doc in (neg, bare, b):
+        _assert_parity(doc)
+
+
+def test_v13_corpus_fuzz_parity():
+    """Seeded corpus payloads biased to the v13 draws: every Differences /
+    dquote document parses identically in kernel and oracle."""
+    n_diff = 0
+    for seed in range(400, 560):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Differences" in doc:
+            n_diff += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_diff >= 10  # the v13 font draw actually fires in the window
