@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 13  # v13: /Differences fonts + " operands; v12 Tz/Ts; v11 /Encrypt
+CORPUS_VERSION = 14  # v14: /Contents arrays; v13 /Differences + " ops; v12 Tz/Ts
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -419,7 +419,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     of CMap fonts carry a conflicting Differences the ToUnicode must
     beat, and ~40% of the quote-continuation lines become the
     three-operand `aw ac string "` form whose spacing persists
-    (ISO §9.4.3)."""
+    (ISO §9.4.3).
+    v14: ~12% of pages split their content stream into a `/Contents
+    [ … ]` array of 2-3 parts cut at token boundaries (mid-BT included —
+    text state flows across parts; ISO §7.7.3.3 concatenation), each
+    part behind its own filter-chain draw, with missing-part,
+    reversed-document-order and one-element-array traps."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -642,6 +647,41 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f" /Bad {first_content} 0 R >>"
         )
     res = f" /Resources << {' '.join(res_inner)} >>" if res_inner else ""
+    # v14: ~12% of pages split their content into a /Contents array of 2-3
+    # part streams cut at token boundaries (incl. mid-BT, so text state
+    # must flow across parts); each part draws its own filter chain. Traps:
+    # a never-emitted part number (~10% of splits), parts emitted in
+    # reverse document order (~25%), and the one-element array form.
+    pnext = xbase + 3  # first object number past the v9 XObjects
+    part_objs: List[tuple] = []
+    contents_val: List[str] = []
+    for i, s in enumerate(streams):
+        roll = rng.random()
+        if roll < 0.12 and s.count("\n") >= 2:
+            opslist = s.split("\n")
+            ncut = rng.randint(1, min(2, len(opslist) - 1))
+            cuts = sorted(rng.sample(range(1, len(opslist)), ncut))
+            bounds = [0] + cuts + [len(opslist)]
+            emitted = []
+            nums = []
+            for a, b in zip(bounds, bounds[1:]):
+                emitted.append((pnext, "\n".join(opslist[a:b])))
+                nums.append(pnext)
+                pnext += 1
+            if rng.random() < 0.25:  # document order ≠ array order
+                emitted.reverse()
+            part_objs.extend(emitted)
+            if rng.random() < 0.10:  # missing-part trap: never emitted
+                nums.insert(rng.randrange(len(nums) + 1), pnext)
+                pnext += 1
+            contents_val.append(
+                "[" + " ".join(f"{x} 0 R" for x in nums) + "]"
+            )
+            streams[i] = None
+        elif roll < 0.15:  # one-element array form
+            contents_val.append(f"[{first_content + i} 0 R]")
+        else:
+            contents_val.append(f"{first_content + i} 0 R")
     for i in range(n_pages):
         extra = page_rot if i == 0 else ""
         if rng.random() < 0.08:  # v10: page-local MediaBox
@@ -652,7 +692,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else:  # degenerate extent: IGNORED, the /Parent walk continues
                 extra += " /MediaBox [0 0 0 792]"
         objs.append(
-            f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R"
+            f"<< /Type /Page /Parent 2 0 R /Contents {contents_val[i]}"
             f"{res}{extra} >>"
         )
 
@@ -677,7 +717,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     def _a85body(raw: bytes) -> str:
         return base64.a85encode(raw).decode("latin-1") + "~>"
 
-    for i, content in enumerate(streams):
+    def _emit_stream(objnum: int, content: str) -> None:
         # v5: per-stream filter encoding (SPEC §3b Filters) — the decoded
         # content is byte-identical (modulo insignificant trailing-space
         # padding for the predictors), so extraction must not change
@@ -728,9 +768,16 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 " /DecodeParms << /Predictor 15 /Columns 8 >>"
             )
         parts.append(
-            f"{first_content + i} 0 obj\n<< /Length {len(body)}{fdecl} >>\n"
+            f"{objnum} 0 obj\n<< /Length {len(body)}{fdecl} >>\n"
             f"stream\n{body}\nendstream\nendobj"
         )
+
+    for i, content in enumerate(streams):
+        if content is None:
+            continue  # v14: split page — only its part streams are emitted
+        _emit_stream(first_content + i, content)
+    for objnum, content in part_objs:
+        _emit_stream(objnum, content)
     if scheme:  # v6: font + ToUnicode CMap objects (after the content streams)
         def _cmap_body(sch) -> str:
             kind, m = sch

@@ -879,6 +879,36 @@ def _obj_body(text: str, objs: dict, vobjs: dict, num: int) -> Optional[str]:
     return None
 
 
+def _contents_refs(body: str) -> list:
+    """``/Contents`` (FIRST occurrence, token-exact) → list of referenced
+    object numbers: a single ``N 0 R``, or a ``[ N 0 R … ]`` array read
+    left-to-right until ``]`` or the first non-ref element (v14 — ISO
+    32000 §7.7.3.3: an array of streams is treated as their concatenation).
+    Empty list when absent/malformed."""
+    k = body.find("/Contents")
+    if k < 0:
+        return []
+    after = k + len("/Contents")
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
+        return []
+    i = _skip_ws(body, after)
+    if body[i : i + 1] == "[":
+        i += 1
+        refs = []
+        while i < len(body):
+            i = _skip_ws(body, i)
+            if body[i : i + 1] == "]":
+                break
+            num, i2 = _read_ref(body, i)
+            if num is None:
+                break  # malformed element ends the array read
+            refs.append(num)
+            i = i2
+        return refs
+    num, _ = _read_ref(body, i)
+    return [num] if num is not None else []
+
+
 def _key_dict_body(
     container: str, key: str, text: str, objs: dict, vobjs: dict
 ) -> Optional[str]:
@@ -1724,15 +1754,26 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     return boxes, suppressed
 
 
+_CONTENTS_ARR_RE = re.compile(r"/Contents[\x00\t\n\x0c\r ]*\[")
+
+
 def _content_resources(text: str):
-    """({content-object number: (font table, xobject table)}, object
-    intervals, form resolver) from every /Type /Page object — direct or
-    ObjStm-contained (token-exact name match, so /Pages never qualifies).
+    """({content-object number: (font table, xobject table, geometry)},
+    object intervals, form resolver, {part obj num: group id},
+    {group id: (part list, entry, trigger obj num)}) from every
+    /Type /Page object — direct or ObjStm-contained (token-exact name
+    match, so /Pages never qualifies). Multi-part pages (v14): a
+    ``/Contents [ … ]`` array registers each part under a group keyed by
+    the page object number; the trigger is the part whose direct-object
+    interval starts last in the document (ObjStm-contained or missing
+    part numbers cannot be streams and are excluded — no streamable part
+    → the page degrades to nothing).
     Gated on a literal ``/ToUnicode``, ``/Differences``, ``/ObjStm``,
-    ``/XObject``, ``/Rotate`` or a 2nd ``/MediaBox`` appearing anywhere — absent all of
+    ``/XObject``, ``/Rotate``, a 2nd ``/MediaBox``, or a ``/Contents``
+    array opener appearing anywhere — absent all of
     them every table is empty, extraction is identity, no form can exist
     and per-page geometry equals the document default, so the gate is a
-    pure fast path (SPEC §3b, v6/v9/v10)."""
+    pure fast path (SPEC §3b, v6/v9/v10/v14)."""
     if (
         "/ToUnicode" not in text
         and "/Differences" not in text
@@ -1740,27 +1781,40 @@ def _content_resources(text: str):
         and "/XObject" not in text
         and "/Rotate" not in text
         and text.count("/MediaBox") < 2
+        and not _CONTENTS_ARR_RE.search(text)
     ):
-        return {}, [], None
+        return {}, [], None, {}, {}
     dflt = media_box(text)
     objs, intervals = _object_map(text)
     vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
     by_content: dict = {}
+    part_of: dict = {}
+    groups: dict = {}
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
         body = _obj_body(text, objs, vobjs, num)
         if not _first_type_is(body, "Page"):
             continue
-        cref = _key_ref(body, "/Contents")
-        if cref is None:
+        refs = _contents_refs(body)
+        if not refs:
             continue
         fonts = _font_table(text, objs, vobjs, body)
         xobjs = _xobject_table(text, objs, vobjs, body) if want_xobj else {}
         geo = _page_geometry(text, objs, vobjs, body, dflt)
-        by_content[cref] = (fonts, xobjs, geo)
+        entry = (fonts, xobjs, geo)
+        if len(refs) == 1:
+            by_content[refs[0]] = entry
+        else:
+            streamable = [r for r in refs if r in objs and r not in vobjs]
+            if not streamable:
+                continue
+            trigger = max(streamable, key=lambda r: objs[r][0])
+            groups[num] = (tuple(refs), entry, trigger)
+            for r in streamable:
+                part_of[r] = num  # a shared part: the LAST page wins
     resolver = _make_form_resolver(text, objs, vobjs) if want_xobj else None
-    return by_content, intervals, resolver
+    return by_content, intervals, resolver, part_of, groups
 
 
 def _has_encrypt(text: str) -> bool:
@@ -1784,8 +1838,12 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         return [], 1
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
-    res_by_obj, obj_intervals, resolver = _content_resources(text)
+    res_by_obj, obj_intervals, resolver, part_of, groups = _content_resources(
+        text
+    )
     obj_starts = [iv[0] for iv in obj_intervals]
+    pending: dict = {}  # group id → {part obj num: decoded content}
+    assembled: set = set()
     out = []
     skipped = 0
     page = 0
@@ -1817,6 +1875,57 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         params = text[d0:k] if d0 >= 0 else ""
         pos = end + 9
         content = text[body_start:end]
+        onum = None
+        if res_by_obj or part_of:
+            oi = bisect.bisect_right(obj_starts, body_start) - 1
+            if oi >= 0 and body_start < obj_intervals[oi][1]:
+                onum = obj_intervals[oi][2]
+        gid = part_of.get(onum) if onum is not None else None
+        if gid is not None:
+            # multi-part page content (v14): decode the part like any
+            # stream, stash it; when the scan passes the group's trigger
+            # part, assemble available parts in ARRAY order (newline-
+            # joined — ISO §7.7.3.3 concatenation with the token-boundary
+            # rule) and interpret ONCE with the page's tables/geometry
+            ok = not (resolver is not None and _subtype_is(params, "Form"))
+            if ok and "/Filter" in params:
+                names = _parse_filter_names(params)
+                fparms = (
+                    _parse_decode_parms(params, len(names))
+                    if names is not None
+                    else None
+                )
+                decoded = (
+                    apply_stream_filters(content, names, fparms)
+                    if fparms is not None
+                    else None
+                )
+                if decoded is None:
+                    skipped += 1
+                    ok = False
+                else:
+                    content = decoded
+            if ok:
+                pending.setdefault(gid, {})[onum] = content
+            refs, entry, trigger = groups[gid]
+            if onum != trigger:
+                continue
+            got = pending.get(gid, {})
+            content = "\n".join(got[r] for r in refs if r in got)
+            assembled.add(gid)
+            if "BT" not in content and not (
+                resolver is not None and "Do" in content
+            ):
+                continue
+            fonts, xobjs, (pw, ph, rot) = entry
+            boxes, suppressed = _interpret(
+                content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot
+            )
+            skipped += suppressed
+            for box in boxes:
+                out.append((page, box))
+            page += 1
+            continue
         if resolver is not None and _subtype_is(params, "Form"):
             # form XObject stream (SPEC §3b, v9): never a page, renders
             # only via Do; its filter chain is not decoded here and it
@@ -1843,12 +1952,10 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             continue
         fonts = xobjs = None
         pw, ph, rot = mb_w, mb_h, 0
-        if res_by_obj:
-            oi = bisect.bisect_right(obj_starts, body_start) - 1
-            if oi >= 0 and body_start < obj_intervals[oi][1]:
-                entry = res_by_obj.get(obj_intervals[oi][2])
-                if entry is not None:
-                    fonts, xobjs, (pw, ph, rot) = entry
+        if res_by_obj and onum is not None:
+            entry = res_by_obj.get(onum)
+            if entry is not None:
+                fonts, xobjs, (pw, ph, rot) = entry
         boxes, suppressed = _interpret(
             content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot
         )
@@ -1856,6 +1963,9 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         for box in boxes:
             out.append((page, box))
         page += 1
+    # parts stashed for a group whose trigger never materialized (truncated
+    # or malformed tail): the page is lost — count it once per group
+    skipped += sum(1 for g in pending if g not in assembled)
     return out, skipped
 
 

@@ -1229,11 +1229,50 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
     return resolve
 
 
+_RPDF_REFVAL0_RE = re.compile(
+    r"(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+R" + _RPDF_NAMEEND
+)
+_RPDF_WSRUN_RE = re.compile(r"[\x00\t\n\x0c\r ]*")
+_RPDF_CONTENTS_ARR_RE = re.compile(r"/Contents[\x00\t\n\x0c\r ]*\[")
+
+
+def _rpdf_contents_refs(body: str):
+    """Mirror of the kernel /Contents rule (v14): single ref or array of
+    refs at the FIRST token-exact occurrence; the array read stops at ]
+    or the first non-ref element."""
+    k = body.find("/Contents")
+    if k < 0:
+        return []
+    after = k + len("/Contents")
+    if after < len(body) and not re.match(
+        r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after]
+    ):
+        return []
+    i = _RPDF_WSRUN_RE.match(body, after).end()
+    if body[i : i + 1] == "[":
+        i += 1
+        refs = []
+        while i < len(body):
+            i = _RPDF_WSRUN_RE.match(body, i).end()
+            if body[i : i + 1] == "]":
+                break
+            r = _RPDF_REFVAL0_RE.match(body, i)
+            if not r:
+                break
+            refs.append(int(r.group(1)))
+            i = r.end()
+        return refs
+    r = _RPDF_REFVAL0_RE.match(body, i)
+    return [int(r.group(1))] if r else []
+
+
 def _rpdf_content_resources(text: str):
     """{content obj num: (font table, xobject table, geometry)} + object
-    intervals + form resolver; gated on a literal /ToUnicode, /Differences,
-    /ObjStm, /XObject, /Rotate or a 2nd /MediaBox (pure fast path — absent
-    all, identity, no forms, document-default geometry)."""
+    intervals + form resolver + {part obj num: group id} + {group id:
+    (part list, entry, trigger)}; gated on a literal /ToUnicode,
+    /Differences, /ObjStm, /XObject, /Rotate, a 2nd /MediaBox or a
+    /Contents array opener (pure fast path — absent all, identity, no
+    forms, document-default geometry)."""
     if (
         "/ToUnicode" not in text
         and "/Differences" not in text
@@ -1241,27 +1280,40 @@ def _rpdf_content_resources(text: str):
         and "/XObject" not in text
         and "/Rotate" not in text
         and text.count("/MediaBox") < 2
+        and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
-        return {}, [], None
+        return {}, [], None, {}, {}
     dflt = _rpdf_mediabox(text)
     objs, intervals = _rpdf_object_map(text)
     vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
     by_content = {}
+    part_of: dict = {}
+    groups: dict = {}
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
         body = _rpdf_obj_body(text, objs, vobjs, num)
         if not _rpdf_first_type_is(body, "Page"):
             continue
-        cref = _rpdf_key_ref(body, "/Contents")
-        if cref is None:
+        refs = _rpdf_contents_refs(body)
+        if not refs:
             continue
         fonts = _rpdf_font_table(text, objs, vobjs, body)
         xobjs = _rpdf_xobject_table(text, objs, vobjs, body) if want_xobj else {}
         geo = _rpdf_page_geometry(text, objs, vobjs, body, dflt)
-        by_content[cref] = (fonts, xobjs, geo)
+        entry = (fonts, xobjs, geo)
+        if len(refs) == 1:
+            by_content[refs[0]] = entry
+        else:
+            streamable = [r for r in refs if r in objs and r not in vobjs]
+            if not streamable:
+                continue
+            trigger = max(streamable, key=lambda r: objs[r][0])
+            groups[num] = (tuple(refs), entry, trigger)
+            for r in streamable:
+                part_of[r] = num  # a shared part: the LAST page wins
     resolver = _rpdf_form_resolver(text, objs, vobjs) if want_xobj else None
-    return by_content, intervals, resolver
+    return by_content, intervals, resolver, part_of, groups
 
 
 def _rpdf_apply_cmap(s: str, entry):
@@ -1654,9 +1706,12 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
     if _RPDF_ENCRYPT_RE.search(text):
         return [], 1  # encrypted document: whole-payload refusal (v11)
     mb_w, mb_h = _rpdf_mediabox(text)
-    res_by_obj, obj_intervals, resolver = _rpdf_content_resources(text)
+    res_by_obj, obj_intervals, resolver, part_of, groups = (
+        _rpdf_content_resources(text)
+    )
     obj_starts = [iv[0] for iv in obj_intervals]
     pages, dropped, page = {}, 0, 0
+    pending, assembled = {}, set()
     min_pos = 0
     # matching '<<' for every '>>' token, ONE regex pass over the whole
     # payload (leftmost non-overlapping tokenization — kernel does the same
@@ -1683,6 +1738,51 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         params = text[d0 : m.start()] if d0 >= 0 else ""
         min_pos = end + len("endstream")
         content = text[m.end() : end]
+        onum = None
+        if res_by_obj or part_of:
+            oi = _bisect.bisect_right(obj_starts, m.end()) - 1
+            if oi >= 0 and m.end() < obj_intervals[oi][1]:
+                onum = obj_intervals[oi][2]
+        gid = part_of.get(onum) if onum is not None else None
+        if gid is not None:
+            # multi-part page content (v14) — mirror of the kernel rule:
+            # decode-and-stash each part; assemble (array order, newline-
+            # joined) and interpret once at the group's trigger part
+            ok = not (
+                resolver is not None and _rpdf_subtype_is(params, "Form")
+            )
+            if ok and "/Filter" in params:
+                decoded = _rpdf_decode_stream(content, params)
+                if decoded is None:
+                    dropped += 1
+                    ok = False
+                else:
+                    content = decoded
+            if ok:
+                pending.setdefault(gid, {})[onum] = content
+            refs, entry, trigger = groups[gid]
+            if onum != trigger:
+                continue
+            got = pending.get(gid, {})
+            content = "\n".join(got[r] for r in refs if r in got)
+            assembled.add(gid)
+            if "BT" not in content and not (
+                resolver is not None and "Do" in content
+            ):
+                continue
+            fonts, xobjs, (pw, ph, rot) = entry
+            boxes, sup = _rpdf_interpret(
+                _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs,
+                resolver, rot=rot,
+            )
+            dropped += sup
+            for b in boxes:
+                if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
+                    dropped += 1
+                else:
+                    pages.setdefault(page, []).append(b)
+            page += 1
+            continue
         if resolver is not None and _rpdf_subtype_is(params, "Form"):
             continue  # form XObject: never a page, renders only via Do (v9)
         if "/Filter" in params:
@@ -1695,12 +1795,10 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
             continue
         fonts = xobjs = None
         pw, ph, rot = mb_w, mb_h, 0
-        if res_by_obj:
-            oi = _bisect.bisect_right(obj_starts, m.end()) - 1
-            if oi >= 0 and m.end() < obj_intervals[oi][1]:
-                entry = res_by_obj.get(obj_intervals[oi][2])
-                if entry is not None:
-                    fonts, xobjs, (pw, ph, rot) = entry
+        if res_by_obj and onum is not None:
+            entry = res_by_obj.get(onum)
+            if entry is not None:
+                fonts, xobjs, (pw, ph, rot) = entry
         boxes, sup = _rpdf_interpret(
             _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver, rot=rot
         )
@@ -1711,6 +1809,8 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
             else:
                 pages.setdefault(page, []).append(b)
         page += 1
+    # groups whose trigger never materialized (truncated tail): page lost
+    dropped += sum(1 for g in pending if g not in assembled)
 
     spans = []
     for p in sorted(pages):

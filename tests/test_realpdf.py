@@ -1576,3 +1576,134 @@ def test_v13_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_diff >= 10  # the v13 font draw actually fires in the window
+
+
+# --- v14: /Contents arrays — multi-part page content (SPEC §3b) -------------
+
+
+def _array_pdf(contents_val: str, stream_objs: list, font: str = "") -> str:
+    res = " /Resources << /Font << /F7 90 0 R >> >>" if font else ""
+    parts = [
+        "%PDF-1.4",
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] >>\nendobj",
+        f"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents {contents_val}"
+        f"{res} >>\nendobj",
+    ]
+    for num, c in stream_objs:
+        parts.append(
+            f"{num} 0 obj\n<< /Length {len(c)} >>\nstream\n{c}\n"
+            "endstream\nendobj"
+        )
+    if font:
+        parts.append(f"90 0 obj\n{font}\nendobj")
+    parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
+    return "\n".join(parts)
+
+
+def test_contents_array_state_flows_across_parts():
+    """A mid-BT split: text state (font size, leading, open text object)
+    flows across the part boundary, and the split page extracts exactly
+    like its unsplit twin."""
+    split = _array_pdf("[5 0 R 6 0 R]", [
+        (5, "BT /F1 12 Tf 16 TL 72 700 Td (first half of the line) Tj"),
+        (6, "T* (second part continues here) Tj ET"),
+    ])
+    whole = _array_pdf("4 0 R", [
+        (4, "BT /F1 12 Tf 16 TL 72 700 Td (first half of the line) Tj\n"
+            "T* (second part continues here) Tj ET"),
+    ])
+    s1 = _assert_parity(split)
+    s2 = _assert_parity(whole)
+    assert [x[1:] for x in s1] == [x[1:] for x in s2]
+    assert [x[2] for x in s1] == [
+        "first half of the line", "second part continues here"
+    ]
+
+
+def test_contents_array_fonts_apply_to_all_parts():
+    doc = _array_pdf(
+        "[5 0 R 6 0 R]",
+        [
+            (5, "BT /F7 12 Tf 16 TL 72 700 Td <809180> Tj"),
+            (6, "T* <80912061626320646566> Tj ET"),
+        ],
+        font="<< /Type /Font /Encoding"
+             " << /Differences [ 128 /Euro 145 /quoteleft ] >> >>",
+    )
+    spans = _assert_parity(doc)
+    assert [s[2] for s in spans] == ["€‘€", "€‘ abc def"]
+
+
+def test_contents_array_order_and_traps():
+    """Array order beats document order; a missing part is skipped; a
+    duplicate ref repeats; a one-element array behaves like a single."""
+    doc_order = _array_pdf("[6 0 R 5 0 R]", [
+        (5, "(tail of the page) Tj ET"),
+        (6, "BT /F1 12 Tf 16 TL 72 700 Td (head of the page) Tj T*"),
+    ])
+    spans = _assert_parity(doc_order)
+    assert [s[2] for s in spans] == ["head of the page", "tail of the page"]
+    missing = _array_pdf("[5 0 R 77 0 R 6 0 R]", [
+        (5, "BT /F1 12 Tf 16 TL 72 700 Td (alpha words here) Tj"),
+        (6, "T* (omega words here) Tj ET"),
+    ])
+    spans = _assert_parity(missing)
+    assert [s[2] for s in spans] == ["alpha words here", "omega words here"]
+    dup = _array_pdf("[5 0 R 5 0 R]", [
+        (5, "BT /F1 12 Tf 16 TL 72 700 Td (repeated words here) Tj T* ET"),
+    ])
+    spans = _assert_parity(dup)
+    assert [s[2] for s in spans] == ["repeated words here"] * 2
+    single = _array_pdf("[5 0 R]", [
+        (5, "BT /F1 12 Tf 72 700 Td (single element array) Tj ET"),
+    ])
+    spans = _assert_parity(single)
+    assert [s[2] for s in spans] == ["single element array"]
+
+
+def test_contents_array_malformed_tail_and_orphan():
+    """A malformed array element ends the ref read: the page keeps the
+    refs before it, and a later stream becomes its own (fontless) page."""
+    doc = _array_pdf("[5 0 R garbage 6 0 R]", [
+        (5, "BT /F1 12 Tf 72 700 Td (kept before garbage) Tj ET"),
+        (6, "BT /F1 12 Tf 72 600 Td (an orphan page now) Tj ET"),
+    ])
+    spans = _assert_parity(doc)
+    assert [s[2] for s in spans] == [
+        "kept before garbage", "an orphan page now"
+    ]
+
+
+def test_contents_array_truncation_fuzz():
+    """Array-contents corpus docs cut at every offset: parity, no raise."""
+    found = 0
+    seed = 0
+    while found < 2 and seed < 200:
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        seed += 1
+        if "/Contents [" not in doc:
+            continue
+        found += 1
+        for cut in range(0, len(doc), 11):
+            d = doc[:cut]
+            k, spans, drop = extract_payload(d)
+            o = oracle_extract(d)
+            assert (k, spans, drop) == (
+                o["kind"], o["spans"], o["n_dropped"]
+            ), (seed - 1, cut)
+    assert found == 2
+
+
+def test_v14_corpus_fuzz_parity():
+    n_arr = 0
+    for seed in range(600, 760):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Contents [" in doc:
+            n_arr += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_arr >= 12  # the v14 split draw actually fires in the window
