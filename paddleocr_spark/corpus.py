@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 14  # v14: /Contents arrays; v13 /Differences + " ops; v12 Tz/Ts
+CORPUS_VERSION = 15  # v15: inherited /Resources; v14 /Contents arrays; v13 Differences
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -424,7 +424,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     [ … ]` array of 2-3 parts cut at token boundaries (mid-BT included —
     text state flows across parts; ISO §7.7.3.3 concatenation), each
     part behind its own filter-chain draw, with missing-part,
-    reversed-document-order and one-element-array traps."""
+    reversed-document-order and one-element-array traps.
+    v15: ~25% of resource-bearing payloads hoist /Resources to the Pages
+    node (inherited via the /Parent walk, ISO §7.7.3.4), ~20% of those
+    with a broken page-level /Resources that must mask the ancestor's."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -647,6 +650,17 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f" /Bad {first_content} 0 R >>"
         )
     res = f" /Resources << {' '.join(res_inner)} >>" if res_inner else ""
+    # v15: ~25% of resource-bearing payloads hoist /Resources onto the
+    # Pages node — every kid inherits it via the /Parent walk (ISO
+    # §7.7.3.4); ~20% of those also plant a BROKEN page-level /Resources
+    # (ref to a missing object) which, being PRESENT, must NOT fall
+    # through to the ancestor's — those pages decode identity.
+    res_page_broken = ""
+    if res and rng.random() < 0.25:
+        objs[1] = objs[1][:-3] + res + " >>"
+        res = ""
+        if rng.random() < 0.20:
+            res_page_broken = " /Resources 99 0 R"
     # v14: ~12% of pages split their content into a /Contents array of 2-3
     # part streams cut at token boundaries (incl. mid-BT, so text state
     # must flow across parts); each part draws its own filter chain. Traps:
@@ -693,7 +707,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 extra += " /MediaBox [0 0 0 792]"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /Contents {contents_val[i]}"
-            f"{res}{extra} >>"
+            f"{res}{res_page_broken}{extra} >>"
         )
 
     # v7: ~40% of CMap payloads pack their page + font DICT objects into a

@@ -1087,15 +1087,49 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
     return {(c, 1): u for c, u in xlate.items()}, [1], xlate
 
 
-def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
-    """Page (or form-params) body → {font name: cmap entry} via /Resources
-    (inline dict or ref) → /Font (inline dict or ref) → per-entry font
-    object → /ToUnicode stream decoded through its own filters; a font
-    without a usable ToUnicode falls back to an /Encoding /Differences
-    table (v13 — ToUnicode wins when both parse, matching §9.10.2's text
-    extraction preference order). Every failure degrades to identity
-    (entry absent), never raises."""
-    res = _key_dict_body(page_body, "/Resources", text, objs, vobjs)
+def _has_key(body: str, key: str) -> bool:
+    """Token-exact presence of ``key`` at its FIRST literal occurrence —
+    the presence twin of ``_key_dict_body``'s resolution rule (v15)."""
+    k = body.find(key)
+    if k < 0:
+        return False
+    after = k + len(key)
+    return after >= len(body) or body[after] in _WS or body[after] in _DELIM
+
+
+def _inherited_resources(text: str, objs: dict, vobjs: dict, body: str):
+    """The page's effective /Resources dict body (ISO 32000 §7.7.3.4
+    inheritable attributes, v15): the FIRST body on the page → /Parent
+    ancestor walk that CARRIES a token-exact /Resources key wins — even
+    when its value fails to resolve (inheritance applies only when the
+    key is absent, not when it is broken). Same walk contract as the v10
+    geometry rule: ≤ 16 hops, a re-visited ref ends the walk."""
+    cur = body
+    visited = set()
+    for _ in range(_GEO_MAX_HOPS + 1):
+        if _has_key(cur, "/Resources"):
+            return _key_dict_body(cur, "/Resources", text, objs, vobjs)
+        pref = _key_ref(cur, "/Parent")
+        if pref is None or pref in visited:
+            return None
+        visited.add(pref)
+        nxt = _obj_body(text, objs, vobjs, pref)
+        if nxt is None:
+            return None
+        cur = nxt
+    return None
+
+
+def _font_table(text: str, objs: dict, vobjs: dict, res):
+    """Resolved /Resources dict body → {font name: cmap entry} via
+    /Font (inline dict or ref) → per-entry font object → /ToUnicode
+    stream decoded through its own filters; a font without a usable
+    ToUnicode falls back to an /Encoding /Differences table (v13 —
+    ToUnicode wins when both parse, matching §9.10.2's text extraction
+    preference order). Callers resolve /Resources first: the page path
+    walks the /Parent chain (v15), the form path uses the form's own
+    params. Every failure degrades to identity (entry absent), never
+    raises."""
     if res is None:
         return {}
     fdict = _key_dict_body(res, "/Font", text, objs, vobjs)
@@ -1118,11 +1152,10 @@ def _font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     return fonts
 
 
-def _xobject_table(text: str, objs: dict, vobjs: dict, body: str) -> dict:
-    """Page (or form-params) body → {xobject name: object number} via
-    /Resources → /XObject (SPEC §3b Form XObjects, v9). Pure name→number:
-    the target is validated lazily at ``Do`` time by the form resolver."""
-    res = _key_dict_body(body, "/Resources", text, objs, vobjs)
+def _xobject_table(text: str, objs: dict, vobjs: dict, res) -> dict:
+    """Resolved /Resources dict body → {xobject name: object number} via
+    /XObject (SPEC §3b Form XObjects, v9). Pure name→number: the target
+    is validated lazily at ``Do`` time by the form resolver."""
     if res is None:
         return {}
     xdict = _key_dict_body(res, "/XObject", text, objs, vobjs)
@@ -1284,10 +1317,11 @@ def _make_form_resolver(text: str, objs: dict, vobjs: dict):
             if content is None:
                 return None
         tx, ty = _matrix_ef(params)
+        res_f = _key_dict_body(params, "/Resources", text, objs, vobjs)
         entry = (
             content,
-            _font_table(text, objs, vobjs, params),
-            _xobject_table(text, objs, vobjs, params),
+            _font_table(text, objs, vobjs, res_f),
+            _xobject_table(text, objs, vobjs, res_f),
             tx,
             ty,
         )
@@ -1799,8 +1833,9 @@ def _content_resources(text: str):
         refs = _contents_refs(body)
         if not refs:
             continue
-        fonts = _font_table(text, objs, vobjs, body)
-        xobjs = _xobject_table(text, objs, vobjs, body) if want_xobj else {}
+        res_p = _inherited_resources(text, objs, vobjs, body)
+        fonts = _font_table(text, objs, vobjs, res_p)
+        xobjs = _xobject_table(text, objs, vobjs, res_p) if want_xobj else {}
         geo = _page_geometry(text, objs, vobjs, body, dflt)
         entry = (fonts, xobjs, geo)
         if len(refs) == 1:

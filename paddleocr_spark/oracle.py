@@ -1061,8 +1061,37 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
     return (cmap, [1]) if cmap else None
 
 
-def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
-    res = _rpdf_key_dict(page_body, "/Resources", text, objs, vobjs)
+def _rpdf_has_key(body: str, key: str) -> bool:
+    """Token-exact presence at the FIRST literal occurrence (v15)."""
+    k = body.find(key)
+    if k < 0:
+        return False
+    after = k + len(key)
+    return after >= len(body) or bool(
+        re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after])
+    )
+
+
+def _rpdf_inherited_resources(text, objs, vobjs, body):
+    """Mirror of the kernel v15 rule: the FIRST body on the page →
+    /Parent walk carrying a token-exact /Resources wins (even when its
+    value fails to resolve); ≤ 16 hops, revisit ends the walk."""
+    cur = body
+    visited = set()
+    for _ in range(17):
+        if _rpdf_has_key(cur, "/Resources"):
+            return _rpdf_key_dict(cur, "/Resources", text, objs, vobjs)
+        pref = _rpdf_key_ref(cur, "/Parent")
+        if pref is None or pref in visited:
+            return None
+        visited.add(pref)
+        cur = _rpdf_obj_body(text, objs, vobjs, pref)
+        if cur is None:
+            return None
+    return None
+
+
+def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
     fdict = _rpdf_key_dict(res, "/Font", text, objs, vobjs)
     if fdict is None:
         return {}
@@ -1085,10 +1114,10 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, page_body: str):
     return fonts
 
 
-def _rpdf_xobject_table(text: str, objs: dict, vobjs: dict, body: str):
-    """Body → {xobject name: object number} via /Resources → /XObject
-    (SPEC §3b Form XObjects, v9); validation is lazy, at Do time."""
-    res = _rpdf_key_dict(body, "/Resources", text, objs, vobjs)
+def _rpdf_xobject_table(text: str, objs: dict, vobjs: dict, res):
+    """Resolved /Resources body → {xobject name: object number} via
+    /XObject (SPEC §3b Form XObjects, v9); validation is lazy, at Do
+    time."""
     xdict = _rpdf_key_dict(res, "/XObject", text, objs, vobjs)
     if xdict is None:
         return {}
@@ -1218,8 +1247,14 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
         tx, ty = _rpdf_matrix_ef(params)
         entry = (
             _rpdf_tokens(content),
-            _rpdf_font_table(text, objs, vobjs, params),
-            _rpdf_xobject_table(text, objs, vobjs, params),
+            _rpdf_font_table(
+                text, objs, vobjs,
+                _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
+            ),
+            _rpdf_xobject_table(
+                text, objs, vobjs,
+                _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
+            ),
             tx,
             ty,
         )
@@ -1298,8 +1333,13 @@ def _rpdf_content_resources(text: str):
         refs = _rpdf_contents_refs(body)
         if not refs:
             continue
-        fonts = _rpdf_font_table(text, objs, vobjs, body)
-        xobjs = _rpdf_xobject_table(text, objs, vobjs, body) if want_xobj else {}
+        res_p = _rpdf_inherited_resources(text, objs, vobjs, body)
+        fonts = _rpdf_font_table(text, objs, vobjs, res_p)
+        xobjs = (
+            _rpdf_xobject_table(text, objs, vobjs, res_p)
+            if want_xobj
+            else {}
+        )
         geo = _rpdf_page_geometry(text, objs, vobjs, body, dflt)
         entry = (fonts, xobjs, geo)
         if len(refs) == 1:

@@ -1707,3 +1707,86 @@ def test_v14_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_arr >= 12  # the v14 split draw actually fires in the window
+
+
+# --- v15: inherited /Resources (ISO §7.7.3.4, SPEC §3b) ----------------------
+
+
+def _tree_pdf(pages_res: str, page_res: str, body: str) -> str:
+    content = f"BT /F7 12 Tf 16 TL 72 700 Td {body} ET"
+    return "\n".join([
+        "%PDF-1.4",
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        f" /MediaBox [0 0 612 792]{pages_res} >>\nendobj",
+        f"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        f"{page_res} >>\nendobj",
+        f"4 0 obj\n<< /Length {len(content)} >>\nstream\n{content}\n"
+        "endstream\nendobj",
+        "5 0 obj\n<< /Type /Font /Encoding"
+        " << /Differences [ 128 /Euro 145 /quoteleft ] >> >>\nendobj",
+        "trailer\n<< /Root 1 0 R >>\n%%EOF",
+    ])
+
+
+_RES7 = " /Resources << /Font << /F7 5 0 R >> >>"
+
+
+def test_resources_inherited_from_pages_node():
+    """A page without /Resources inherits the Pages node's — the body
+    decodes through the inherited font table."""
+    doc = _tree_pdf(_RES7, "", "<80919220616263> Tj")
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "€‘\x92 abc"
+
+
+def test_resources_page_level_wins_and_broken_masks():
+    """A page-level /Resources wins over the ancestor's; a PRESENT but
+    broken one (ref to a missing object) must mask it too — identity."""
+    own = _tree_pdf(
+        " /Resources << /Font << /F7 9 0 R >> >>", _RES7,
+        "<80206162632064656667> Tj",
+    )
+    spans = _assert_parity(own)
+    assert spans[0][2] == "€ abc defg"  # page's own table decodes
+    broken = _tree_pdf(_RES7, " /Resources 99 0 R", "(plain text words) Tj")
+    spans = _assert_parity(broken)
+    assert spans[0][2] == "plain text words"
+    encoded = _tree_pdf(_RES7, " /Resources 99 0 R", "<61626320776F726473> Tj")
+    spans = _assert_parity(encoded)
+    assert spans[0][2] == "abc words"  # hex decodes latin-1 identity
+
+
+def test_resources_inheritance_walk_bounds():
+    """The walk shares the v10 contract: a /Parent cycle ends it."""
+    content = "BT /F7 12 Tf 72 700 Td <806162> Tj ET"
+    doc = "\n".join([
+        "%PDF-1.4",
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        # 2 and 7 form a parent cycle with no /Resources anywhere above 3
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] /Parent 7 0 R >>\nendobj",
+        "7 0 obj\n<< /Parent 2 0 R >>\nendobj",
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj",
+        f"4 0 obj\n<< /Length {len(content)} >>\nstream\n{content}\n"
+        "endstream\nendobj",
+        "5 0 obj\n<< /Type /Font /Encoding"
+        " << /Differences [ 128 /Euro ] >> >>\nendobj",
+        "trailer\n<< /Root 1 0 R >>\n%%EOF",
+    ])
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "\x80ab"  # identity: no resources found
+
+
+def test_v15_corpus_fuzz_parity():
+    n_hoist = 0
+    for seed in range(800, 960):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        head = doc.split("/Type /Page /Parent")[0]
+        if "/Resources <<" in head:
+            n_hoist += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_hoist >= 10  # the v15 hoist draw actually fires in the window
