@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 15  # v15: inherited /Resources; v14 /Contents arrays; v13 Differences
+CORPUS_VERSION = 16  # v16: incremental updates + xref skeletons; v15 inherited /Resources
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -427,7 +427,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     reversed-document-order and one-element-array traps.
     v15: ~25% of resource-bearing payloads hoist /Resources to the Pages
     node (inherited via the /Parent walk, ISO §7.7.3.4), ~20% of those
-    with a broken page-level /Resources that must mask the ancestor's."""
+    with a broken page-level /Resources that must mask the ancestor's.
+    v16: ~35% of section tails grow a classic xref table + startxref
+    (inert bytes to the xref-free scanner); ~12% of non-encrypted
+    payloads append an incremental-update section (ISO §7.5.6) that
+    redefines a content stream (sometimes a non-last page — the pinned
+    reading-order degrade), a split page's part, the ToUnicode CMap
+    stream, or the page dict itself (old content stays live — the pinned
+    reference-free degrade); ~3% plant a single-section duplicate object
+    (ONE %%EOF: malformed input, both definitions stay live)."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
@@ -974,10 +982,117 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"<< /Length {len(sbody)} {decl} >>\n"
             f"stream\n{sbody}\nendstream\nendobj"
         )
-    if rng.random() < 0.03:  # v11: encrypted document → whole-payload refusal
-        parts.append("trailer\n<< /Root 1 0 R /Encrypt 99 0 R >>\n%%EOF")
+    def _xref_skel(first: int, count: int) -> str:
+        # v16: classic cross-reference table (ISO §7.5.4) — offsets are
+        # plausible-looking junk; the scanner is xref-free by design and
+        # must treat every byte of it as inert
+        ents = "".join(
+            f"{rng.randint(15, 999999):010d} 00000 n \n" for _ in range(count)
+        )
+        if first == 0:
+            return f"xref\n0 {count + 1}\n0000000000 65535 f \n{ents}"
+        return f"xref\n{first} {count}\n{ents}"
+
+    def _tail(troot: str, prev: bool) -> str:
+        # section tail: optional xref skeleton + trailer + optional
+        # startxref + %%EOF (the %%EOF marker is what the supersession
+        # gate counts — exactly one per section)
+        xd = rng.random() < 0.35
+        out = []
+        if xd:
+            out.append(_xref_skel(0 if not prev else rng.randint(3, 20),
+                                  rng.randint(1, 6)))
+        pv = f" /Prev {rng.randint(100, 9999)}" if prev else ""
+        out.append(f"trailer\n<< /Root 1 0 R{troot}{pv} >>")
+        if xd:
+            out.append(f"startxref\n{rng.randint(100, 99999)}")
+        out.append("%%EOF")
+        return "\n".join(out)
+
+    def _upd_ops() -> str:
+        ops = ["BT", f"/F1 10 Tf 14 TL 72 {mb_h - 92} Td"]
+        for li in range(rng.randint(2, 4)):
+            if li:
+                ops.append("T*")
+            ops.append(
+                f"({_pdf_str(_sent(rng, words, rng.randint(4, 8)))} revised) Tj"
+            )
+        ops.append("ET")
+        return "\n".join(ops)
+
+    encrypted = rng.random() < 0.03  # v11: encryption → whole-payload refusal
+    # single-ref non-split pages whose content object was actually emitted
+    live = [
+        i
+        for i in range(n_pages)
+        if streams[i] is not None
+        and contents_val[i]
+        in (f"{first_content + i} 0 R", f"[{first_content + i} 0 R]")
+    ]
+    upd_roll = rng.random()
+    if not encrypted and upd_roll < 0.03 and live:
+        # v16 trap: duplicate definition INSIDE the single section (one
+        # %%EOF) — malformed input, supersession NOT honored, both render
+        _emit_stream(first_content + live[-1], _upd_ops())
+        parts.append(_tail("", prev=False))
     else:
-        parts.append("trailer\n<< /Root 1 0 R >>\n%%EOF")
+        parts.append(_tail(" /Encrypt 99 0 R" if encrypted else "", prev=False))
+        if not encrypted and upd_roll < 0.15:
+            # v16: incremental-update section (ISO §7.5.6) appended after
+            # the first %%EOF — the LAST definition of a number wins and
+            # the superseded stream is inert
+            roll = rng.random()
+            upd_done = True
+            if roll < 0.15 and part_objs:
+                # replace one part of a split page: the group trigger
+                # moves to the update's definition (last interval start)
+                num, old = part_objs[rng.randrange(len(part_objs))]
+                _emit_stream(
+                    num,
+                    old + f"\n({_pdf_str(_sent(rng, words, 3))} rev) Tj",
+                )
+            elif roll < 0.30 and scheme and scheme[0] == "shift":
+                # replace the ToUnicode CMap stream (always direct):
+                # decode must follow the winner — dst base moves 0023→0025
+                k = scheme[1]
+                cm = (
+                    "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+                    f"1 beginbfrange\n<{0x23 + k:02X}> <{0x7E + k:02X}>"
+                    " <0025>\nendbfrange\nendcmap\nend"
+                )
+                parts.append(
+                    f"{font1 + 1} 0 obj\n<< /Length {len(cm)} >>\n"
+                    f"stream\n{cm}\nendstream\nendobj"
+                )
+            elif roll < 0.45 and live and not use_objstm:
+                # page-dict redefinition trap: the update points the page
+                # at a NEW content object; the old content object is never
+                # redefined so a reference-free scanner keeps it live —
+                # pinned degrade, mirrored exactly (ObjStm-contained page
+                # bodies are excluded: vobjs override direct definitions)
+                i = live[-1]
+                pb = objs[2 + i].replace(
+                    f"/Contents {contents_val[i]}",
+                    f"/Contents {pnext} 0 R",
+                    1,
+                )
+                parts.append(f"{3 + i} 0 obj\n{pb}\nendobj")
+                _emit_stream(pnext, _upd_ops())
+                pnext += 1
+            elif live:
+                # content replacement — usually the LAST live page
+                # (reading order preserved); ~15% deliberately an earlier
+                # page: the pinned out-of-order degrade
+                i = (
+                    live[0]
+                    if len(live) > 1 and rng.random() < 0.15
+                    else live[-1]
+                )
+                _emit_stream(first_content + i, _upd_ops())
+            else:
+                upd_done = False
+            if upd_done:
+                parts.append(_tail("", prev=True))
     doc = "\n".join(parts)
     if rng.random() < 0.07:  # truncated payload → must not error
         doc = doc[: rng.randint(len(doc) // 2, len(doc) - 1)]

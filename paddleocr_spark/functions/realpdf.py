@@ -1802,14 +1802,24 @@ def _content_resources(text: str):
     interval starts last in the document (ObjStm-contained or missing
     part numbers cannot be streams and are excluded — no streamable part
     → the page degrades to nothing).
+    Incremental updates (v16): the sixth return value is the set of DEAD
+    definition start offsets — intervals whose object number was redefined
+    by a later definition (``_object_map`` is last-wins). Supersession is
+    honored only in documents that look incrementally updated, i.e. carry
+    ≥ 2 raw ``%%EOF`` markers (ISO 32000 §7.5.6 — every update section
+    appends its own ``%%EOF``); a duplicate object number inside a
+    single-section body is malformed input and both definitions stay live
+    (pinned, SPEC §3b Incremental updates).
     Gated on a literal ``/ToUnicode``, ``/Differences``, ``/ObjStm``,
-    ``/XObject``, ``/Rotate``, a 2nd ``/MediaBox``, or a ``/Contents``
-    array opener appearing anywhere — absent all of
+    ``/XObject``, ``/Rotate``, a 2nd ``/MediaBox``, a ``/Contents``
+    array opener, or a 2nd ``%%EOF`` appearing anywhere — absent all of
     them every table is empty, extraction is identity, no form can exist
     and per-page geometry equals the document default, so the gate is a
-    pure fast path (SPEC §3b, v6/v9/v10/v14)."""
+    pure fast path (SPEC §3b, v6/v9/v10/v14/v16)."""
+    multi_eof = text.count("%%EOF") >= 2
     if (
-        "/ToUnicode" not in text
+        not multi_eof
+        and "/ToUnicode" not in text
         and "/Differences" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
@@ -1817,9 +1827,14 @@ def _content_resources(text: str):
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):
-        return {}, [], None, {}, {}
+        return {}, [], None, {}, {}, frozenset()
     dflt = media_box(text)
     objs, intervals = _object_map(text)
+    dead = (
+        frozenset(s for s, e, num in intervals if objs[num] != (s, e))
+        if multi_eof
+        else frozenset()
+    )
     vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
     by_content: dict = {}
@@ -1849,7 +1864,7 @@ def _content_resources(text: str):
             for r in streamable:
                 part_of[r] = num  # a shared part: the LAST page wins
     resolver = _make_form_resolver(text, objs, vobjs) if want_xobj else None
-    return by_content, intervals, resolver, part_of, groups
+    return by_content, intervals, resolver, part_of, groups, dead
 
 
 def _has_encrypt(text: str) -> bool:
@@ -1873,8 +1888,8 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         return [], 1
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
-    res_by_obj, obj_intervals, resolver, part_of, groups = _content_resources(
-        text
+    res_by_obj, obj_intervals, resolver, part_of, groups, dead = (
+        _content_resources(text)
     )
     obj_starts = [iv[0] for iv in obj_intervals]
     pending: dict = {}  # group id → {part obj num: decoded content}
@@ -1911,9 +1926,15 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         pos = end + 9
         content = text[body_start:end]
         onum = None
-        if res_by_obj or part_of:
+        if res_by_obj or part_of or dead:
             oi = bisect.bisect_right(obj_starts, body_start) - 1
             if oi >= 0 and body_start < obj_intervals[oi][1]:
+                if obj_intervals[oi][0] in dead:
+                    # superseded by an incremental update (v16): the old
+                    # definition is inert bytes — never decoded, never
+                    # interpreted, never counted (correct supersession,
+                    # not a failure); page ordinals skip it entirely
+                    continue
                 onum = obj_intervals[oi][2]
         gid = part_of.get(onum) if onum is not None else None
         if gid is not None:

@@ -1306,10 +1306,16 @@ def _rpdf_content_resources(text: str):
     intervals + form resolver + {part obj num: group id} + {group id:
     (part list, entry, trigger)}; gated on a literal /ToUnicode,
     /Differences, /ObjStm, /XObject, /Rotate, a 2nd /MediaBox or a
-    /Contents array opener (pure fast path — absent all, identity, no
-    forms, document-default geometry)."""
+    /Contents array opener or a 2nd %%EOF (pure fast path — absent all,
+    identity, no forms, document-default geometry). v16: the sixth return
+    value is the set of DEAD definition start offsets (object number
+    redefined later), honored only when the document carries ≥ 2 raw
+    %%EOF markers (incremental updates, ISO §7.5.6); single-section
+    duplicates stay live (pinned)."""
+    multi_eof = text.count("%%EOF") >= 2
     if (
-        "/ToUnicode" not in text
+        not multi_eof
+        and "/ToUnicode" not in text
         and "/Differences" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
@@ -1317,9 +1323,14 @@ def _rpdf_content_resources(text: str):
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
-        return {}, [], None, {}, {}
+        return {}, [], None, {}, {}, frozenset()
     dflt = _rpdf_mediabox(text)
     objs, intervals = _rpdf_object_map(text)
+    dead = (
+        frozenset(s for s, e, num in intervals if objs[num] != (s, e))
+        if multi_eof
+        else frozenset()
+    )
     vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
     by_content = {}
@@ -1353,7 +1364,7 @@ def _rpdf_content_resources(text: str):
             for r in streamable:
                 part_of[r] = num  # a shared part: the LAST page wins
     resolver = _rpdf_form_resolver(text, objs, vobjs) if want_xobj else None
-    return by_content, intervals, resolver, part_of, groups
+    return by_content, intervals, resolver, part_of, groups, dead
 
 
 def _rpdf_apply_cmap(s: str, entry):
@@ -1746,7 +1757,7 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
     if _RPDF_ENCRYPT_RE.search(text):
         return [], 1  # encrypted document: whole-payload refusal (v11)
     mb_w, mb_h = _rpdf_mediabox(text)
-    res_by_obj, obj_intervals, resolver, part_of, groups = (
+    res_by_obj, obj_intervals, resolver, part_of, groups, dead = (
         _rpdf_content_resources(text)
     )
     obj_starts = [iv[0] for iv in obj_intervals]
@@ -1779,9 +1790,11 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         min_pos = end + len("endstream")
         content = text[m.end() : end]
         onum = None
-        if res_by_obj or part_of:
+        if res_by_obj or part_of or dead:
             oi = _bisect.bisect_right(obj_starts, m.end()) - 1
             if oi >= 0 and m.end() < obj_intervals[oi][1]:
+                if obj_intervals[oi][0] in dead:
+                    continue  # superseded by an update (v16): inert bytes
                 onum = obj_intervals[oi][2]
         gid = part_of.get(onum) if onum is not None else None
         if gid is not None:

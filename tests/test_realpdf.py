@@ -1790,3 +1790,206 @@ def test_v15_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_hoist >= 10  # the v15 hoist draw actually fires in the window
+
+
+# ---------------------------------------------------------------------------
+# v16: incremental updates (ISO 32000 §7.5.6) + classic xref skeletons.
+# Supersession rule (SPEC §3b Incremental updates): the LAST definition of
+# an object number wins, and a stream inside a superseded definition is
+# inert — never decoded, never interpreted, never counted — but ONLY in
+# documents carrying >= 2 raw %%EOF markers (every real update section
+# appends its own %%EOF). Single-section duplicates are malformed input:
+# both definitions stay live (pinned).
+
+_V16_OLD = "BT /F1 12 Tf 72 700 Td (original body line) Tj ET"
+_V16_NEW = "BT /F1 12 Tf 72 700 Td (revised body line) Tj ET"
+
+
+def _v16_single(ops: str, tail: str = "trailer\n<< /Root 1 0 R >>\n%%EOF") -> str:
+    return "\n".join(
+        [
+            "%PDF-1.4",
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+            " /MediaBox [0 0 612 792] >>\nendobj",
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj",
+            f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj",
+            tail,
+        ]
+    )
+
+
+def _v16_stream_obj(num: int, ops: str) -> str:
+    return f"{num} 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj"
+
+
+def _v16_upd_tail(prev: int = 9) -> str:
+    return f"trailer\n<< /Root 1 0 R /Prev {prev} >>\n%%EOF"
+
+
+def _v16_xref_tail(nobj: int) -> str:
+    """Classic xref table + trailer + startxref (ISO §7.5.4/§7.5.5) — pure
+    inert bytes to the xref-free scanner (offsets are not even read)."""
+    lines = ["xref", f"0 {nobj + 1}", "0000000000 65535 f "]
+    lines += [f"{17 * (i + 1):010d} 00000 n " for i in range(nobj)]
+    lines += [
+        "trailer",
+        f"<< /Root 1 0 R /Size {nobj + 1} >>",
+        "startxref",
+        "9999",
+        "%%EOF",
+    ]
+    return "\n".join(lines)
+
+
+def test_update_replaces_content_stream():
+    doc = (
+        _v16_single(_V16_OLD)
+        + "\n"
+        + _v16_stream_obj(4, _V16_NEW)
+        + "\n"
+        + _v16_upd_tail()
+    )
+    texts = _texts(doc)
+    assert any("revised body line" in t for t in texts)
+    assert not any("original" in t for t in texts)
+    _k, spans, drop = extract_payload(doc)
+    # supersession is correct behavior, not a failure: nothing is counted
+    assert drop == 0 and len(spans) == 1
+
+
+def test_single_section_duplicate_keeps_both():
+    # ONE %%EOF: a duplicate object number is malformed input, not an
+    # incremental update — both stream bodies stay live and both render
+    doc = (
+        _v16_single(_V16_OLD, tail=_v16_stream_obj(4, _V16_NEW))
+        + "\ntrailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    assert doc.count("%%EOF") == 1
+    texts = _texts(doc)
+    assert any("original" in t for t in texts)
+    assert any("revised" in t for t in texts)
+    assert texts.index(next(t for t in texts if "original" in t)) < texts.index(
+        next(t for t in texts if "revised" in t)
+    )
+
+
+def test_classic_xref_skeleton_inert():
+    a = _texts(_v16_single(_V16_OLD))
+    b = _texts(_v16_single(_V16_OLD, tail=_v16_xref_tail(4)))
+    assert a == b and a  # xref/trailer/startxref bytes change nothing
+
+
+def _v16_cmap_obj(num: int, src: str, dst: str) -> str:
+    cm = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        f"1 beginbfchar\n<{src}> <{dst}>\nendbfchar\nendcmap\nend"
+    )
+    return f"{num} 0 obj\n<< /Length {len(cm)} >>\nstream\n{cm}\nendstream\nendobj\n"
+
+
+def test_update_replaces_tounicode_cmap():
+    base = _font_pdf(
+        "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        "<4141414141414141> Tj",
+        extra_objs=_v16_cmap_obj(6, "41", "0058"),
+    )
+    assert "XXXXXXXX" in _texts(base)[0]  # pre-update decode sanity
+    doc = base + _v16_cmap_obj(6, "41", "005A") + _v16_upd_tail()
+    texts = _texts(doc)
+    assert any("ZZZZZZZZ" in t for t in texts)  # winner CMap decodes
+    assert not any("XXXXXXXX" in t for t in texts)
+
+
+def test_update_page_redefinition_leaves_old_content_live():
+    # the update points the PAGE at a new content object but never
+    # redefines the old content object's number: a reference-free scanner
+    # keeps the orphaned stream live — documented degrade, both mirror
+    upd = (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+        + _v16_stream_obj(5, _V16_NEW)
+        + "\n"
+        + _v16_upd_tail()
+    )
+    texts = _texts(_v16_single(_V16_OLD) + "\n" + upd)
+    assert any("original" in t for t in texts)
+    assert any("revised" in t for t in texts)
+
+
+def test_update_nonlast_page_reads_at_update_position():
+    # page ordinals are interpretation (document) order: replacing the
+    # FIRST page's content stream makes its text read at the update's
+    # position, i.e. after the untouched second page — documented
+    # reading-order degrade of reference-free scanning, mirrored exactly
+    p0 = "BT /F1 12 Tf 72 700 Td (first page body) Tj ET"
+    p1 = "BT /F1 12 Tf 72 700 Td (second page body) Tj ET"
+    base = _pages_pdf([(p0, ""), (p1, "")])
+    doc = (
+        base
+        + "\n"
+        + _v16_stream_obj(5, _V16_NEW.replace("revised", "rewritten"))
+        + "\n"
+        + _v16_upd_tail()
+    )
+    texts = _texts(doc)
+    assert not any("first page" in t for t in texts)
+    i_second = next(i for i, t in enumerate(texts) if "second page" in t)
+    i_new = next(i for i, t in enumerate(texts) if "rewritten" in t)
+    assert i_second < i_new
+
+
+def test_update_replaces_contents_array_part():
+    # a superseded part is never stashed; the group trigger moves to the
+    # update's definition (last interval start wins), so assembly happens
+    # there with the REPLACED part content in array order
+    parts = [
+        (5, "BT /F1 12 Tf 72 700 Td (part one text) Tj"),
+        (6, "0 -14 Td (part two text) Tj ET"),
+    ]
+    base = _array_pdf("[5 0 R 6 0 R]", parts)
+    doc = (
+        base
+        + "\n"
+        + _v16_stream_obj(5, "BT /F1 12 Tf 72 700 Td (part one rewritten) Tj")
+        + "\n"
+        + _v16_upd_tail()
+    )
+    texts = _texts(doc)
+    joined = " ".join(texts)
+    assert "part one rewritten" in joined and "part two text" in joined
+    assert "part one text" not in joined
+
+
+def test_update_truncation_fuzz():
+    """Update docs cut at every 11th offset: kernel/oracle parity, no raise."""
+    base = _v16_single(_V16_OLD, tail=_v16_xref_tail(4))
+    doc = (
+        base
+        + "\n"
+        + _v16_stream_obj(4, _V16_NEW)
+        + "\n"
+        + _v16_xref_tail(4)
+    )
+    for cut in range(0, len(doc), 11):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+def test_v16_corpus_fuzz_parity():
+    n_upd, n_xref, n_dup = 0, 0, 0
+    for seed in range(1000, 1800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if doc.count("%%EOF") >= 2:
+            n_upd += 1
+        if "startxref" in doc:
+            n_xref += 1
+        if doc.count("%%EOF") == 1 and "revised" in doc:
+            n_dup += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    # every v16 draw actually fires in the window
+    assert n_upd >= 30 and n_xref >= 100 and n_dup >= 3
