@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 16  # v16: incremental updates + xref skeletons; v15 inherited /Resources
+CORPUS_VERSION = 17  # v17: HTML5 attr/script/comment depth; v16 incremental updates
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -62,25 +62,52 @@ def _sent(rng: random.Random, words: List[str], k: int) -> str:
 
 
 def _make_html(rng: random.Random, words: List[str]) -> str:
+    """v17 depth: HTML5 constructs real web pages actually carry —
+    quoted attribute values containing ``>`` (tag-open state), single-
+    quoted and unquoted ``class`` values, uppercase/mixed-case tags,
+    hex numeric entities, ``<script>``/``<style>`` blocks whose content
+    (including tag-looking strings) must vanish, CDATA-as-bogus-comment
+    residue, unclosed-comment tails, and ``<img alt>`` whose alt text is
+    NOT extracted (pinned)."""
     w = lambda: rng.choice(words)
     parts = ["<html><head><title>", _sent(rng, words, 3), "</title></head><body>"]
-    # boilerplate: nav of links (high link density → must be stripped)
-    nav = " ".join(f'<a href="/{w()}">{w()} {w()}</a>' for _ in range(rng.randint(3, 6)))
+    if rng.random() < 0.10:  # v17: head script/style — content must vanish
+        parts.insert(
+            1,
+            '<script type="text/javascript">var p = "<p>not body '
+            f'text</p>"; if ({rng.randint(1, 9)} > 2) {{ x = "{w()}"; }}'
+            "</script><style>article > p { color: #333; }</style>",
+        )
+    # boilerplate: nav of links (high link density → must be stripped);
+    # v17: ~20% of nav links carry a title attr with '>' inside quotes
+    nav = " ".join(
+        f'<a href="/{w()}"'
+        + (f' title="{w()} > {w()}"' if rng.random() < 0.2 else "")
+        + f">{w()} {w()}</a>"
+        for _ in range(rng.randint(3, 6))
+    )
     parts.append(f"<nav>{nav}</nav>")
     parts.append(f"<header><p>{_sent(rng, words, 4)} banner</p></header>")
+    # v17: the sidebar class draws its HTML5 quoting form — all three
+    # must be recognized as boilerplate
+    cls = rng.choice(('class="sidebar"', "class='sidebar'", "class=sidebar"))
     parts.append(
-        '<div class="sidebar"><ul>'
+        f"<div {cls}><ul>"
         + "".join(f'<li><a href="#{w()}">{w()}</a></li>' for _ in range(3))
         + "</ul></div>"
     )
-    parts.append("<article>")
+    upper = rng.random() < 0.10  # v17: shouty markup — tags are case-blind
+    parts.append("<ARTICLE>" if upper else "<article>")
     if rng.random() < 0.6:
-        parts.append(f"<h1>{_sent(rng, words, rng.randint(2, 5))}</h1>")
+        otag, ctag = ("<H1>", "</H1>") if upper else ("<h1>", "</h1>")
+        parts.append(f"{otag}{_sent(rng, words, rng.randint(2, 5))}{ctag}")
     for _ in range(rng.randint(2, 6)):
         sent = _sent(rng, words, rng.randint(8, 30))
         roll = rng.random()
-        if roll < 0.20:  # entities
-            sent = sent.replace(" ", " &amp; ", 1) + " caf&#233; &lt;tag&gt;"
+        if roll < 0.20:  # entities (v17: hex forms join the decimal/named mix)
+            sent = sent.replace(" ", " &amp; ", 1) + rng.choice(
+                (" caf&#233; &lt;tag&gt;", " caf&#xE9; &#x2014; x&nbsp;y")
+            )
         elif roll < 0.45:  # inline style tokens (scrubbed, text kept)
             ws = sent.split(" ")
             i = rng.randrange(len(ws))
@@ -89,8 +116,21 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 ws[-1] = f"<i>{ws[-1]}</i>"
             sent = " ".join(ws)
         elif roll < 0.55:  # a single inline link (low density → kept)
-            sent += f' see <a href="/{w()}">{w()}</a>'
-        parts.append(f"<p>{sent}</p>")
+            href = (
+                f'"/{w()}?a>b&gt;c"' if rng.random() < 0.25 else f'"/{w()}"'
+            )  # v17: '>' inside the quoted href must not end the tag
+            sent += f" see <a href={href}>{w()}</a>"
+        elif roll < 0.62:  # v17: mid-article script island between blocks
+            parts.append(
+                f"<script>document.write('<p>{w()} {w()}</p>');"
+                f" if (a > b) b = '{w()}';</script>"
+            )
+        elif roll < 0.67:  # v17: an image with alt text (NOT extracted)
+            parts.append(f'<img src="/{w()}.png" alt="{w()} {w()} alt text">')
+        ptag = "<P>" if upper else "<p>"
+        parts.append(f"{ptag}{sent}{'</P>' if upper else '</p>'}")
+    if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
+        parts.append(f"<![CDATA[{w()} > {w()}]]>")
     if rng.random() < 0.10:
         parts.append("<p></p>")  # empty block
     if rng.random() < 0.25:  # list content
@@ -105,9 +145,11 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
             cells = "".join(f"<td>{_sent(rng, words, 2)}</td>" for _ in range(rng.randint(2, 3)))
             rows.append(f"<tr>{cells}</tr>")
         parts.append("<table>" + "".join(rows) + "</table>")
-    parts.append("</article>")
+    parts.append("</ARTICLE>" if upper else "</article>")
     parts.append(f"<footer><p>copyright {w()} <a href='/{w()}'>{w()}</a></p></footer>")
     parts.append("</body></html>")
+    if rng.random() < 0.04:  # v17: unclosed comment tail — consumed to EOF
+        parts.append(f"<!-- analytics {w()} {w()} never closed")
     doc = "".join(parts)
     if rng.random() < 0.07:  # malformed/truncated payload → must not error
         doc = doc[: rng.randint(len(doc) // 2, len(doc) - 1)]

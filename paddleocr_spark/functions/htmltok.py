@@ -38,10 +38,25 @@ from typing import List, Optional
 from ..config import ExtractConfig, DEFAULT_CONFIG
 from .textnorm import decode_entities, collapse_ws
 
-# one-pass token scan: comments | tags/declarations | text runs
-_TOKEN_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+# one-pass token scan: comments | tags (quote-aware) | bogus tags | text runs.
+# v17: a quoted attribute value may contain '>' (HTML5 tag-open state) — the
+# second alternative consumes "..." / '...' runs whole; a tag whose quote
+# never closes before its '>' falls back to the pre-v17 first-'>' rule
+# (third alternative). Alternatives are first-char-disjoint → linear scan.
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->|<!--.*|<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    r"|<[^>]*>|[^<]+", re.DOTALL
+)
 _TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
-_CLASS_RE = re.compile(r"""class\s*=\s*["']([^"']*)""", re.IGNORECASE)
+# v17: double-quoted, single-quoted, or unquoted (HTML5) class values
+_CLASS_RE = re.compile(
+    r"""class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+)
+
+
+def _class_value(m) -> str:
+    a, b, c = m.groups()
+    return a if a is not None else (b if b is not None else c)
 
 # tags that terminate the current block when opened or closed
 BLOCK_TAGS = frozenset(
@@ -59,7 +74,7 @@ def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
     m = _CLASS_RE.search(tag_token)
     if not m:
         return False
-    return boiler_class in m.group(1).split()
+    return boiler_class in _class_value(m).split()
 
 
 # Parsed-tag cache: token string → (closing, name, self_closing, class_tokens).
@@ -89,7 +104,7 @@ def _parse_tag(tok: str):
             if not closing and "=" in tok:
                 m = _CLASS_RE.search(tok)
                 if m:
-                    class_tokens = tuple(m.group(1).split())
+                    class_tokens = tuple(_class_value(m).split())
             info = (
                 closing,
                 name.lower(),

@@ -20,9 +20,22 @@ import re
 from .config import ExtractConfig, DEFAULT_CONFIG
 
 # --- payload format spec (identical literals to the engine, by definition) ---
-TOKEN_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+# v17: quote-aware tag tokens (a quoted attribute value may contain '>');
+# unterminated quote falls back to the first-'>' rule — same literals as the
+# engine, by definition
+TOKEN_RE = re.compile(
+    r"<!--.*?-->|<!--.*|<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    r"|<[^>]*>|[^<]+", re.DOTALL
+)
 TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
-CLASS_RE = re.compile(r"""class\s*=\s*["']([^"']*)""", re.IGNORECASE)
+CLASS_RE = re.compile(
+    r"""class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+)
+
+
+def _class_val(m) -> str:
+    a, b, c = m.groups()
+    return a if a is not None else (b if b is not None else c)
 HTML_SNIFF_RE = re.compile(
     r"<\s*(?:!doctype|html|head|body|div|p|br|nav|article|main|section|header"
     r"|footer|aside|table|ul|ol|li|h[1-6]|span|a|b|i|em|strong|pre|code|title)\b",
@@ -176,7 +189,7 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 cm = CLASS_RE.search(tok)
                 flags = {
                     "boiler": name in cfg.boiler_tags
-                    or bool(cm and cfg.boiler_class in cm.group(1).split()),
+                    or bool(cm and cfg.boiler_class in _class_val(cm).split()),
                     "a": name == "a",
                     "heading": name in _HEADINGS,
                     "pre": name in ("pre", "code"),

@@ -277,3 +277,124 @@ def test_formula_markdown_fencing(spark):
     from paddleocr_spark.golden import render_markdown_py
 
     assert render_markdown_py([(0, "formula", "a*b = c", 1.0, None)]) == md
+
+
+# ---------------------------------------------------------------------------
+# v17: HTML5 depth — quote-aware tag tokens, class quoting forms, raw-text
+# skips, comment/CDATA edge rules (SPEC §2.1/§2.2)
+
+import random as _random
+
+from paddleocr_spark.corpus import _make_html as _mk_html
+from paddleocr_spark.oracle import oracle_extract as _ora
+
+_W17 = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform"
+).split()
+
+
+def _html_parity(doc: str):
+    k, spans, drop = extract_payload(doc)
+    o = _ora(doc)
+    assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"])
+    return [s[2] for s in spans]
+
+
+def test_v17_gt_inside_quoted_attr_value():
+    texts = _html_parity(
+        '<html><body><article><p>alpha beta <a href="/x?a>b" title="3 > 2">'
+        "link word</a> gamma delta epsilon zeta</p></article></body></html>"
+    )
+    assert texts == ["alpha beta link word gamma delta epsilon zeta"]
+
+
+def test_v17_class_quoting_forms_all_boilerplate():
+    for cls in ('class="sidebar"', "class='sidebar'", "class=sidebar"):
+        texts = _html_parity(
+            f"<html><body><div {cls}><p>side text one two three</p></div>"
+            "<article><p>real body text here now</p></article></body></html>"
+        )
+        assert texts == ["real body text here now"], cls
+
+
+def test_v17_unterminated_quote_falls_back_to_first_gt():
+    # the quote never closes: the tag ends at the first '>' (pre-v17 rule),
+    # the residue scans as text inside the then-open <a>
+    texts = _html_parity(
+        '<html><body><article><p>pre text</p><a href="broken >tail text'
+        " after</a><p>more body text here</p></article></body></html>"
+    )
+    assert "pre text" in texts and "more body text here" in texts
+    assert not any("tail text" in t for t in texts)  # link-density dropped
+
+
+def test_v17_script_content_with_tag_strings_vanishes():
+    texts = _html_parity(
+        '<html><body><script>var s = "<p>not text</p>"; if (a>b) {}</script>'
+        "<style>p > a {color:red}</style><article><p>visible body text one"
+        " two</p></article></body></html>"
+    )
+    assert texts == ["visible body text one two"]
+    assert not any("not text" in t for t in texts)
+
+
+def test_v17_uppercase_tags_case_blind():
+    texts = _html_parity(
+        "<HTML><BODY><ARTICLE><P>upper case paragraph body text</P>"
+        "</ARTICLE></BODY></HTML>"
+    )
+    assert texts == ["upper case paragraph body text"]
+
+
+def test_v17_unclosed_comment_consumes_to_eof():
+    texts = _html_parity(
+        "<html><body><article><p>kept text line here</p>"
+        "<!-- unclosed comment <p>ghost text</p> rest"
+    )
+    assert texts == ["kept text line here"]
+
+
+def test_v17_cdata_bogus_comment_residue_pinned():
+    # HTML5 bogus-comment rule: '<![CDATA[x ' dies at the first '>', the
+    # residue ' y]]>' is TEXT — exactly what a browser renders
+    texts = _html_parity(
+        "<html><body><article><p>before text here</p><![CDATA[x > y]]>"
+        "<p>after text continues here</p></article></body></html>"
+    )
+    assert texts == ["before text here", "y]]>", "after text continues here"]
+
+
+def test_v17_hex_entities():
+    texts = _html_parity(
+        "<html><body><article><p>caf&#xE9; dash &#x2014; and&nbsp;nbsp"
+        "</p></article></body></html>"
+    )
+    assert texts == ["café dash — and nbsp"]
+
+
+def test_v17_img_alt_not_extracted():
+    texts = _html_parity(
+        '<html><body><article><p>body text line one</p><img src="/x.png"'
+        ' alt="picture alt words"><p>body text line two</p></article>'
+        "</body></html>"
+    )
+    assert texts == ["body text line one", "body text line two"]
+    assert not any("alt words" in t for t in texts)
+
+
+def test_v17_corpus_fuzz_parity():
+    n_gt_attr = n_script = n_cls = 0
+    for seed in range(2000, 2800):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if ' title="' in doc or "?a>b" in doc:
+            n_gt_attr += 1
+        if "<script" in doc:
+            n_script += 1
+        if "class=sidebar" in doc or "class='sidebar'" in doc:
+            n_cls += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_gt_attr >= 100 and n_script >= 50 and n_cls >= 300
