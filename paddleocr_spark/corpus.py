@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 17  # v17: HTML5 attr/script/comment depth; v16 incremental updates
+CORPUS_VERSION = 18  # v18: base encodings (WinAnsi/MacRoman); v17 HTML5 depth
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -470,6 +470,13 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     v15: ~25% of resource-bearing payloads hoist /Resources to the Pages
     node (inherited via the /Parent walk, ISO §7.7.3.4), ~20% of those
     with a broken page-level /Resources that must mask the ancestor's.
+    v18: ~10% of payloads draw a base-encoding simple font (ISO 32000
+    Annex D.2 — /WinAnsiEncoding or /MacRomanEncoding as a bare name, a
+    dict with a '$'→bullet /Differences overlay riding /BaseEncoding, or
+    a referenced /Type /Encoding object), body text salted with
+    high-half glyphs (curly quotes, em-dash, €, é, «», …); ~10% of CMap
+    fonts carry a conflicting bare base-encoding name the ToUnicode must
+    beat.
     v16: ~35% of section tails grow a classic xref table + startxref
     (inert bytes to the xref-free scanner); ~12% of non-encrypted
     payloads append an incremental-update section (ISO §7.5.6) that
@@ -498,6 +505,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         scheme = ("diff", _mk_diffmap(rng))
         if rng.random() < 0.20:
             scheme2 = ("shift", 4)
+    elif r2 < 0.50:  # v18: base-encoding simple font (Annex D.2)
+        scheme = ("winansi" if rng.random() < 0.6 else "macroman", None)
+        if rng.random() < 0.15:
+            scheme2 = ("shift", 3)
 
     def _codes(sent: str, sch) -> str:
         kind, m = sch
@@ -515,14 +526,46 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     f"{c:02X}" if c is not None
                     else f"{o:02X}" if 0x20 <= o <= 0x7E else "3F"
                 )
+            elif kind in ("winansi", "macroman"):
+                # v18: encode through the published codec (generation-side
+                # only — the kernel and oracle decode independently)
+                try:
+                    out.append(
+                        ch.encode(
+                            "cp1252" if kind == "winansi" else "mac_roman"
+                        ).hex().upper()
+                    )
+                except UnicodeEncodeError:
+                    out.append("3F")
             else:
                 out.append(f"{m.setdefault(ch, 0x0100 + len(m)):04X}")
         return "".join(out)
+
+    def _base_decorate(rng_, sent: str, kind: str) -> str:
+        # v18: salt the sentence with glyphs that live in the high half of
+        # the base encoding (plus the '$'→bullet Differences-overlay marker)
+        ws = sent.split(" ")
+        i = rng_.randrange(len(ws))
+        if kind == "winansi":
+            ws[i] = rng_.choice(
+                (f"“{ws[i]}”", f"‘{ws[i]}’",
+                 f"{ws[i]}™", f"•{ws[i]}",
+                 f"{ws[i]} — €", f"${ws[i]}")
+            )
+        else:
+            ws[i] = rng_.choice(
+                (f"«{ws[i]}»", f"{ws[i]}é",
+                 f"{ws[i]}°", f"≈{ws[i]}",
+                 f"{ws[i]}…", f"${ws[i]}")
+            )
+        return " ".join(ws)
 
     def show(sent: str, sch=None) -> str:
         roll = rng.random()
         if sch is not None and sch[0] == "diff":
             sent = _diff_decorate(rng, sent, sch[1])
+        elif sch is not None and sch[0] in ("winansi", "macroman"):
+            sent = _base_decorate(rng, sent, sch[0])
         if sch is not None:  # encoded shows are hex-string forms only
             if roll < 0.5:
                 return f"<{_codes(sent, sch)}> Tj"
@@ -646,6 +689,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         sent = _sent(rng, words, rng.randint(4, 8))
                         if sch is not None and sch[0] == "diff":
                             sent = _diff_decorate(rng, sent, sch[1])
+                        elif sch is not None and sch[0] in (
+                            "winansi", "macroman"
+                        ):
+                            sent = _base_decorate(rng, sent, sch[0])
                         sstr = (
                             f"<{_codes(sent, sch)}>" if sch is not None
                             else f"({_pdf_str(sent)})"
@@ -867,6 +914,42 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         pairs = [(scheme, font1)] + ([(scheme2, font1 + 2)] if scheme2 else [])
         for sch, fnum in pairs:
             cnum = fnum + 1
+            if sch[0] in ("winansi", "macroman"):
+                # v18: base-encoding simple font — bare name, dict with a
+                # '$'→bullet /Differences overlay, or a referenced
+                # /Type /Encoding object (dict objects may ride the ObjStm)
+                enm = (
+                    "/WinAnsiEncoding"
+                    if sch[0] == "winansi"
+                    else "/MacRomanEncoding"
+                )
+                r = rng.random()
+                if r < 0.5:  # bare name
+                    fbody = (
+                        "<< /Type /Font /Subtype /Type1 /BaseFont"
+                        f" /Helvetica /Encoding {enm} >>"
+                    )
+                elif r < 0.8:  # dict: BaseEncoding + observable overlay
+                    fbody = (
+                        "<< /Type /Font /Subtype /Type1 /Encoding"
+                        f" << /BaseEncoding {enm}"
+                        " /Differences [ 36 /bullet ] >> >>"
+                    )
+                else:  # referenced encoding object
+                    fbody = (
+                        "<< /Type /Font /Subtype /Type1 /BaseFont"
+                        f" /Helvetica /Encoding {cnum} 0 R >>"
+                    )
+                    ebody = f"<< /Type /Encoding /BaseEncoding {enm} >>"
+                    if use_objstm:
+                        objstm_inner.append((cnum, ebody))
+                    else:
+                        parts.append(f"{cnum} 0 obj\n{ebody}\nendobj")
+                if use_objstm:
+                    objstm_inner.append((fnum, fbody))
+                else:
+                    parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
+                continue
             if sch[0] == "diff":
                 # v13: a simple font whose decode table is /Encoding
                 # /Differences — inline dict or a referenced /Type /Encoding
@@ -900,9 +983,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 cbody, cdecl = cm, ""
             # v13 precedence trap (~15%): a conflicting Differences rides
             # NEXT TO the ToUnicode — the CMap must win for extraction
+            tu_r = rng.random()
             tu_extra = (
                 " /Encoding << /Differences [ 35 /bullet ] >>"
-                if rng.random() < 0.15
+                if tu_r < 0.15
+                else " /Encoding /WinAnsiEncoding"  # v18: CMap still wins
+                if tu_r < 0.25
                 else ""
             )
             fbody = (

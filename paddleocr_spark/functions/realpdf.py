@@ -1030,34 +1030,91 @@ def _glyph_uni(name: str) -> Optional[str]:
     return None
 
 
-def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
-    """Font body → cmap entry from ``/Encoding << /Differences [...] >>``
-    (inline dict or referenced encoding object — ISO 32000 §9.6.6). The
-    array alternates integer start-codes and glyph names; each name maps
-    the current code and increments it. Base encoding is the identity
-    (latin-1 byte value), so only table-resolvable names produce entries;
-    codes outside 0..255 and unknown names are skipped (still increment).
-    Returns the same (cmap, lengths, xlate) shape as a 1-byte ToUnicode
-    CMap so ``_apply_cmap``'s translate fast path applies unchanged, or
-    None when no usable Differences exist. A bare-name /Encoding (e.g.
-    /WinAnsiEncoding) yields no dict → None → identity, the documented
-    subset rule."""
-    enc = _key_dict_body(fbody, "/Encoding", text, objs, vobjs)
-    if enc is None:
-        return None
-    k = enc.find("/Differences")
+# Base encodings (v18 — ISO 32000 Annex D.2, public tables). WinAnsi is
+# cp1252: identity everywhere outside the C1 block (verified against the
+# codec), so only the 27 defined C1 codes carry entries — the five
+# undefined codes (81 8D 8F 90 9D) stay identity, the subset's rule for
+# unmapped codes. MacRoman remaps the whole high half; the kernel derives
+# its table from Python's mac_roman codec while the oracle carries an
+# independent literal (content-equality asserted in tests/test_realpdf).
+# Any OTHER bare encoding name (/StandardEncoding, /PDFDocEncoding,
+# unknown) stays identity — the documented subset rule, unchanged.
+_WINANSI_XLATE = {
+    b: bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+}
+_MACROMAN_XLATE = {
+    0x80 + i: ch
+    for i, ch in enumerate(bytes(range(0x80, 0x100)).decode("mac_roman"))
+}
+_BASE_ENCODINGS = {
+    "WinAnsiEncoding": _WINANSI_XLATE,
+    "MacRomanEncoding": _MACROMAN_XLATE,
+}
+
+
+def _key_name(body: str, key: str) -> Optional[str]:
+    """``/Key /Name`` anchored at the FIRST token-exact ``key`` → Name,
+    else None (v18 — the name twin of ``_key_ref``)."""
+    k = body.find(key)
     if k < 0:
         return None
-    after = k + len("/Differences")
-    if after < len(enc) and enc[after] not in _WS and enc[after] not in _DELIM:
+    after = k + len(key)
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
         return None
-    i = _skip_ws(enc, after)
-    if enc[i : i + 1] != "[":
+    i = _skip_ws(body, after)
+    if body[i : i + 1] != "/":
         return None
-    i += 1
+    nm, _i = _read_name_token(body, i)
+    return nm or None
+
+
+def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
+    """Font body → cmap entry from ``/Encoding`` (ISO 32000 §9.6.6).
+
+    v18: ``/Encoding`` may be a BARE NAME — ``/WinAnsiEncoding`` /
+    ``/MacRomanEncoding`` load the Annex D.2 base table, any other name
+    stays identity — or a dict (inline or referenced encoding object)
+    whose ``/BaseEncoding`` name seeds the table BEFORE the
+    ``/Differences`` overlay (§9.6.6.3 precedence). The Differences array
+    alternates integer start-codes and glyph names; each name maps the
+    current code and increments it. Only table-resolvable names produce
+    entries; codes outside 0..255 and unknown names are skipped (still
+    increment). Returns the same (cmap, lengths, xlate) shape as a 1-byte
+    ToUnicode CMap so ``_apply_cmap``'s translate fast path applies
+    unchanged, or None when neither a base table nor usable Differences
+    exist (identity)."""
+    enc = _key_dict_body(fbody, "/Encoding", text, objs, vobjs)
+    if enc is None:
+        nm = _key_name(fbody, "/Encoding")
+        base = _BASE_ENCODINGS.get(nm) if nm else None
+        if base is None:
+            return None
+        xlate = dict(base)
+        return {(c, 1): u for c, u in xlate.items()}, [1], xlate
+    base = _BASE_ENCODINGS.get(_key_name(enc, "/BaseEncoding") or "")
+    xlate = dict(base) if base else {}
+    k = enc.find("/Differences")
+    has_diff = True
+    if k < 0:
+        has_diff = False
+    else:
+        after = k + len("/Differences")
+        if after < len(enc) and enc[after] not in _WS and enc[after] not in _DELIM:
+            has_diff = False
+        else:
+            i = _skip_ws(enc, after)
+            if enc[i : i + 1] != "[":
+                has_diff = False
+            else:
+                i += 1
+    if not has_diff:
+        if not xlate:
+            return None
+        return {(c, 1): u for c, u in xlate.items()}, [1], xlate
     n = len(enc)
     code = -1
-    xlate: dict = {}
     while i < n:
         ch = enc[i]
         if ch in _WS:
@@ -1810,17 +1867,21 @@ def _content_resources(text: str):
     appends its own ``%%EOF``); a duplicate object number inside a
     single-section body is malformed input and both definitions stay live
     (pinned, SPEC §3b Incremental updates).
-    Gated on a literal ``/ToUnicode``, ``/Differences``, ``/ObjStm``,
-    ``/XObject``, ``/Rotate``, a 2nd ``/MediaBox``, a ``/Contents``
-    array opener, or a 2nd ``%%EOF`` appearing anywhere — absent all of
-    them every table is empty, extraction is identity, no form can exist
-    and per-page geometry equals the document default, so the gate is a
-    pure fast path (SPEC §3b, v6/v9/v10/v14/v16)."""
+    Gated on a literal ``/ToUnicode``, ``/Differences``,
+    ``/WinAnsiEncoding``, ``/MacRomanEncoding`` (v18 — a ``/BaseEncoding``
+    value is one of these names, so it needs no token of its own),
+    ``/ObjStm``, ``/XObject``, ``/Rotate``, a 2nd ``/MediaBox``, a
+    ``/Contents`` array opener, or a 2nd ``%%EOF`` appearing anywhere —
+    absent all of them every table is empty, extraction is identity, no
+    form can exist and per-page geometry equals the document default, so
+    the gate is a pure fast path (SPEC §3b, v6/v9/v10/v14/v16/v18)."""
     multi_eof = text.count("%%EOF") >= 2
     if (
         not multi_eof
         and "/ToUnicode" not in text
         and "/Differences" not in text
+        and "/WinAnsiEncoding" not in text
+        and "/MacRomanEncoding" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
         and "/Rotate" not in text

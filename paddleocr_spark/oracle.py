@@ -1041,21 +1041,72 @@ def _rpdf_glyph_name_uni(nm: str):
     return None
 
 
+# Base-encoding tables (v18) — the oracle's independent literal form of
+# the kernel's codec-derived tables (ISO 32000 Annex D.2 / cp1252 /
+# MacRoman — public data; content equality asserted in tests).
+_RPDF_WINANSI = {
+    int(e[:2], 16): chr(int(e[3:], 16))
+    for e in (
+        "80=20AC 82=201A 83=0192 84=201E 85=2026 86=2020 87=2021 88=02C6 "
+        "89=2030 8A=0160 8B=2039 8C=0152 8E=017D 91=2018 92=2019 93=201C "
+        "94=201D 95=2022 96=2013 97=2014 98=02DC 99=2122 9A=0161 9B=203A "
+        "9C=0153 9E=017E 9F=0178"
+    ).split()
+}
+_RPDF_MACROMAN = {
+    0x80 + i: ch
+    for i, ch in enumerate(
+        "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø"
+        "¿¡¬√ƒ≈∆«»…\xa0ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙı"
+        "ˆ˜¯˘˙˚¸˝˛ˇ"
+    )
+}
+_RPDF_BASE_ENC = {
+    "WinAnsiEncoding": _RPDF_WINANSI,
+    "MacRomanEncoding": _RPDF_MACROMAN,
+}
+_RPDF_KEYNAME_RE = re.compile(
+    r"[\x00\t\n\x0c\r ]*/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
+
+
+def _rpdf_key_name(body: str, key: str):
+    """``/Key /Name`` anchored at the FIRST token-exact key → Name (v18)."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    if after < len(body) and not re.match(
+        r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after]
+    ):
+        return None
+    m = _RPDF_KEYNAME_RE.match(body, after)
+    return m.group(1) if m and m.group(1) else None
+
+
 def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
-    """Mirror of the kernel Differences rule (SPEC §3b, v13): /Encoding
-    (inline dict or ref) → /Differences [ ... ]; ints set the code, names
-    map-and-increment; base = identity; unknown names skip (still
-    increment); codes outside 0..255 skip. Entry shape = a 1-byte cmap."""
+    """Mirror of the kernel Encoding rule (SPEC §3b, v13/v18): /Encoding
+    as a bare base-encoding name (WinAnsi/MacRoman → Annex D table, any
+    other name → identity) or a dict whose /BaseEncoding seeds the table
+    before the /Differences overlay; ints set the code, names
+    map-and-increment; unknown names skip (still increment); codes
+    outside 0..255 skip. Entry shape = a 1-byte cmap."""
     enc = _rpdf_key_dict(fbody, "/Encoding", text, objs, vobjs)
     if enc is None:
-        return None
+        nm = _rpdf_key_name(fbody, "/Encoding")
+        base = _RPDF_BASE_ENC.get(nm) if nm else None
+        if base is None:
+            return None
+        return {(c, 1): u for c, u in base.items()}, [1]
+    base = _RPDF_BASE_ENC.get(_rpdf_key_name(enc, "/BaseEncoding") or "")
+    cmap = {(c, 1): u for c, u in base.items()} if base else {}
     k = re.search(
         r"/Differences(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
         r"[\x00\t\n\x0c\r ]*\[", enc
     )
     if not k:
-        return None
-    code, cmap = -1, {}
+        return (cmap, [1]) if cmap else None
+    code = -1
     for m in _RPDF_DIFFTOK_RE.finditer(enc, k.end()):
         if m.group(2):
             break
@@ -1330,6 +1381,8 @@ def _rpdf_content_resources(text: str):
         not multi_eof
         and "/ToUnicode" not in text
         and "/Differences" not in text
+        and "/WinAnsiEncoding" not in text
+        and "/MacRomanEncoding" not in text
         and "/ObjStm" not in text
         and "/XObject" not in text
         and "/Rotate" not in text

@@ -1993,3 +1993,99 @@ def test_v16_corpus_fuzz_parity():
         assert drop == o["n_dropped"], f"seed {seed}"
     # every v16 draw actually fires in the window
     assert n_upd >= 30 and n_xref >= 100 and n_dup >= 3
+
+
+# ---------------------------------------------------------------------------
+# v18: base encodings — /WinAnsiEncoding, /MacRomanEncoding (ISO 32000
+# Annex D.2). Bare name, /BaseEncoding under a /Differences overlay, or a
+# referenced /Type /Encoding object; ToUnicode still beats everything;
+# any other bare name stays identity (pinned subset rule).
+
+
+def test_winansi_bare_name_decodes_c1():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>",
+        "<93> Tj (quoted words here) Tj <9420976D6F7265> Tj",
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "“quoted words here” —more"
+
+
+def test_macroman_bare_name_decodes_high_half():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >>",
+        "(caf) Tj <8E> Tj ( dash ) Tj <D0C9> Tj",
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "café dash –…"
+
+
+def test_unknown_base_name_stays_identity():
+    for nm in ("/StandardEncoding", "/PDFDocEncoding", "/NoSuchEncoding"):
+        doc = _font_pdf(
+            f"<< /Type /Font /Subtype /Type1 /Encoding {nm} >>",
+            "(plain words stay put) Tj <93> Tj",
+        )
+        spans = _assert_parity(doc)
+        # identity decode: 0x93 stays the raw C1 char (no table, no scrub)
+        assert spans[0][2] == "plain words stay put\x93", nm
+
+
+def test_base_encoding_under_differences_overlay():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding << /BaseEncoding"
+        " /WinAnsiEncoding /Differences [ 65 /emdash 147 /A ] >> >>",
+        "<41> Tj ( mid ) Tj <93> Tj",
+    )
+    spans = _assert_parity(doc)
+    # 0x41 remapped by Differences (beats base identity); 0x93 remapped by
+    # the SAME Differences even though the base also defines it
+    assert spans[0][2] == "— mid A"
+
+
+def test_base_encoding_via_referenced_encoding_object():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        "(marker text) Tj <8E> Tj",
+        extra_objs=(
+            "6 0 obj\n<< /Type /Encoding /BaseEncoding /MacRomanEncoding >>"
+            "\nendobj\n"
+        ),
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "marker texté"  # MacRoman 0x8E = eacute
+
+
+def test_tounicode_beats_base_encoding():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R"
+        " /Encoding /WinAnsiEncoding >>",
+        "<41414141> Tj",
+        extra_objs=_v16_cmap_obj(6, "41", "0058"),
+    )
+    spans = _assert_parity(doc)
+    assert spans[0][2] == "XXXX"
+
+
+def test_glyph_base_tables_kernel_oracle_equal():
+    from paddleocr_spark.functions import realpdf as K
+    from paddleocr_spark import oracle as O
+
+    assert K._WINANSI_XLATE == O._RPDF_WINANSI
+    assert K._MACROMAN_XLATE == O._RPDF_MACROMAN
+    assert len(O._RPDF_MACROMAN) == 128 and len(O._RPDF_WINANSI) == 27
+
+
+def test_v18_corpus_fuzz_parity():
+    n_win = n_mac = 0
+    for seed in range(3000, 3800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/WinAnsiEncoding" in doc:
+            n_win += 1
+        if "/MacRomanEncoding" in doc:
+            n_mac += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_win >= 40 and n_mac >= 10
