@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 18  # v18: base encodings (WinAnsi/MacRoman); v17 HTML5 depth
+CORPUS_VERSION = 19  # v19: CropBox viewports; v18 base encodings; v17 HTML5 depth
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -470,6 +470,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     v15: ~25% of resource-bearing payloads hoist /Resources to the Pages
     node (inherited via the /Parent walk, ISO §7.7.3.4), ~20% of those
     with a broken page-level /Resources that must mask the ancestor's.
+    v19: ~4% of payloads hoist a margin /CropBox to the Pages node and
+    ~6% of pages carry their own (margin crop shifting the viewport
+    origin, an oversize crop that clips to the MediaBox into a no-op,
+    and a degenerate-extent trap the walk must skip).
     v18: ~10% of payloads draw a base-encoding simple font (ISO 32000
     Annex D.2 — /WinAnsiEncoding or /MacRomanEncoding as a bare name, a
     dict with a '$'→bullet /Differences overlay riding /BaseEncoding, or
@@ -722,6 +726,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     # none. Kept rare so most goldens stay upright.
     rot_roll = rng.random()
     pages_rot = f" /Rotate {rng.choice((90, 180, 270))}" if rot_roll < 0.05 else ""
+    if rng.random() < 0.04:  # v19: inherited margin crop on the Pages node
+        pages_rot += f" /CropBox [36 36 {mb_w - 36} {mb_h - 36}]"
     page_rot = (
         f" /Rotate {rng.choice((90, 180, 270, 360, 450, 45))}"
         if not pages_rot and rot_roll < 0.11
@@ -795,6 +801,17 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             contents_val.append(f"{first_content + i} 0 R")
     for i in range(n_pages):
         extra = page_rot if i == 0 else ""
+        if rng.random() < 0.06:  # v19: page-local CropBox viewport
+            r = rng.random()
+            if r < 0.5:  # margin crop: origin shift + smaller extent
+                extra += (
+                    f" /CropBox [{rng.choice((18, 36, 54))} 24"
+                    f" {mb_w - 30} {mb_h - 40}]"
+                )
+            elif r < 0.75:  # oversize: clips to the MediaBox → no-op
+                extra += " /CropBox [-50 -50 9999 9999]"
+            else:  # degenerate extent: IGNORED, the /Parent walk continues
+                extra += " /CropBox [100 100 100 792]"
         if rng.random() < 0.08:  # v10: page-local MediaBox
             r = rng.random()
             if r < 0.6:  # a genuinely different size

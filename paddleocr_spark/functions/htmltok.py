@@ -44,7 +44,7 @@ from .textnorm import decode_entities, collapse_ws
 # never closes before its '>' falls back to the pre-v17 first-'>' rule
 # (third alternative). Alternatives are first-char-disjoint → linear scan.
 _TOKEN_RE = re.compile(
-    r"<!--.*?-->|<!--.*|<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    r"<!--.*?-->|<!--.*|<[^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*>"
     r"|<[^>]*>|[^<]+", re.DOTALL
 )
 _TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")

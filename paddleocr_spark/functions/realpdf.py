@@ -1290,19 +1290,40 @@ def _key_mediabox(body: str) -> Optional[Tuple[float, float]]:
     return None
 
 
+def _key_cropbox(body: str) -> Optional[Tuple[float, float, float, float]]:
+    """Page-local ``/CropBox [ a b c d ]`` → the raw rect with positive
+    extent, else None — a degenerate value is "not present here", the walk
+    continues, mirroring the MediaBox rule (SPEC §3b CropBox, v19)."""
+    vals = _key_num_array(body, "/CropBox", 4)
+    if vals is None:
+        return None
+    if vals[2] - vals[0] > 0 and vals[3] - vals[1] > 0:
+        return vals[0], vals[1], vals[2], vals[3]
+    return None
+
+
 _GEO_MAX_HOPS = 16
 
 
 def _page_geometry(text: str, objs: dict, vobjs: dict, body: str,
-                   dflt: Tuple[float, float]) -> Tuple[float, float, int]:
-    """(mb_w, mb_h, rotate) for one page body, resolved up the /Parent
-    chain (SPEC §3b Per-page geometry, v10): each attribute takes its
-    first resolvable value walking page → ancestors (≤ 16 hops, re-visited
-    ref ends the walk); /Rotate must be a plain non-negative integer and
-    normalizes mod 360 to {0, 90, 180, 270} (else 0); MediaBox falls back
-    to the document default."""
+                   dflt: Tuple[float, float], want_crop: bool = False):
+    """(page_w, page_h, rotate, crop_x, crop_y) for one page body,
+    resolved up the /Parent chain (SPEC §3b Per-page geometry, v10;
+    CropBox, v19): each attribute takes its first resolvable value walking
+    page → ancestors (≤ 16 hops, re-visited ref ends the walk); /Rotate
+    must be a plain non-negative integer and normalizes mod 360 to
+    {0, 90, 180, 270} (else 0); MediaBox falls back to the document
+    default. A resolvable /CropBox (positive raw extent — degenerate
+    values are "not present here", the walk continues) is clipped to
+    [0, mb_w]×[0, mb_h] (the subset treats the MediaBox origin as 0, the
+    v1 rule); a non-positive clipped extent ignores the crop. With a
+    crop, page extent = the clipped crop's and (crop_x, crop_y) is the
+    viewport origin every user-space coordinate shifts by. ``want_crop``
+    gates the extra walk so payloads with no /CropBox literal pay
+    nothing."""
     mb = None
     rot = None
+    crop = None
     cur = body
     visited = set()
     for _ in range(_GEO_MAX_HOPS + 1):
@@ -1310,7 +1331,9 @@ def _page_geometry(text: str, objs: dict, vobjs: dict, body: str,
             mb = _key_mediabox(cur)
         if rot is None:
             rot = _key_int(cur, "/Rotate")
-        if mb is not None and rot is not None:
+        if want_crop and crop is None:
+            crop = _key_cropbox(cur)
+        if mb is not None and rot is not None and (not want_crop or crop is not None):
             break
         pref = _key_ref(cur, "/Parent")
         if pref is None or pref in visited:
@@ -1325,7 +1348,13 @@ def _page_geometry(text: str, objs: dict, vobjs: dict, body: str,
     r = (rot or 0) % 360
     if r not in (90, 180, 270):
         r = 0
-    return mb[0], mb[1], r
+    if crop is not None:
+        cx, cy = max(crop[0], 0.0), max(crop[1], 0.0)
+        cw = min(crop[2], mb[0]) - cx
+        ch = min(crop[3], mb[1]) - cy
+        if cw > 0 and ch > 0:
+            return cw, ch, r, cx, cy
+    return mb[0], mb[1], r, 0.0, 0.0
 
 
 _FORM_MAX_DEPTH = 8
@@ -1577,7 +1606,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                off: Tuple[float, float] = (0.0, 0.0), depth: int = 0,
                chain: frozenset = frozenset(),
                boxes: Optional[List[Box]] = None,
-               rot: int = 0) -> Tuple[List[Box], int]:
+               rot: int = 0,
+               crop: Tuple[float, float] = (0.0, 0.0)) -> Tuple[List[Box], int]:
     """One content stream → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts`` maps font names to CMap
     entries (SPEC §3b Fonts, v6): ``Tf`` switches the active map and
@@ -1600,6 +1630,10 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     if boxes is None:
         boxes = []
     ox, oy = off
+    # v19: CropBox viewport origin — every user-space coordinate shifts by
+    # it before the rotation map; mb_w/mb_h are already the crop extent
+    ox -= crop[0]
+    oy -= crop[1]
     in_text = False
     x = y = 0.0
     leading = 0.0
@@ -1742,7 +1776,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                             fc, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox + tx, oy + ty), depth + 1,
                             chain | {num}, boxes, rot,
-                        )
+                        )  # crop already folded into (ox, oy)
                         suppressed += sup
         elif in_text:
             if tok == "Tf":
@@ -1885,6 +1919,7 @@ def _content_resources(text: str):
         and "/ObjStm" not in text
         and "/XObject" not in text
         and "/Rotate" not in text
+        and "/CropBox" not in text
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):
@@ -1898,6 +1933,7 @@ def _content_resources(text: str):
     )
     vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
+    want_crop = "/CropBox" in text  # v19: gates the extra geometry walk
     by_content: dict = {}
     part_of: dict = {}
     groups: dict = {}
@@ -1912,7 +1948,7 @@ def _content_resources(text: str):
         res_p = _inherited_resources(text, objs, vobjs, body)
         fonts = _font_table(text, objs, vobjs, res_p)
         xobjs = _xobject_table(text, objs, vobjs, res_p) if want_xobj else {}
-        geo = _page_geometry(text, objs, vobjs, body, dflt)
+        geo = _page_geometry(text, objs, vobjs, body, dflt, want_crop)
         entry = (fonts, xobjs, geo)
         if len(refs) == 1:
             by_content[refs[0]] = entry
@@ -2034,9 +2070,10 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot) = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy) = entry
             boxes, suppressed = _interpret(
-                content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot
+                content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot,
+                crop=(cx, cy),
             )
             skipped += suppressed
             for box in boxes:
@@ -2068,13 +2105,14 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if "BT" not in content and not (resolver is not None and "Do" in content):
             continue
         fonts = xobjs = None
-        pw, ph, rot = mb_w, mb_h, 0
+        pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot) = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy) = entry
         boxes, suppressed = _interpret(
-            content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot
+            content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot,
+            crop=(cx, cy),
         )
         skipped += suppressed
         for box in boxes:

@@ -24,7 +24,7 @@ from .config import ExtractConfig, DEFAULT_CONFIG
 # unterminated quote falls back to the first-'>' rule — same literals as the
 # engine, by definition
 TOKEN_RE = re.compile(
-    r"<!--.*?-->|<!--.*|<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    r"<!--.*?-->|<!--.*|<[^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*>"
     r"|<[^>]*>|[^<]+", re.DOTALL
 )
 TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
@@ -1231,6 +1231,14 @@ _RPDF_MEDIABOX_KEY_RE = re.compile(
     )
     + r"[\x00\t\n\x0c\r ]*\]"
 )
+_RPDF_CROPBOX_KEY_RE = re.compile(
+    r"/CropBox(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)[\x00\t\n\x0c\r ]*\[" +
+    r"[\x00\t\n\x0c\r ]*".join(
+        r"([+-]?(?:\d+\.?\d*|\.\d+))(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+        for _ in range(4)
+    )
+    + r"[\x00\t\n\x0c\r ]*\]"
+)
 
 
 def _rpdf_key_mediabox(body):
@@ -1250,11 +1258,32 @@ def _rpdf_key_mediabox(body):
     return None
 
 
-def _rpdf_page_geometry(text, objs, vobjs, body, dflt):
-    """(mb_w, mb_h, rotate) up the /Parent chain — ≤ 16 hops, revisit ends
-    the walk; /Rotate per the plain-integer rule, normalized mod 360 to
-    {0, 90, 180, 270} else 0 (SPEC §3b Per-page geometry, v10)."""
-    mb = rot = None
+def _rpdf_key_cropbox(body):
+    """Page-local /CropBox → raw rect with positive extent, else None
+    (degenerate = "not present here", walk continues — SPEC §3b CropBox,
+    v19)."""
+    if body is None:
+        return None
+    k = body.find("/CropBox")
+    if k < 0:
+        return None
+    m = _RPDF_CROPBOX_KEY_RE.match(body, k)
+    if not m:
+        return None
+    a, b, c, d = (float(m.group(g)) for g in range(1, 5))
+    if c - a > 0 and d - b > 0:
+        return a, b, c, d
+    return None
+
+
+def _rpdf_page_geometry(text, objs, vobjs, body, dflt, want_crop=False):
+    """(page_w, page_h, rotate, crop_x, crop_y) up the /Parent chain —
+    ≤ 16 hops, revisit ends the walk; /Rotate per the plain-integer rule,
+    normalized mod 360 to {0, 90, 180, 270} else 0 (SPEC §3b Per-page
+    geometry, v10); a resolvable /CropBox clips to [0, mb_w]×[0, mb_h]
+    and, when the clipped extent is positive, supplies the page extent
+    and viewport origin (SPEC §3b CropBox, v19)."""
+    mb = rot = crop = None
     cur = body
     visited = set()
     for _ in range(17):
@@ -1262,7 +1291,11 @@ def _rpdf_page_geometry(text, objs, vobjs, body, dflt):
             mb = _rpdf_key_mediabox(cur)
         if rot is None:
             rot = _rpdf_key_int(cur, "/Rotate")
-        if mb is not None and rot is not None:
+        if want_crop and crop is None:
+            crop = _rpdf_key_cropbox(cur)
+        if mb is not None and rot is not None and (
+            not want_crop or crop is not None
+        ):
             break
         pref = _rpdf_key_ref(cur, "/Parent")
         if pref is None or pref in visited:
@@ -1274,7 +1307,14 @@ def _rpdf_page_geometry(text, objs, vobjs, body, dflt):
     if mb is None:
         mb = dflt
     r = (rot or 0) % 360
-    return mb[0], mb[1], r if r in (90, 180, 270) else 0
+    r = r if r in (90, 180, 270) else 0
+    if crop is not None:
+        cx, cy = max(crop[0], 0.0), max(crop[1], 0.0)
+        cw = min(crop[2], mb[0]) - cx
+        ch = min(crop[3], mb[1]) - cy
+        if cw > 0 and ch > 0:
+            return cw, ch, r, cx, cy
+    return mb[0], mb[1], r, 0.0, 0.0
 
 
 _RPDF_FORM_MAX_DEPTH = 8
@@ -1386,6 +1426,7 @@ def _rpdf_content_resources(text: str):
         and "/ObjStm" not in text
         and "/XObject" not in text
         and "/Rotate" not in text
+        and "/CropBox" not in text
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
@@ -1417,7 +1458,9 @@ def _rpdf_content_resources(text: str):
             if want_xobj
             else {}
         )
-        geo = _rpdf_page_geometry(text, objs, vobjs, body, dflt)
+        geo = _rpdf_page_geometry(
+            text, objs, vobjs, body, dflt, "/CropBox" in text
+        )
         entry = (fonts, xobjs, geo)
         if len(refs) == 1:
             by_content[refs[0]] = entry
@@ -1624,7 +1667,8 @@ def _rpdf_tokens(content: str):
 
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
-                    depth=0, chain=frozenset(), boxes=None, rot=0):
+                    depth=0, chain=frozenset(), boxes=None, rot=0,
+                    crop=(0.0, 0.0)):
     """Pass 2: token list → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
     switches the active map (SPEC §3b Fonts, v6) and show-strings decode
@@ -1640,6 +1684,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     if boxes is None:
         boxes = []
     ox, oy = off
+    # v19: fold the CropBox viewport origin into the offsets once — form
+    # recursion passes the already-shifted (ox, oy), never crop itself
+    ox -= crop[0]
+    oy -= crop[1]
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
              "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0,
              "tz": 100.0, "rise": 0.0}
@@ -1889,10 +1937,10 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot) = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy) = entry
             boxes, sup = _rpdf_interpret(
                 _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs,
-                resolver, rot=rot,
+                resolver, rot=rot, crop=(cx, cy),
             )
             dropped += sup
             for b in boxes:
@@ -1913,13 +1961,14 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         if "BT" not in content and not (resolver is not None and "Do" in content):
             continue
         fonts = xobjs = None
-        pw, ph, rot = mb_w, mb_h, 0
+        pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot) = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy) = entry
         boxes, sup = _rpdf_interpret(
-            _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver, rot=rot
+            _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver,
+            rot=rot, crop=(cx, cy),
         )
         dropped += sup
         for b in boxes:

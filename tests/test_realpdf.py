@@ -2089,3 +2089,92 @@ def test_v18_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_win >= 40 and n_mac >= 10
+
+
+# ---------------------------------------------------------------------------
+# v19: CropBox viewports (ISO 32000 §7.7.3.3 /CropBox, inheritable §7.7.3.4).
+# A resolvable crop (positive raw extent; degenerate = walk continues, like
+# MediaBox) clips to [0, mb_w]×[0, mb_h]; a positive clipped extent supplies
+# the page extent and the viewport origin every user-space coordinate shifts
+# by. No content clipping — re-origin only (pinned subset rule).
+
+_V19_LINE = "BT /F1 12 Tf 72 700 Td (twelve chars body) Tj ET"
+
+
+def test_cropbox_shifts_viewport_origin():
+    base = _pages_pdf([(_V19_LINE, "")])
+    crop = _pages_pdf([(_V19_LINE, " /CropBox [36 36 576 756]")])
+    sb = _assert_parity(base)
+    sc = _assert_parity(crop)
+    assert sb[0][2] == sc[0][2] == "twelve chars body"
+    assert sb[0][-1] != sc[0][-1]  # bbox shifted by the crop origin
+    bx, cx = sb[0][-1], sc[0][-1]
+    assert cx[0] < bx[0] and cx[1] < bx[1]  # origin moved toward top-left
+
+
+def test_cropbox_inherited_from_pages_node():
+    local = _pages_pdf([(_V19_LINE, " /CropBox [36 36 576 756]")])
+    inherited = _pages_pdf(
+        [(_V19_LINE, "")], pages_extra=" /CropBox [36 36 576 756]"
+    )
+    assert _assert_parity(local) == _assert_parity(inherited)
+
+
+def test_cropbox_degenerate_ignored_and_oversize_clips():
+    base = _assert_parity(_pages_pdf([(_V19_LINE, "")]))
+    degen = _assert_parity(
+        _pages_pdf([(_V19_LINE, " /CropBox [100 100 100 792]")])
+    )
+    oversize = _assert_parity(
+        _pages_pdf([(_V19_LINE, " /CropBox [-50 -50 9999 9999]")])
+    )
+    assert degen == base  # degenerate extent: crop ignored
+    assert oversize == base  # clips to the full MediaBox: a no-op
+
+
+def test_cropbox_composes_with_rotation():
+    rot = _assert_parity(_pages_pdf([(_V19_LINE, " /Rotate 90")]))
+    both = _assert_parity(
+        _pages_pdf([(_V19_LINE, " /CropBox [36 36 576 756] /Rotate 90")])
+    )
+    assert rot[0][2] == both[0][2]
+    assert rot[0][-1] != both[0][-1]  # crop shift visible in the rotated view
+
+
+def test_cropbox_applies_to_forms_of_the_page():
+    # the form's boxes shift by the SAME viewport origin (crop folds into
+    # the interpreter offsets once, before form recursion)
+    content = "BT /F1 12 Tf 72 700 Td (twelve chars body) Tj ET\n/Fx Do"
+    form = "BT /F1 10 Tf 72 500 Td (letterhead body text) Tj ET"
+
+    def doc(extra):
+        return (
+            "%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+            " /MediaBox [0 0 612 792] >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            f" /Resources << /XObject << /Fx 5 0 R >> >>{extra} >>\nendobj\n"
+            f"4 0 obj\n<< /Length {len(content)} >>\nstream\n{content}\n"
+            "endstream\nendobj\n"
+            "5 0 obj\n<< /Type /XObject /Subtype /Form"
+            f" /Length {len(form)} >>\nstream\n{form}\nendstream\nendobj\n"
+            "trailer\n<< /Root 1 0 R >>\n%%EOF"
+        )
+
+    base = _assert_parity(doc(""))
+    crop = _assert_parity(doc(" /CropBox [36 36 576 756]"))
+    assert len(base) == len(crop) == 2
+    assert all(b[-1] != c[-1] for b, c in zip(base, crop))
+
+
+def test_v19_corpus_fuzz_parity():
+    n_crop = 0
+    for seed in range(4000, 4800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/CropBox" in doc:
+            n_crop += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_crop >= 50
