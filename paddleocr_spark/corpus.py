@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 19  # v19: CropBox viewports; v18 base encodings; v17 HTML5 depth
+CORPUS_VERSION = 20  # v20: q/Q/cm graphics state; v19 CropBox; v18 base encodings
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -481,6 +481,13 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     high-half glyphs (curly quotes, em-dash, €, é, «», …); ~10% of CMap
     fonts carry a conflicting bare base-encoding name the ToUnicode must
     beat.
+    v20: ~23% of payloads position a text block through the graphics
+    state (ISO §8.4.4) — q/cm/Q with local Td coordinates (the
+    Cairo/Chrome-print style): translate-only, scaled, nested-composed,
+    rotated (pinned axis-aligned anchor box), Q-restores-text-state, and
+    traps (unbalanced Q, 5-operand cm, cm inside BT); form /Matrix
+    scaling components now compose with the CTM instead of being pinned
+    to translation-only.
     v16: ~35% of section tails grow a classic xref table + startxref
     (inert bytes to the xref-free scanner); ~12% of non-encrypted
     payloads append an incremental-update section (ISO §7.5.6) that
@@ -492,6 +499,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
     n_pages = 2 if rng.random() < 0.20 else 1
+    use_cm = rng.random() < 0.25  # v20: q/Q/cm-positioned blocks
     use_forms = rng.random() < 0.30
     form_nested = use_forms and rng.random() < 0.40
     form_cycle = form_nested and rng.random() < 0.25
@@ -712,6 +720,44 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         continue
                 ops.append(show(_sent(rng, words, rng.randint(4, 10)), sch))
             ops.append("ET")
+        if use_cm and rng.random() < 0.9:
+            # v20: graphics-state positioned block (ISO §8.4.4) — the
+            # Cairo/Chrome-print style: q saves, cm concatenates the CTM,
+            # text places at small local coordinates, Q restores.
+            r = rng.random()
+            cx, cy = rng.randint(55, 95), rng.randint(260, 560)
+            l1 = show(_sent(rng, words, rng.randint(3, 6)))
+            l2 = show(_sent(rng, words, rng.randint(3, 6)))
+            if r < 0.30:  # translate-only cm, local Td at the origin
+                ops += ["q", f"1 0 0 1 {cx} {cy} cm",
+                        f"BT /F1 {fs} Tf {ll} TL 0 0 Td", l1, "T*", l2,
+                        "ET", "Q"]
+            elif r < 0.50:  # scaled placement
+                sxc, syc = rng.choice(
+                    ((2, 0.5), (0.5, 2), (1.5, 1.5), (0.75, 0.75))
+                )
+                ops += ["q", f"{sxc} 0 0 {syc} {cx} {cy} cm",
+                        f"BT /F1 {fs} Tf 10 20 Td", l1, "ET", "Q"]
+            elif r < 0.65:  # nested q/q — cms compose; sibling after inner Q
+                ops += ["q", f"1 0 0 1 {cx} 0 cm",
+                        "q", f"1 0 0 1 0 {cy} cm",
+                        f"BT /F1 {fs} Tf 0 0 Td", l1, "ET", "Q",
+                        f"BT /F1 {fs} Tf 0 {cy - 30} Td", l2, "ET", "Q"]
+            elif r < 0.75:  # rotated cm: the pinned axis-aligned anchor box
+                ops += ["q",
+                        f"0 1 -1 0 {rng.randint(250, 420)}"
+                        f" {rng.randint(80, 240)} cm",
+                        f"BT /F1 {fs} Tf 15 0 Td", l1, "ET", "Q"]
+            elif r < 0.88:  # Q restores text state set inside q..Q
+                ops += ["q", f"1 0 0 1 {cx} {cy} cm",
+                        f"BT /F1 {fs + 2} Tf 2 Tc 3 Tw 0 0 Td", l1, "ET",
+                        "Q",
+                        f"BT /F1 {fs} Tf {cx} {cy - 40} Td", l2, "ET"]
+            else:  # traps: unbalanced Q, 5-operand cm, cm inside BT
+                ops += ["Q",
+                        f"q 1 0 0 {cy} cm",
+                        f"BT /F1 {fs} Tf {cx} {cy} Td", l1,
+                        f"1 0 0 1 0 -{ll * 2} cm", l2, "ET", "Q", "Q"]
         if rng.random() < 0.15:  # v8: inline image before the footer
             ops.append(_inline_img(rng))
         if rng.random() < 0.7:  # footer band (always /F1 — identity)
@@ -1045,7 +1091,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         mroll = rng.random()
         if mroll < 0.6:
             mat_a = f" /Matrix [1 0 0 1 {tx} {ty}]"
-        elif mroll < 0.8:  # scaling components must be IGNORED (subset rule)
+        elif mroll < 0.8:  # v20: scaling components COMPOSE with the CTM
             mat_a = f" /Matrix [2 0 0 0.5 {tx} {ty}]"
         else:
             mat_a, tx, ty = "", 0, 0

@@ -1268,14 +1268,39 @@ def _key_num_array(body: str, key: str, count: int) -> Optional[List[float]]:
     return vals
 
 
-def _matrix_ef(params: str) -> Tuple[float, float]:
-    """Translation components (e, f) of ``/Matrix [ a b c d e f ]`` at its
-    first token-exact occurrence; a b c d are ignored (SPEC §3b subset
-    rule: translation-only form placement). Absent/malformed → (0, 0)."""
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _matrix6(params: str) -> Tuple[float, float, float, float, float, float]:
+    """Full ``/Matrix [ a b c d e f ]`` at its first token-exact
+    occurrence (SPEC §3b Graphics state, v20: the form matrix composes
+    with the invoker's CTM at Do time — the ISO 32000 §8.10.1 rule,
+    replacing the v9 translation-only pin). Absent/malformed → identity
+    (the _IDENT singleton, so the interpreter's fast path applies)."""
     vals = _key_num_array(params, "/Matrix", 6)
     if vals is None:
-        return 0.0, 0.0
-    return vals[4], vals[5]
+        return _IDENT
+    return (vals[0], vals[1], vals[2], vals[3], vals[4], vals[5])
+
+
+def _compose(m, ctm):
+    """Affine composition ``m × ctm`` (row-vector convention: a point maps
+    through ``m`` first, then ``ctm`` — ISO 32000 §8.3.4). Returns the
+    _IDENT singleton when both inputs are it, preserving the fast path."""
+    if m is _IDENT:
+        return ctm
+    if ctm is _IDENT:
+        return m
+    ma, mb, mc, md, me, mf = m
+    ca, cb, cc, cd, ce, cf = ctm
+    return (
+        ma * ca + mb * cc,
+        ma * cb + mb * cd,
+        mc * ca + md * cc,
+        mc * cb + md * cd,
+        me * ca + mf * cc + ce,
+        me * cb + mf * cd + cf,
+    )
 
 
 def _key_mediabox(body: str) -> Optional[Tuple[float, float]]:
@@ -1358,11 +1383,14 @@ def _page_geometry(text: str, objs: dict, vobjs: dict, body: str,
 
 
 _FORM_MAX_DEPTH = 8
+_GSTACK_MAX = 64  # q-nesting cap (v20): pushes past it are counted, their
+# matching Q absorbed without restoring — balance survives hostile streams
 
 
 def _make_form_resolver(text: str, objs: dict, vobjs: dict):
-    """Object number → (content, fonts, xobjects, tx, ty) for /Subtype
-    /Form stream objects, or None (SPEC §3b Form XObjects, v9): direct
+    """Object number → (content, fonts, xobjects, /Matrix 6-tuple) for
+    /Subtype /Form stream objects, or None (SPEC §3b Form XObjects, v9;
+    the full matrix since v20 — it composes with the CTM at Do): direct
     objects only, stream decoded through its own filter chain, resources
     from the form's OWN parameter dict. Memoized — resolution is purely a
     function of the payload, so the cache is semantically invisible."""
@@ -1402,14 +1430,12 @@ def _make_form_resolver(text: str, objs: dict, vobjs: dict):
             content = apply_stream_filters(content, names, fparms)
             if content is None:
                 return None
-        tx, ty = _matrix_ef(params)
         res_f = _key_dict_body(params, "/Resources", text, objs, vobjs)
         entry = (
             content,
             _font_table(text, objs, vobjs, res_f),
             _xobject_table(text, objs, vobjs, res_f),
-            tx,
-            ty,
+            _matrix6(params),
         )
         cache[num] = entry
         return entry
@@ -1607,7 +1633,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                chain: frozenset = frozenset(),
                boxes: Optional[List[Box]] = None,
                rot: int = 0,
-               crop: Tuple[float, float] = (0.0, 0.0)) -> Tuple[List[Box], int]:
+               crop: Tuple[float, float] = (0.0, 0.0),
+               ctm: Tuple[float, ...] = _IDENT) -> Tuple[List[Box], int]:
     """One content stream → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts`` maps font names to CMap
     entries (SPEC §3b Fonts, v6): ``Tf`` switches the active map and
@@ -1645,6 +1672,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     rise = 0.0  # Ts (v12); shifts the baseline at flush time, ISO §9.3.7
     suppressed = 0
     cur_map = None
+    # v20 graphics state: q pushes (CTM + the §9.3.1 text-state params,
+    # which ISO 32000 §8.4.2 places INSIDE the graphics state), Q pops.
+    # Depth-capped: pushes past the cap are counted and their matching Q
+    # is absorbed without restoring, so balance survives hostile streams.
+    gstack: list = []
+    gskip = 0
     fonts = fonts or {}
     xobjs = xobjs or {}
     buf: List[str] = []
@@ -1663,8 +1696,26 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 )
                 * (hscale / 100.0),
             )
-            u0, u1 = ox + x, ox + x + adv
-            v0, v1 = oy + y + rise, oy + y + rise + fontsize
+            if ctm is _IDENT:
+                u0, u1 = ox + x, ox + x + adv
+                v0, v1 = oy + y + rise, oy + y + rise + fontsize
+            else:
+                # v20: map the baseline run through the CTM (ISO §8.3.4,
+                # row-vector p·CTM). The box is the axis-aligned anchor:
+                # mapped start/end give the horizontal extent; height is
+                # fontsize scaled by the image of the unit vertical vector
+                # (exact for translate/scale, the pinned bound for rotate).
+                ca, cb, cc, cd, ce, cf = ctm
+                bx, by = x, y + rise
+                p0x = bx * ca + by * cc + ce
+                p0y = bx * cb + by * cd + cf
+                ex = bx + adv
+                p1x = ex * ca + by * cc + ce
+                p1y = ex * cb + by * cd + cf
+                u0 = ox + (p0x if p0x <= p1x else p1x)
+                u1 = ox + (p0x if p0x > p1x else p1x)
+                v0 = oy + (p0y if p0y <= p1y else p1y)
+                v1 = v0 + fontsize * math.hypot(cc, cd)
             if rot == 90:
                 x0, x1, y0, y1 = v0, v1, u0, u1
             elif rot == 180:
@@ -1771,13 +1822,39 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        fc, ff, fx, tx, ty = form
+                        fc, ff, fx, fmat = form
                         _b, sup = _interpret(
                             fc, mb_w, mb_h, cfg, ff, fx, resolver,
-                            (ox + tx, oy + ty), depth + 1,
+                            (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
-                        )  # crop already folded into (ox, oy)
+                            ctm=_compose(fmat, ctm),
+                        )  # crop already folded into (ox, oy); the form
+                        # /Matrix composes with the CTM at Do (v20)
                         suppressed += sup
+        elif tok == "q":
+            # v20: push the graphics state — CTM plus the §9.3.1 text-state
+            # params (ISO §8.4.2 places text state inside graphics state).
+            # No flush: q itself changes nothing the flush reads.
+            if len(gstack) < _GSTACK_MAX:
+                gstack.append((ctm, fontsize, cur_map, mode, charspace,
+                               wordspace, hscale, rise, leading))
+            else:
+                gskip += 1
+        elif tok == "Q":
+            if gskip:
+                gskip -= 1  # matches a capped push: absorbed, no restore
+            elif gstack:
+                if in_text:
+                    flush()  # restore changes what flush reads
+                (ctm, fontsize, cur_map, mode, charspace,
+                 wordspace, hscale, rise, leading) = gstack.pop()
+            # unbalanced Q (empty stack): inert — the pinned degrade
+        elif tok == "cm":
+            v = nums(6)
+            if v:  # short/non-numeric operand lists: inert
+                if in_text:
+                    flush()
+                ctm = _compose((v[0], v[1], v[2], v[3], v[4], v[5]), ctm)
         elif in_text:
             if tok == "Tf":
                 if stack and isinstance(stack[-1], float):

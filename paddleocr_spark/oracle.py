@@ -1211,16 +1211,37 @@ def _rpdf_subtype_is(params: str, name: str) -> bool:
     return bool(m) and m.group(1) == name
 
 
-def _rpdf_matrix_ef(params: str):
-    """(e, f) of the first token-exact /Matrix [a b c d e f]; (0,0) on
-    absence/malformation — regex closed form of the kernel's scan."""
+_RPDF_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _rpdf_matrix6(params: str):
+    """The full 6-tuple of the first token-exact /Matrix [a b c d e f];
+    identity on absence/malformation — regex closed form of the kernel's
+    scan (SPEC §3b Graphics state, v20)."""
     k = params.find("/Matrix")
     if k < 0:
-        return 0.0, 0.0
+        return _RPDF_IDENT
     m = _RPDF_MATRIX_RE.match(params, k)
     if not m:
-        return 0.0, 0.0
-    return float(m.group(5)), float(m.group(6))
+        return _RPDF_IDENT
+    return tuple(float(m.group(i)) for i in range(1, 7))
+
+
+def _rpdf_compose(m, ctm):
+    """m × ctm, row-vector convention (point maps through m, then ctm) —
+    the oracle's composition mirror (v20)."""
+    if m == _RPDF_IDENT:
+        return ctm
+    if ctm == _RPDF_IDENT:
+        return m
+    return (
+        m[0] * ctm[0] + m[1] * ctm[2],
+        m[0] * ctm[1] + m[1] * ctm[3],
+        m[2] * ctm[0] + m[3] * ctm[2],
+        m[2] * ctm[1] + m[3] * ctm[3],
+        m[4] * ctm[0] + m[5] * ctm[2] + ctm[4],
+        m[4] * ctm[1] + m[5] * ctm[3] + ctm[5],
+    )
 
 
 _RPDF_MEDIABOX_KEY_RE = re.compile(
@@ -1318,11 +1339,13 @@ def _rpdf_page_geometry(text, objs, vobjs, body, dflt, want_crop=False):
 
 
 _RPDF_FORM_MAX_DEPTH = 8
+_RPDF_GSTACK_MAX = 64  # q-nesting cap mirror (v20)
 
 
 def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
-    """Object number → (token list, fonts, xobjects, tx, ty) for /Subtype
-    /Form direct stream objects, else None (SPEC §3b Form XObjects, v9) —
+    """Object number → (token list, fonts, xobjects, /Matrix 6-tuple) for
+    /Subtype /Form direct stream objects, else None (SPEC §3b Form
+    XObjects, v9; full matrix since v20) —
     memoized; the oracle resolves to TOKENS where the kernel resolves to a
     content string."""
     cache: dict = {}
@@ -1348,7 +1371,6 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
             content = _rpdf_decode_stream(content, params)
             if content is None:
                 return None
-        tx, ty = _rpdf_matrix_ef(params)
         entry = (
             _rpdf_tokens(content),
             _rpdf_font_table(
@@ -1359,8 +1381,7 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
                 text, objs, vobjs,
                 _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
             ),
-            tx,
-            ty,
+            _rpdf_matrix6(params),
         )
         cache[num] = entry
         return entry
@@ -1668,7 +1689,7 @@ def _rpdf_tokens(content: str):
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
                     depth=0, chain=frozenset(), boxes=None, rot=0,
-                    crop=(0.0, 0.0)):
+                    crop=(0.0, 0.0), ctm=_RPDF_IDENT):
     """Pass 2: token list → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
     switches the active map (SPEC §3b Fonts, v6) and show-strings decode
@@ -1691,6 +1712,11 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
              "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0,
              "tz": 100.0, "rise": 0.0}
+    # v20 graphics state: CTM boxed like cmap; q/Q save/restore it plus
+    # the text-state params (ISO §8.4.2), capped like the kernel's.
+    ctmb = [ctm]
+    gstack = []
+    gskip = [0]
     fonts = fonts or {}
     xobjs = xobjs or {}
     cmap = [None]  # boxed for closure-free mutation alongside `state`
@@ -1712,9 +1738,24 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 )
                 * (state["tz"] / 100.0),
             )
-            u0, u1 = ox + state["x"], ox + state["x"] + adv
-            v0 = oy + state["y"] + state["rise"]
-            v1 = v0 + state["fs"]
+            cm6 = ctmb[0]
+            if cm6 == _RPDF_IDENT:
+                u0, u1 = ox + state["x"], ox + state["x"] + adv
+                v0 = oy + state["y"] + state["rise"]
+                v1 = v0 + state["fs"]
+            else:
+                # v20: baseline start/end through the CTM; axis-aligned
+                # anchor box, height scaled by the unit-vertical image
+                bx, by = state["x"], state["y"] + state["rise"]
+                pts = [
+                    (px * cm6[0] + by * cm6[2] + cm6[4],
+                     px * cm6[1] + by * cm6[3] + cm6[5])
+                    for px in (bx, bx + adv)
+                ]
+                u0 = ox + min(pts[0][0], pts[1][0])
+                u1 = ox + max(pts[0][0], pts[1][0])
+                v0 = oy + min(pts[0][1], pts[1][1])
+                v1 = v0 + state["fs"] * math.hypot(cm6[2], cm6[3])
             # user→viewer corner map per display rotation (SPEC §3b, v10)
             corners = {
                 0: (u0, mb_h - v1, u1, mb_h - v0),
@@ -1774,13 +1815,41 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        ftoks, ff, fx, tx, ty = form
+                        ftoks, ff, fx, fmat = form
                         _b, sup = _rpdf_interpret(
                             ftoks, mb_w, mb_h, cfg, ff, fx, resolver,
-                            (ox + tx, oy + ty), depth + 1,
+                            (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
+                            ctm=_rpdf_compose(fmat, ctmb[0]),
                         )
                         state["sup"] += sup
+        elif op == "q":
+            # v20: save CTM + text state (ISO §8.4.2); no flush — q itself
+            # changes nothing the flush reads
+            if len(gstack) < _RPDF_GSTACK_MAX:
+                gstack.append((ctmb[0], cmap[0], state["fs"], state["mode"],
+                               state["tc"], state["tw"], state["tz"],
+                               state["rise"], state["lead"]))
+            else:
+                gskip[0] += 1
+        elif op == "Q":
+            if gskip[0]:
+                gskip[0] -= 1  # capped push: absorbed, no restore
+            elif gstack:
+                if state["in"]:
+                    flush()
+                (ctmb[0], cmap[0], fs, mode, tc, tw, tz, rise, lead) = (
+                    gstack.pop()
+                )
+                state.update(fs=fs, mode=mode, tc=tc, tw=tw, tz=tz,
+                             rise=rise, lead=lead)
+            # unbalanced Q: inert (pinned degrade)
+        elif op == "cm":
+            v = tail_nums(6)
+            if v:  # short/non-numeric operand lists: inert
+                if state["in"]:
+                    flush()
+                ctmb[0] = _rpdf_compose(tuple(v), ctmb[0])
         elif state["in"]:
             if op == "Tf" and stack and stack[-1][0] == "num":
                 flush()

@@ -955,11 +955,12 @@ def _texts_of(doc, cfg=DEFAULT_CONFIG):
     return [s[2] for s in spans]
 
 
-def test_form_xobject_matrix_translation_and_not_a_page():
-    """The form paints at its /Matrix (e, f) offset; its stream is never a
-    page; a b c d scaling components are IGNORED (SPEC §3b subset rule)."""
+def test_form_xobject_matrix_composes_and_not_a_page():
+    """The form's full /Matrix composes with the CTM at Do (SPEC §3b
+    Graphics state, v20 — replacing the v9 translation-only pin); its
+    stream is never a page."""
     forms = (
-        "5 0 obj\n<< /Type /XObject /Subtype /Form /Matrix [3 0 0 9 0 -100]"
+        "5 0 obj\n<< /Type /XObject /Subtype /Form /Matrix [2 0 0 0.5 0 -100]"
         " /Length 52 >>\nstream\n"
         "BT /F1 10 Tf 72 500 Td (letterhead text) Tj ET\nendstream\nendobj\n"
     )
@@ -969,9 +970,9 @@ def test_form_xobject_matrix_translation_and_not_a_page():
     assert [p for p, _b in parsed] == [0, 0]  # ONE page, form is not a page
     body, form = parsed[0][1], parsed[1][1]
     assert form[5] == "letterhead text"
-    # y = 500 - 100 = 400 → Y0 = round((792-400-10)*1000/792) = 482; x
-    # unchanged (e=0): X0 = round(72*800/612) = 94. Scaling a=3/d=9 ignored.
-    assert (form[0], form[1]) == (94, 482)
+    # x = 2·72 = 144 → X0 = round(144·800/612) = 188; y = 0.5·500 − 100
+    # = 150, height 0.5·10 = 5 → Y0 = round((792−155)·1000/792) = 804.
+    assert (form[0], form[1]) == (188, 804)
     o = oracle_extract(doc)
     assert [s[2] for s in o["spans"]] == ["body", "letterhead text"]
 
@@ -2178,3 +2179,145 @@ def test_v19_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_crop >= 50
+
+
+# ---------------------------------------------------------------------------
+# v20: q/Q/cm graphics state (SPEC §3b Graphics state; ISO 32000 §8.4.4)
+# ---------------------------------------------------------------------------
+
+
+def _parity(doc):
+    k, spans, drop = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert k == o["kind"] and spans == o["spans"] and drop == o["n_dropped"]
+    return spans
+
+
+def test_cm_translate_equivalent_to_td():
+    """A translate-only cm with local Td at the origin lands exactly where
+    the same text placed by absolute Td lands (ISO §8.3.4 composition)."""
+    via_cm = _pdf("q 1 0 0 1 72 500 cm BT /F1 12 Tf 0 0 Td (hello there) Tj ET Q")
+    via_td = _pdf("BT /F1 12 Tf 72 500 Td (hello there) Tj ET")
+    assert _parity(via_cm) == _parity(via_td)
+
+
+def test_cm_scale_maps_baseline_and_height():
+    """Scaled cm maps the baseline run through the CTM and scales the box
+    height by the image of the unit vertical vector."""
+    spans = _parity(
+        _pdf("q 2 0 0 0.5 10 100 cm BT /F1 12 Tf 31 800 Td (scaled line) Tj ET Q")
+    )
+    assert [s[2] for s in spans] == ["scaled line"]
+    # x = 2*31+10 = 72 -> X0 = round(72*800/612) = 94;
+    # y = 0.5*800+100 = 500, height 0.5*12 = 6 -> Y0 = round((792-506)*1000/792) = 361
+    assert (spans[0][4][0], spans[0][4][1]) == (94, 361)
+
+
+def test_cm_nested_compose_and_sibling_after_inner_q():
+    """Nested q/cm compose; a sibling block after the inner Q sees only the
+    outer CTM — byte-equal to direct absolute placement."""
+    nested = _pdf(
+        "q 1 0 0 1 100 0 cm q 1 0 0 1 0 500 cm "
+        "BT /F1 12 Tf 0 0 Td (inner line) Tj ET Q "
+        "BT /F1 12 Tf 0 450 Td (outer sibling) Tj ET Q"
+    )
+    direct = _pdf(
+        "BT /F1 12 Tf 100 500 Td (inner line) Tj ET "
+        "BT /F1 12 Tf 100 450 Td (outer sibling) Tj ET"
+    )
+    assert _parity(nested) == _parity(direct)
+
+
+def test_q_restores_text_state():
+    """Q restores the §9.3.1 text-state params saved by q (ISO §8.4.2 puts
+    text state inside the graphics state): Tf/Tc/Tw set inside q..Q do not
+    leak into the following block."""
+    spans = _parity(
+        _pdf(
+            "q 1 0 0 1 72 500 cm "
+            "BT /F1 14 Tf 2 Tc 3 Tw 0 0 Td (styled inside) Tj ET Q "
+            "BT /F1 12 Tf 72 460 Td (plain after) Tj ET"
+        )
+    )
+    plain = _parity(_pdf("BT /F1 12 Tf 72 460 Td (plain after) Tj ET"))
+    assert [s[2] for s in spans] == ["styled inside", "plain after"]
+    # the post-Q block is byte-identical to the never-styled placement
+    assert spans[1][2:] == plain[0][2:]
+
+
+def test_cm_rotation_pinned_anchor_box():
+    """Rotated cm: the box is the pinned axis-aligned anchor — mapped
+    baseline extent (degenerate for 90°) with height |image of (0,1)|."""
+    spans = _parity(
+        _pdf("q 0 1 -1 0 300 100 cm BT /F1 12 Tf 15 0 Td (rotated line) Tj ET Q")
+    )
+    assert [s[2] for s in spans] == ["rotated line"]
+    box = spans[0][4]
+    # baseline start (15,0) -> (300, 115); end maps to the same x -> X0 == X1
+    assert box[0] == box[2] == 392  # round(300*800/612)
+    assert box[3] - box[1] == 15  # fontsize * hypot(c=-1, d=0) = 12 -> 15/1000-ish
+
+
+def test_cm_traps_inert():
+    """Unbalanced Q is inert; a 4-operand cm is inert; cm inside BT flushes
+    the open line then applies (hostile-stream degrade, pinned)."""
+    spans = _parity(
+        _pdf(
+            "Q q 1 0 0 500 cm BT /F1 12 Tf 72 500 Td (trap one) Tj "
+            "1 0 0 1 0 -30 cm (trap two) Tj ET Q Q"
+        )
+    )
+    assert [s[2] for s in spans] == ["trap one", "trap two"]
+    # the malformed cm left the CTM identity: trap one at (72, 500) exactly
+    assert (spans[0][4][0], spans[0][4][1]) == (94, 354)
+    # the in-BT cm applied: trap two 30 user-units below trap one
+    assert spans[1][4][1] > spans[0][4][1]
+
+
+def test_gstack_cap_absorbs_excess_q():
+    """Pushes past the 64-deep cap are counted and their matching Q
+    absorbed without restoring, so balance survives hostile streams; cm
+    still composes past the cap."""
+    ops = (
+        " ".join(["q 1 0 0 1 1 1 cm"] * 70)
+        + " BT /F1 12 Tf 0 400 Td (deep) Tj ET "
+        + " ".join(["Q"] * 70)
+        + " BT /F1 12 Tf 72 300 Td (after) Tj ET"
+    )
+    spans = _parity(_pdf(ops))
+    assert [s[2] for s in spans] == ["deep", "after"]
+    # all 70 cms composed: x = 70 -> round(70*800/612) = 92
+    assert spans[0][4][0] == 92
+    # after 70 Qs (6 absorbed, 64 restored) the CTM is identity again
+    assert (spans[1][4][0], spans[1][4][1]) == (94, 606)
+
+
+def test_v20_truncation_fuzz():
+    """Every truncation of a cm-bearing corpus payload parses cleanly and
+    identically in both implementations."""
+    doc = None
+    for seed in range(4800, 6000):
+        cand = _make_realpdf(random.Random(seed), WORDS)
+        if " cm" in cand and "(trap" not in cand:
+            doc = cand
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 11):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part)
+        o = oracle_extract(part)
+        assert k == o["kind"] and spans == o["spans"], f"cut {cut}"
+        assert drop == o["n_dropped"], f"cut {cut}"
+
+
+def test_v20_corpus_fuzz_parity():
+    n_cm = 0
+    for seed in range(4800, 5600):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if " cm" in doc:
+            n_cm += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_cm >= 60
