@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 20  # v20: q/Q/cm graphics state; v19 CropBox; v18 base encodings
+CORPUS_VERSION = 21  # v21: /Kids page-tree ordering; v20 q/Q/cm; v19 CropBox
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -481,6 +481,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     high-half glyphs (curly quotes, em-dash, €, é, «», …); ~10% of CMap
     fonts carry a conflicting bare base-encoding name the ToUnicode must
     beat.
+    v21: page counts grow a 3-page draw; half of multi-page payloads emit
+    their content streams OUT of byte order (the incremental-update /
+    print-pipeline shape) while /Kids carries logical order; ~25% of
+    multi-page payloads route some pages through a nested /Type /Pages
+    node (object 80, ObjStm-routable, exercising two-hop /Parent
+    inheritance); ~10% draw a tree trap — missing kid, duplicate
+    listing, cycle back to the root, dead trailer /Root (byte order
+    stands), or an orphan /Type /Page outside the tree (its unit is
+    appended after the tree pages).
     v20: ~23% of payloads position a text block through the graphics
     state (ISO §8.4.4) — q/cm/Q with local Td coordinates (the
     Cairo/Chrome-print style): translate-only, scaled, nested-composed,
@@ -498,8 +507,14 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     (ONE %%EOF: malformed input, both definitions stay live)."""
     letter = rng.random() < 0.8
     mb_w, mb_h = (612, 792) if letter else (595, 842)
-    n_pages = 2 if rng.random() < 0.20 else 1
+    n_roll = rng.random()
+    n_pages = 3 if n_roll < 0.06 else (2 if n_roll < 0.26 else 1)
     use_cm = rng.random() < 0.25  # v20: q/Q/cm-positioned blocks
+    # v21: page-tree ordering draws (see the docstring)
+    shuffle_pages = n_pages >= 2 and rng.random() < 0.5
+    nested_tree = n_pages >= 2 and rng.random() < 0.25
+    tree_trap_roll = rng.random()
+    tree_trap = tree_trap_roll < 0.10
     use_forms = rng.random() < 0.30
     form_nested = use_forms and rng.random() < 0.40
     form_cycle = form_nested and rng.random() < 0.25
@@ -779,9 +794,36 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if not pages_rot and rot_roll < 0.11
         else ""
     )
+    # v21: tree shape — root /Kids, optional nested Pages node (object 80;
+    # wrapped pages inherit MediaBox/Resources/Rotate through TWO /Parent
+    # hops), and the trap draws
+    kid_refs = [f"{3 + i} 0 R" for i in range(n_pages)]
+    parents = ["2 0 R"] * n_pages
+    sub_kids = None
+    if nested_tree:
+        if n_pages == 2:
+            sub_kids, kid_refs = kid_refs, ["80 0 R"]
+            parents = ["80 0 R"] * 2
+        else:
+            sub_kids, kid_refs = kid_refs[1:], [kid_refs[0], "80 0 R"]
+            parents = ["2 0 R"] + ["80 0 R"] * (n_pages - 1)
+    root_ref = "1 0 R"
+    orphan_page = False
+    if tree_trap:
+        if tree_trap_roll < 0.030:
+            kid_refs.insert(0, "99 0 R")  # missing kid: the walk skips it
+        elif tree_trap_roll < 0.055:
+            kid_refs.append(kid_refs[0])  # duplicate listing: visited guard
+        elif tree_trap_roll < 0.075:
+            # cycle back to the root node: visited guard absorbs it
+            (sub_kids if sub_kids is not None else kid_refs).append("2 0 R")
+        elif tree_trap_roll < 0.090:
+            root_ref = "77 0 R"  # dead catalog ref: byte order stands
+        else:
+            orphan_page = True  # page outside the tree: appended after
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
-        f"<< /Type /Pages /Kids [{' '.join(f'{3 + i} 0 R' for i in range(n_pages))}]"
+        f"<< /Type /Pages /Kids [{' '.join(kid_refs)}]"
         f" /Count {n_pages} /MediaBox [0 0 {mb_w} {mb_h}]{pages_rot} >>",
     ]
     first_content = 3 + n_pages
@@ -866,7 +908,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else:  # degenerate extent: IGNORED, the /Parent walk continues
                 extra += " /MediaBox [0 0 0 792]"
         objs.append(
-            f"<< /Type /Page /Parent 2 0 R /Contents {contents_val[i]}"
+            f"<< /Type /Page /Parent {parents[i]} /Contents {contents_val[i]}"
             f"{res}{res_page_broken}{extra} >>"
         )
 
@@ -881,6 +923,19 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             objstm_inner.append((i + 1, body))
         else:
             parts.append(f"{i + 1} 0 obj\n{body}\nendobj")
+    if sub_kids is not None:  # v21: nested Pages node (dict — ObjStm-routable)
+        sub_body = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{' '.join(sub_kids)}]"
+            f" /Count {len(sub_kids)} >>"
+        )
+        if use_objstm:
+            objstm_inner.append((80, sub_body))
+        else:
+            parts.append(f"80 0 obj\n{sub_body}\nendobj")
+    if orphan_page:  # v21: a page object no /Kids array lists
+        parts.append(
+            "81 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 82 0 R >>\nendobj"
+        )
     import base64
     import zlib
 
@@ -946,10 +1001,24 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"stream\n{body}\nendstream\nendobj"
         )
 
-    for i, content in enumerate(streams):
-        if content is None:
-            continue  # v14: split page — only its part streams are emitted
-        _emit_stream(first_content + i, content)
+    whole = [
+        (first_content + i, content)
+        for i, content in enumerate(streams)
+        if content is not None  # v14: split pages emit via their parts
+    ]
+    if shuffle_pages and len(whole) >= 2:  # v21: byte order ≠ tree order
+        before = list(whole)
+        rng.shuffle(whole)
+        if whole == before:
+            whole.reverse()  # guarantee an out-of-order emission
+    for objnum, content in whole:
+        _emit_stream(objnum, content)
+    if orphan_page:  # v21: the orphan page's content stream
+        _emit_stream(
+            82,
+            "BT /F1 9 Tf 72 400 Td"
+            f" ({_pdf_str(_sent(rng, words, 4))} orphan) Tj ET",
+        )
     for objnum, content in part_objs:
         _emit_stream(objnum, content)
     if scheme:  # v6: font + ToUnicode CMap objects (after the content streams)
@@ -1194,7 +1263,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             out.append(_xref_skel(0 if not prev else rng.randint(3, 20),
                                   rng.randint(1, 6)))
         pv = f" /Prev {rng.randint(100, 9999)}" if prev else ""
-        out.append(f"trailer\n<< /Root 1 0 R{troot}{pv} >>")
+        out.append(f"trailer\n<< /Root {root_ref}{troot}{pv} >>")
         if xd:
             out.append(f"startxref\n{rng.randint(100, 99999)}")
         out.append("%%EOF")

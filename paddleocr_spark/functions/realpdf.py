@@ -1959,6 +1959,104 @@ def _interpret(content: str, mb_w: float, mb_h: float,
 _CONTENTS_ARR_RE = re.compile(r"/Contents[\x00\t\n\x0c\r ]*\[")
 
 
+def _kids_refs(body: str) -> list:
+    """``/Kids [ N 0 R … ]`` at the FIRST token-exact occurrence: the
+    referenced object numbers left-to-right until ``]`` or the first
+    non-ref element (the `_contents_refs` array rule). `/Kids` is always
+    an array per ISO 32000 §7.7.3.2 — a non-array value → empty (pinned)."""
+    k = body.find("/Kids")
+    if k < 0:
+        return []
+    after = k + len("/Kids")
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
+        return []
+    i = _skip_ws(body, after)
+    if body[i : i + 1] != "[":
+        return []
+    i += 1
+    refs = []
+    while i < len(body):
+        i = _skip_ws(body, i)
+        if body[i : i + 1] == "]":
+            break
+        num, j = _read_ref(body, i)
+        if num is None:
+            break
+        refs.append(num)
+        i = j
+    return refs
+
+
+_TREE_MAX_NODES = 512
+_TREE_MAX_DEPTH = 32
+
+
+def _page_tree_order(text: str, objs: dict, vobjs: dict) -> Optional[list]:
+    """Ordered page object numbers from the document's page tree (SPEC §3b
+    Page tree, v21 — the ISO 32000 §7.7.3 logical page order; the
+    reference renders pages in this order via its per-page loop,
+    /root/reference/tools/infer/predict_system.py:212-224). The LAST
+    token-exact ``/Root N 0 R`` anywhere names the catalog (incremental
+    updates append new trailers — last-wins, consistent with the v16
+    object map); the catalog's first ``/Pages`` ref roots a depth-first
+    walk over ``/Kids`` arrays: left-to-right, ``/Type /Pages`` nodes
+    recursed, ``/Type /Page`` leaves collected in visit order. A visited
+    set guards cycles and duplicate listings; unresolvable bodies and
+    kids that are neither Page nor Pages are skipped; depth > 32 prunes
+    the subtree. More than 512 visited nodes aborts the walk entirely
+    (partial order would scramble unvisited pages), and no collected
+    leaf yields None — in both cases byte order stands."""
+    root = None
+    k = -1
+    while True:
+        k = text.find("/Root", k + 1)
+        if k < 0:
+            break
+        after = k + len("/Root")
+        if (
+            after < len(text)
+            and text[after] not in _WS
+            and text[after] not in _DELIM
+        ):
+            continue
+        num, _ = _read_ref(text, after)
+        if num is not None:
+            root = num
+    if root is None:
+        return None
+    cat = _obj_body(text, objs, vobjs, root)
+    if cat is None:
+        return None
+    pages_ref = _key_ref(cat, "/Pages")
+    if pages_ref is None:
+        return None
+    order: list = []
+    visited: set = set()
+
+    def walk(num: int, depth: int) -> bool:
+        if num in visited or depth > _TREE_MAX_DEPTH:
+            return True
+        if len(visited) >= _TREE_MAX_NODES:
+            return False
+        visited.add(num)
+        body = _obj_body(text, objs, vobjs, num)
+        if body is None:
+            return True
+        if _first_type_is(body, "Page"):
+            order.append(num)
+            return True
+        if not _first_type_is(body, "Pages"):
+            return True
+        for kid in _kids_refs(body):
+            if not walk(kid, depth + 1):
+                return False
+        return True
+
+    if not walk(pages_ref, 0) or not order:
+        return None
+    return order
+
+
 def _content_resources(text: str):
     """({content-object number: (font table, xobject table, geometry)},
     object intervals, form resolver, {part obj num: group id},
@@ -1989,6 +2087,7 @@ def _content_resources(text: str):
     multi_eof = text.count("%%EOF") >= 2
     if (
         not multi_eof
+        and "/Kids" not in text  # v21: page-tree ordering needs the object map
         and "/ToUnicode" not in text
         and "/Differences" not in text
         and "/WinAnsiEncoding" not in text
@@ -2000,7 +2099,7 @@ def _content_resources(text: str):
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):
-        return {}, [], None, {}, {}, frozenset()
+        return {}, [], None, {}, {}, frozenset(), None
     dflt = media_box(text)
     objs, intervals = _object_map(text)
     dead = (
@@ -2014,6 +2113,7 @@ def _content_resources(text: str):
     by_content: dict = {}
     part_of: dict = {}
     groups: dict = {}
+    keys_of_page: dict = {}  # page obj num → scan-unit key (v21)
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
         body = _obj_body(text, objs, vobjs, num)
@@ -2029,16 +2129,32 @@ def _content_resources(text: str):
         entry = (fonts, xobjs, geo)
         if len(refs) == 1:
             by_content[refs[0]] = entry
+            keys_of_page[num] = refs[0]
         else:
             streamable = [r for r in refs if r in objs and r not in vobjs]
             if not streamable:
                 continue
             trigger = max(streamable, key=lambda r: objs[r][0])
             groups[num] = (tuple(refs), entry, trigger)
+            keys_of_page[num] = num  # group units are keyed by the page obj
             for r in streamable:
                 part_of[r] = num  # a shared part: the LAST page wins
     resolver = _make_form_resolver(text, objs, vobjs) if want_xobj else None
-    return by_content, intervals, resolver, part_of, groups, dead
+    # v21: page-tree ordering — map each page's scan-unit key to its tree
+    # position. A content object shared by two tree pages keeps the LAST
+    # tree listing's position (pinned, mirroring the shared-part rule).
+    tree_pos = None
+    if keys_of_page:
+        ordered = _page_tree_order(text, objs, vobjs)
+        if ordered:
+            tree_pos = {}
+            for pos, pnum in enumerate(ordered):
+                key = keys_of_page.get(pnum)
+                if key is not None:
+                    tree_pos[key] = pos
+            if not tree_pos:
+                tree_pos = None
+    return by_content, intervals, resolver, part_of, groups, dead, tree_pos
 
 
 def _has_encrypt(text: str) -> bool:
@@ -2062,15 +2178,14 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         return [], 1
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
-    res_by_obj, obj_intervals, resolver, part_of, groups, dead = (
+    res_by_obj, obj_intervals, resolver, part_of, groups, dead, tree_pos = (
         _content_resources(text)
     )
     obj_starts = [iv[0] for iv in obj_intervals]
     pending: dict = {}  # group id → {part obj num: decoded content}
     assembled: set = set()
-    out = []
+    units: list = []  # (unit key, [Box]) in scan order (v21)
     skipped = 0
-    page = 0
     pos = 0
     n = len(text)
     while pos < n:
@@ -2153,9 +2268,7 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 crop=(cx, cy),
             )
             skipped += suppressed
-            for box in boxes:
-                out.append((page, box))
-            page += 1
+            units.append((gid, boxes))
             continue
         if resolver is not None and _subtype_is(params, "Form"):
             # form XObject stream (SPEC §3b, v9): never a page, renders
@@ -2192,12 +2305,27 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             crop=(cx, cy),
         )
         skipped += suppressed
-        for box in boxes:
-            out.append((page, box))
-        page += 1
+        units.append((onum, boxes))
     # parts stashed for a group whose trigger never materialized (truncated
     # or malformed tail): the page is lost — count it once per group
     skipped += sum(1 for g in pending if g not in assembled)
+    # v21 page-tree ordering: units whose key maps into the tree emit in
+    # tree order; unmapped units (orphan streams, pages outside the tree)
+    # follow in scan order. Without a resolvable tree, scan order stands —
+    # byte order IS the pre-v21 behavior.
+    if tree_pos:
+        mapped = sorted(
+            (tree_pos[k], i) for i, (k, _b) in enumerate(units) if k in tree_pos
+        )
+        idx = [i for _p, i in mapped] + [
+            i for i, (k, _b) in enumerate(units) if k not in tree_pos
+        ]
+    else:
+        idx = range(len(units))
+    out = []
+    for page, i in enumerate(idx):
+        for box in units[i][1]:
+            out.append((page, box))
     return out, skipped
 
 

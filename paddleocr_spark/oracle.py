@@ -1426,6 +1426,86 @@ def _rpdf_contents_refs(body: str):
     return [int(r.group(1))] if r else []
 
 
+def _rpdf_kids_refs(body: str):
+    """/Kids [ N 0 R … ] at the FIRST token-exact occurrence — the array
+    read stops at ] or the first non-ref element; non-array → empty
+    (mirror of the kernel rule, v21)."""
+    k = body.find("/Kids")
+    if k < 0:
+        return []
+    after = k + len("/Kids")
+    if after < len(body) and not re.match(
+        r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after]
+    ):
+        return []
+    i = _RPDF_WSRUN_RE.match(body, after).end()
+    if body[i : i + 1] != "[":
+        return []
+    i += 1
+    refs = []
+    while i < len(body):
+        i = _RPDF_WSRUN_RE.match(body, i).end()
+        if body[i : i + 1] == "]":
+            break
+        r = _RPDF_REFVAL0_RE.match(body, i)
+        if not r:
+            break
+        refs.append(int(r.group(1)))
+        i = r.end()
+    return refs
+
+
+_RPDF_ROOT_RE = re.compile(
+    r"/Root(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+)
+_RPDF_TREE_MAX_NODES = 512
+_RPDF_TREE_MAX_DEPTH = 32
+
+
+def _rpdf_page_tree_order(text: str, objs: dict, vobjs: dict):
+    """Ordered page object numbers from the page tree — regex mirror of
+    the kernel's walk (SPEC §3b Page tree, v21): LAST valid /Root N 0 R
+    → catalog → first /Pages ref → depth-first /Kids walk, visited-set
+    cycle guard, depth cap prunes, node cap aborts, no leaves → None."""
+    root = None
+    for m in _RPDF_ROOT_RE.finditer(text):
+        r = _RPDF_REFVAL_RE.match(text, m.end())
+        if r:
+            root = int(r.group(1))
+    if root is None:
+        return None
+    cat = _rpdf_obj_body(text, objs, vobjs, root)
+    if cat is None:
+        return None
+    pages_ref = _rpdf_key_ref(cat, "/Pages")
+    if pages_ref is None:
+        return None
+    order, visited = [], set()
+
+    def walk(num, depth):
+        if num in visited or depth > _RPDF_TREE_MAX_DEPTH:
+            return True
+        if len(visited) >= _RPDF_TREE_MAX_NODES:
+            return False
+        visited.add(num)
+        body = _rpdf_obj_body(text, objs, vobjs, num)
+        if body is None:
+            return True
+        if _rpdf_first_type_is(body, "Page"):
+            order.append(num)
+            return True
+        if not _rpdf_first_type_is(body, "Pages"):
+            return True
+        for kid in _rpdf_kids_refs(body):
+            if not walk(kid, depth + 1):
+                return False
+        return True
+
+    if not walk(pages_ref, 0) or not order:
+        return None
+    return order
+
+
 def _rpdf_content_resources(text: str):
     """{content obj num: (font table, xobject table, geometry)} + object
     intervals + form resolver + {part obj num: group id} + {group id:
@@ -1440,6 +1520,7 @@ def _rpdf_content_resources(text: str):
     multi_eof = text.count("%%EOF") >= 2
     if (
         not multi_eof
+        and "/Kids" not in text  # v21: page-tree ordering needs the object map
         and "/ToUnicode" not in text
         and "/Differences" not in text
         and "/WinAnsiEncoding" not in text
@@ -1451,7 +1532,7 @@ def _rpdf_content_resources(text: str):
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
-        return {}, [], None, {}, {}, frozenset()
+        return {}, [], None, {}, {}, frozenset(), None
     dflt = _rpdf_mediabox(text)
     objs, intervals = _rpdf_object_map(text)
     dead = (
@@ -1464,6 +1545,7 @@ def _rpdf_content_resources(text: str):
     by_content = {}
     part_of: dict = {}
     groups: dict = {}
+    keys_of_page: dict = {}  # page obj num → scan-unit key (v21)
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
         body = _rpdf_obj_body(text, objs, vobjs, num)
@@ -1485,16 +1567,31 @@ def _rpdf_content_resources(text: str):
         entry = (fonts, xobjs, geo)
         if len(refs) == 1:
             by_content[refs[0]] = entry
+            keys_of_page[num] = refs[0]
         else:
             streamable = [r for r in refs if r in objs and r not in vobjs]
             if not streamable:
                 continue
             trigger = max(streamable, key=lambda r: objs[r][0])
             groups[num] = (tuple(refs), entry, trigger)
+            keys_of_page[num] = num  # group units keyed by the page obj
             for r in streamable:
                 part_of[r] = num  # a shared part: the LAST page wins
     resolver = _rpdf_form_resolver(text, objs, vobjs) if want_xobj else None
-    return by_content, intervals, resolver, part_of, groups, dead
+    # v21: unit key → tree position; a content object shared by two tree
+    # pages keeps the LAST tree listing's position (pinned)
+    tree_pos = None
+    if keys_of_page:
+        ordered = _rpdf_page_tree_order(text, objs, vobjs)
+        if ordered:
+            tree_pos = {}
+            for pos, pnum in enumerate(ordered):
+                key = keys_of_page.get(pnum)
+                if key is not None:
+                    tree_pos[key] = pos
+            if not tree_pos:
+                tree_pos = None
+    return by_content, intervals, resolver, part_of, groups, dead, tree_pos
 
 
 def _rpdf_apply_cmap(s: str, entry):
@@ -1940,11 +2037,11 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
     if _RPDF_ENCRYPT_RE.search(text):
         return [], 1  # encrypted document: whole-payload refusal (v11)
     mb_w, mb_h = _rpdf_mediabox(text)
-    res_by_obj, obj_intervals, resolver, part_of, groups, dead = (
+    res_by_obj, obj_intervals, resolver, part_of, groups, dead, tree_pos = (
         _rpdf_content_resources(text)
     )
     obj_starts = [iv[0] for iv in obj_intervals]
-    pages, dropped, page = {}, 0, 0
+    units, dropped = [], 0  # (unit key, kept boxes) in scan order (v21)
     pending, assembled = {}, set()
     min_pos = 0
     # matching '<<' for every '>>' token, ONE regex pass over the whole
@@ -2012,12 +2109,13 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
                 resolver, rot=rot, crop=(cx, cy),
             )
             dropped += sup
+            kept = []
             for b in boxes:
                 if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
                     dropped += 1
                 else:
-                    pages.setdefault(page, []).append(b)
-            page += 1
+                    kept.append(b)
+            units.append((gid, kept))
             continue
         if resolver is not None and _rpdf_subtype_is(params, "Form"):
             continue  # form XObject: never a page, renders only via Do (v9)
@@ -2040,14 +2138,30 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
             rot=rot, crop=(cx, cy),
         )
         dropped += sup
+        kept = []
         for b in boxes:
             if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
                 dropped += 1
             else:
-                pages.setdefault(page, []).append(b)
-        page += 1
+                kept.append(b)
+        units.append((onum, kept))
     # groups whose trigger never materialized (truncated tail): page lost
     dropped += sum(1 for g in pending if g not in assembled)
+    # v21 page-tree ordering: tree-mapped units in tree order, unmapped
+    # units after in scan order; no resolvable tree → scan order stands
+    if tree_pos:
+        m_ix = sorted(
+            (tree_pos[k], i) for i, (k, _b) in enumerate(units) if k in tree_pos
+        )
+        idx = [i for _p, i in m_ix] + [
+            i for i, (k, _b) in enumerate(units) if k not in tree_pos
+        ]
+    else:
+        idx = range(len(units))
+    pages = {}
+    for page, i in enumerate(idx):
+        for b in units[i][1]:
+            pages.setdefault(page, []).append(b)
 
     spans = []
     for p in sorted(pages):

@@ -1917,11 +1917,11 @@ def test_update_page_redefinition_leaves_old_content_live():
     assert any("revised" in t for t in texts)
 
 
-def test_update_nonlast_page_reads_at_update_position():
-    # page ordinals are interpretation (document) order: replacing the
-    # FIRST page's content stream makes its text read at the update's
-    # position, i.e. after the untouched second page — documented
-    # reading-order degrade of reference-free scanning, mirrored exactly
+def test_update_nonlast_page_heals_to_tree_order():
+    # v21 heals the former reading-order degrade: the updated FIRST page's
+    # content stream sits at the END of the byte stream, but the page tree
+    # still lists it first — tree ordering reads it BEFORE the untouched
+    # second page (pre-v21 this read at the update's byte position)
     p0 = "BT /F1 12 Tf 72 700 Td (first page body) Tj ET"
     p1 = "BT /F1 12 Tf 72 700 Td (second page body) Tj ET"
     base = _pages_pdf([(p0, ""), (p1, "")])
@@ -1936,7 +1936,9 @@ def test_update_nonlast_page_reads_at_update_position():
     assert not any("first page" in t for t in texts)
     i_second = next(i for i, t in enumerate(texts) if "second page" in t)
     i_new = next(i for i, t in enumerate(texts) if "rewritten" in t)
-    assert i_second < i_new
+    assert i_new < i_second
+    o = oracle_extract(doc)
+    assert [s[2] for s in o["spans"]] == texts
 
 
 def test_update_replaces_contents_array_part():
@@ -2321,3 +2323,167 @@ def test_v20_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_cm >= 60
+
+
+# ---------------------------------------------------------------------------
+# v21: /Kids page-tree ordering (SPEC §3b Page tree; ISO 32000 §7.7.3)
+# ---------------------------------------------------------------------------
+
+
+def _kids_pdf(kids: str, page_objs: str, stream_objs: str,
+              root: str = "1 0 R") -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /MediaBox [0 0 612 792]"
+        " >>\nendobj\n"
+        f"{page_objs}{stream_objs}"
+        f"trailer\n<< /Root {root} >>\n%%EOF\n"
+    )
+
+
+def _pg(num: int, cref: int, parent: int = 2, extra: str = "") -> str:
+    return (
+        f"{num} 0 obj\n<< /Type /Page /Parent {parent} 0 R"
+        f" /Contents {cref} 0 R{extra} >>\nendobj\n"
+    )
+
+
+def _st(num: int, label: str, y: int = 700) -> str:
+    ops = f"BT /F1 12 Tf 72 {y} Td ({label}) Tj ET"
+    return (
+        f"{num} 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\n"
+        "endstream\nendobj\n"
+    )
+
+
+def test_tree_order_overrides_byte_order():
+    """Content streams emitted in reversed byte order read in /Kids order."""
+    doc = _kids_pdf(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "second page line") + _st(5, "first page line"),
+    )
+    assert [s[2] for s in _parity(doc)] == ["first page line", "second page line"]
+
+
+def test_nested_pages_node_and_two_hop_inheritance():
+    """A nested /Type /Pages node recurses in place; its wrapped page
+    inherits the MediaBox through TWO /Parent hops."""
+    sub = "7 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [4 0 R] >>\nendobj\n"
+    doc = _kids_pdf(
+        "3 0 R 7 0 R",
+        _pg(3, 5) + _pg(4, 6, parent=7) + sub,
+        _st(6, "nested page line") + _st(5, "top page line"),
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == ["top page line", "nested page line"]
+    # same user-space origin + same (inherited) MediaBox → identical
+    # X0/Y0/Y1 (X1 differs with label length)
+    assert [spans[0][4][i] for i in (0, 1, 3)] == [
+        spans[1][4][i] for i in (0, 1, 3)
+    ]
+
+
+def test_tree_missing_kid_and_duplicate_listing():
+    """A kid ref to a missing object is skipped; a page listed twice is
+    collected once (visited guard)."""
+    doc = _kids_pdf(
+        "99 0 R 4 0 R 3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(5, "listed second") + _st(6, "listed first"),
+    )
+    assert [s[2] for s in _parity(doc)] == ["listed first", "listed second"]
+
+
+def test_tree_cycle_guard():
+    """A nested node cycling back to the root terminates; pages extract
+    once each in tree order."""
+    sub = (
+        "7 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 2 0 R] >>\n"
+        "endobj\n"
+    )
+    doc = _kids_pdf(
+        "7 0 R 3 0 R",
+        _pg(3, 5) + _pg(4, 6, parent=7) + sub,
+        _st(5, "outer page") + _st(6, "inner page"),
+    )
+    assert [s[2] for s in _parity(doc)] == ["inner page", "outer page"]
+
+
+def test_dead_root_keeps_byte_order():
+    """A trailer /Root naming a missing object yields no tree: byte order
+    stands (the pre-v21 behavior)."""
+    doc = _kids_pdf(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "byte first") + _st(5, "byte second"),
+        root="77 0 R",
+    )
+    assert [s[2] for s in _parity(doc)] == ["byte first", "byte second"]
+
+
+def test_orphan_page_appends_after_tree_pages():
+    """A /Type /Page object no /Kids array lists emits AFTER the tree
+    pages even when its content stream comes first in byte order."""
+    doc = _kids_pdf(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6) + _pg(8, 9),
+        _st(9, "orphan note") + _st(5, "tree one") + _st(6, "tree two"),
+    )
+    assert [s[2] for s in _parity(doc)] == ["tree one", "tree two", "orphan note"]
+
+
+def test_shared_content_object_last_tree_listing_wins():
+    """Two tree pages sharing one content object produce ONE unit, placed
+    at the LAST page's tree position (mirror of the shared-part rule)."""
+    doc = _kids_pdf(
+        "3 0 R 4 0 R 8 0 R",
+        _pg(3, 5) + _pg(4, 6) + _pg(8, 5),
+        _st(5, "shared content") + _st(6, "middle page"),
+    )
+    assert [s[2] for s in _parity(doc)] == ["middle page", "shared content"]
+
+
+def test_update_heals_shuffle_with_new_trailer_root():
+    """An incremental update appends a new trailer whose /Root wins
+    (last-valid rule) — tree ordering still resolves through it."""
+    base = _kids_pdf(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "page two text") + _st(5, "page one text"),
+    )
+    doc = base + "trailer\n<< /Root 1 0 R /Prev 42 >>\n%%EOF\n"
+    assert [s[2] for s in _parity(doc)] == ["page one text", "page two text"]
+
+
+def test_v21_truncation_fuzz():
+    """Every truncation of a shuffled tree document parses cleanly and
+    identically in both implementations."""
+    doc = _kids_pdf(
+        "99 0 R 3 0 R 7 0 R",
+        _pg(3, 5) + _pg(4, 6, parent=7)
+        + "7 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 2 0 R] >>\nendobj\n",
+        _st(6, "deep page line") + _st(5, "top page line"),
+    )
+    for cut in range(0, len(doc), 7):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part)
+        o = oracle_extract(part)
+        assert k == o["kind"] and spans == o["spans"], f"cut {cut}"
+        assert drop == o["n_dropped"], f"cut {cut}"
+
+
+def test_v21_corpus_fuzz_parity():
+    n_nested = n_multi = 0
+    for seed in range(5600, 6400):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "80 0 R" in doc:
+            n_nested += 1
+        if "/Count 2" in doc or "/Count 3" in doc:
+            n_multi += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_nested >= 30 and n_multi >= 150
