@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 21  # v21: /Kids page-tree ordering; v20 q/Q/cm; v19 CropBox
+CORPUS_VERSION = 22  # v22: PDF-1.5 xref-stream trailers; v21 /Kids ordering
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -481,6 +481,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     high-half glyphs (curly quotes, em-dash, €, é, «», …); ~10% of CMap
     fonts carry a conflicting bare base-encoding name the ToUnicode must
     beat.
+    v22: ~30% of section tails take the PDF-1.5 form (ISO §7.5.8) —
+    no classic trailer keyword; /Root (and /Encrypt, /Prev) ride the
+    cross-reference STREAM's parameter dict, whose W-encoded flate
+    body is inert binary to the xref-free scanner.
     v21: page counts grow a 3-page draw; half of multi-page payloads emit
     their content streams OUT of byte order (the incremental-update /
     print-pipeline shape) while /Kids carries logical order; ~25% of
@@ -1253,10 +1257,39 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             return f"xref\n0 {count + 1}\n0000000000 65535 f \n{ents}"
         return f"xref\n{first} {count}\n{ents}"
 
+    xrefstream_n = [85]  # v22: object numbers for xref-stream trailers
+
     def _tail(troot: str, prev: bool) -> str:
         # section tail: optional xref skeleton + trailer + optional
         # startxref + %%EOF (the %%EOF marker is what the supersession
-        # gate counts — exactly one per section)
+        # gate counts — exactly one per section).
+        # v22: ~30% take the PDF-1.5 form (ISO 32000 §7.5.8) — no classic
+        # trailer keyword; the trailer dict (incl. /Root) rides the
+        # cross-reference STREAM's parameter dict. The stream body is
+        # W-encoded binary junk to this xref-free scanner (it decodes
+        # through its filter chain, contains no BT, and is skipped
+        # silently), but /Root is a payload-wide token scan so the
+        # catalog — and v21 tree ordering — still resolve.
+        if rng.random() < 0.30:
+            num = xrefstream_n[0]
+            xrefstream_n[0] += 1
+            rows = bytes(
+                b
+                for _ in range(rng.randint(4, 12))
+                for b in (1, rng.randrange(0x40), rng.randrange(0x40), 0)
+            )
+            xb = (
+                base64.a85encode(zlib.compress(rows, 6)).decode("latin-1")
+                + "~>"
+            )
+            pv = f" /Prev {rng.randint(100, 9999)}" if prev else ""
+            return (
+                f"{num} 0 obj\n<< /Type /XRef /Size {rng.randint(8, 30)}"
+                f" /W [1 2 1] /Root {root_ref}{troot}{pv}"
+                " /Filter [/ASCII85Decode /FlateDecode]"
+                f" /Length {len(xb)} >>\nstream\n{xb}\nendstream\nendobj\n"
+                f"startxref\n{rng.randint(100, 99999)}\n%%EOF"
+            )
         xd = rng.random() < 0.35
         out = []
         if xd:

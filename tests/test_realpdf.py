@@ -2487,3 +2487,99 @@ def test_v21_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_nested >= 30 and n_multi >= 150
+
+
+# ---------------------------------------------------------------------------
+# v22: PDF-1.5 cross-reference-stream trailers (SPEC §3b; ISO 32000 §7.5.8)
+# ---------------------------------------------------------------------------
+
+
+def _xrefstream_obj(num: int, root: str, extra: str = "") -> str:
+    import base64
+    import zlib
+
+    rows = bytes([1, 0, 0x12, 0] * 6)  # W [1 2 1] junk rows, no 'BT' bytes
+    xb = base64.a85encode(zlib.compress(rows, 6)).decode("latin-1") + "~>"
+    return (
+        f"{num} 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] /Root {root}{extra}"
+        " /Filter [/ASCII85Decode /FlateDecode]"
+        f" /Length {len(xb)} >>\nstream\n{xb}\nendstream\nendobj\n"
+        "startxref\n614\n%%EOF\n"
+    )
+
+
+def _pdf15(kids: str, page_objs: str, stream_objs: str, tail: str) -> str:
+    return (
+        "%PDF-1.5\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /MediaBox [0 0 612 792]"
+        " >>\nendobj\n"
+        f"{page_objs}{stream_objs}{tail}"
+    )
+
+
+def test_xref_stream_trailer_resolves_tree():
+    """A PDF-1.5 tail (no `trailer` keyword; /Root in the /Type /XRef
+    stream dict) still resolves the catalog — shuffled pages heal to tree
+    order, and the binary xref body is skipped without counting dropped."""
+    doc = _pdf15(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "page two body") + _st(5, "page one body"),
+        _xrefstream_obj(7, "1 0 R"),
+    )
+    assert "trailer" not in doc
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == ["page one body", "page two body"]
+    _k, _s, drop = extract_payload(doc)
+    assert drop == 0  # the xref stream decodes fine and is silently inert
+
+
+def test_xref_stream_root_last_valid_wins():
+    """An update section's xref-stream /Root supersedes the base trailer's
+    (payload-wide last-valid rule) — and a LATER dead /Root kills the tree."""
+    base = _pdf15(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "beta page") + _st(5, "alpha page"),
+        "trailer\n<< /Root 77 0 R >>\n%%EOF\n",  # dead base root
+    )
+    healed = base + _xrefstream_obj(7, "1 0 R", extra=" /Prev 42")
+    assert [s[2] for s in _parity(healed)] == ["alpha page", "beta page"]
+    # reverse: valid base, later dead xref-stream root → byte order
+    base2 = _pdf15(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "beta page") + _st(5, "alpha page"),
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n",
+    )
+    dead = base2 + _xrefstream_obj(7, "88 0 R", extra=" /Prev 42")
+    assert [s[2] for s in _parity(dead)] == ["beta page", "alpha page"]
+
+
+def test_xref_stream_truncation_fuzz():
+    doc = _pdf15(
+        "3 0 R 4 0 R",
+        _pg(3, 5) + _pg(4, 6),
+        _st(6, "page two body") + _st(5, "page one body"),
+        _xrefstream_obj(7, "1 0 R"),
+    )
+    for cut in range(0, len(doc), 7):
+        part = doc[:cut]
+        k, spans, drop = extract_payload(part)
+        o = oracle_extract(part)
+        assert k == o["kind"] and spans == o["spans"], f"cut {cut}"
+        assert drop == o["n_dropped"], f"cut {cut}"
+
+
+def test_v22_corpus_fuzz_parity():
+    n_xs = 0
+    for seed in range(6400, 7200):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Type /XRef" in doc:
+            n_xs += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_xs >= 120
