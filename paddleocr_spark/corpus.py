@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 22  # v22: PDF-1.5 xref-stream trailers; v21 /Kids ordering
+CORPUS_VERSION = 23  # v23: literal-string encoded shows; v22 xref-stream tails
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -195,6 +195,23 @@ def _make_pdflike(rng: random.Random, words: List[str]) -> str:
 def _pdf_str(s: str) -> str:
     """Escape a text for a PDF literal string."""
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def _lit_escape(hexcodes: str) -> str:
+    """Render font-encoded bytes as an ASCII-safe PDF literal string
+    (v23): printables pass, specials backslash-escape, everything else
+    becomes a THREE-digit octal escape (always three, so a following
+    digit char can never extend the maximal munch)."""
+    out = []
+    for b in bytes.fromhex(hexcodes):
+        c = chr(b)
+        if c in "\\()":
+            out.append("\\" + c)
+        elif 0x20 <= b <= 0x7E:
+            out.append(c)
+        else:
+            out.append(f"\\{b:03o}")
+    return "".join(out)
 
 
 # --- stream-filter ENCODERS (generation-only; the decode side lives in
@@ -481,6 +498,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     high-half glyphs (curly quotes, em-dash, €, é, «», …); ~10% of CMap
     fonts carry a conflicting bare base-encoding name the ToUnicode must
     beat.
+    v23: ~15% of font-encoded show ops render as escaped LITERAL
+    strings (ISO §7.3.4.2) — three-digit octal escapes carry the
+    non-printable code bytes (incl. 2-byte CID halves), exercising
+    the literal-reader × CMap interplay the hex forms bypass.
     v22: ~30% of section tails take the PDF-1.5 form (ISO §7.5.8) —
     no classic trailer keyword; /Root (and /Encrypt, /Prev) ride the
     cross-reference STREAM's parameter dict, whose W-encoded flate
@@ -597,9 +618,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             sent = _diff_decorate(rng, sent, sch[1])
         elif sch is not None and sch[0] in ("winansi", "macroman"):
             sent = _base_decorate(rng, sent, sch[0])
-        if sch is not None:  # encoded shows are hex-string forms only
-            if roll < 0.5:
+        if sch is not None:  # encoded shows: hex-string or literal forms
+            if roll < 0.45:
                 return f"<{_codes(sent, sch)}> Tj"
+            if roll < 0.60:  # v23: escaped literal-string form — octal
+                # escapes carry the non-printable code bytes (ISO §7.3.4.2)
+                return f"({_lit_escape(_codes(sent, sch))}) Tj"
             if roll < 0.8:  # TJ with a kerning-space join
                 ws = sent.split(" ")
                 cut = rng.randint(1, max(1, len(ws) - 1))

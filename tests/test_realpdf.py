@@ -2583,3 +2583,85 @@ def test_v22_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_xs >= 120
+
+
+# ---------------------------------------------------------------------------
+# v23: literal-string encoded shows (SPEC §3b Tokens; ISO 32000 §7.3.4.2)
+# ---------------------------------------------------------------------------
+
+
+def _cid_doc(show_op: str) -> str:
+    """One page, a 2-byte CID font (codes 0100/0101/0102 → 'C' 'a' 't'),
+    and the given show op under /F9."""
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "3 beginbfchar\n<0100> <0043>\n<0101> <0061>\n<0102> <0074>\n"
+        "endbfchar\nendcmap\nend"
+    )
+    ops = f"BT /F9 12 Tf 72 700 Td {show_op} ET"
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792]"
+        " >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n"
+        f"6 0 obj\n<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_literal_cid_show_equals_hex_twin():
+    """2-byte CID codes carried by octal escapes in a literal string
+    decode identically to the same codes in a hex string."""
+    lit = _parity(_cid_doc(r"(\001\000\001\001\001\002) Tj"))
+    hx = _parity(_cid_doc("<010001010102> Tj"))
+    assert [s[2] for s in lit] == ["Cat"]
+    assert lit == hx
+
+
+def test_literal_octal_maximal_munch_three_digits():
+    """A three-digit octal escape followed by a digit char does not
+    over-munch: \\0011 is code byte 0x01 then the char '1'."""
+    spans = _parity(_cid_doc(r"(\001\0001\001\002) Tj"))
+    # bytes: 01 00 31 01 02 → (0100)→'C', '1' (identity, no 2-byte match
+    # since 0x31 pairs fail), then (0102)→'t'
+    assert [s[2] for s in spans] == ["C1t"]
+
+
+def test_literal_high_half_octal_through_base_encoding():
+    """Octal escapes ≥ \\200 decode through a WinAnsi base encoding."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792]"
+        " >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< /Length 57 >>\nstream\n"
+        r"BT /F9 12 Tf 72 700 Td (caf\351 \223quote\224 ok) Tj ET"
+        "\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding"
+        " >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == ["café “quote” ok"]
+
+
+def test_v23_corpus_fuzz_parity():
+    import re as _re
+
+    pat = _re.compile(r"\\[0-7]{3}")
+    n_lit = 0
+    for seed in range(7200, 8000):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if pat.search(doc):
+            n_lit += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_lit >= 80
