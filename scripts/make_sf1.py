@@ -58,6 +58,17 @@ def main() -> None:
         os.path.join(dest, "documents.parquet"),
     )
     print(f"sf1 documents: {len(ids)} docs -> {dest}/documents.parquet")
+    # check_oracle.py registers every driver table as a view up front, so
+    # symlink the non-documents tables from sf0.1 (the extract family only
+    # reads documents — the links exist to satisfy view creation)
+    src_dir = os.path.dirname(SRC)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        link = os.path.join(dest, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), link)
 
 
 if __name__ == "__main__":
