@@ -78,6 +78,15 @@ class ExtractConfig:
     #    it (each suppressed show op with a string operand counts dropped).
     drop_invisible_text: bool = False
 
+    # -- real-PDF marked content (SPEC §3b Marked content, v24). Content
+    #    inside an /Artifact marked-content level (ISO 32000 §14.8.2.2.2:
+    #    pagination headers/footers, decorations — "not part of the
+    #    author's original content") is suppressed by default — the
+    #    PDF-side analog of the HTML nav/header/footer boilerplate rule.
+    #    True = keep artifact text (each suppressed show op counts dropped
+    #    when False, the invisible-text accounting rule).
+    keep_artifact_text: bool = False
+
     # -- assembly --
     para_sep: str = "\n\n"
 

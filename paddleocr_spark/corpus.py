@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 23  # v23: literal-string encoded shows; v22 xref-stream tails
+CORPUS_VERSION = 24  # v24: marked content (/Artifact, /ActualText); v23 literal shows
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -522,6 +522,16 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     traps (unbalanced Q, 5-operand cm, cm inside BT); form /Matrix
     scaling components now compose with the CTM instead of being pinned
     to translation-only.
+    v24: ~35% of payloads carry marked content (ISO 32000 §14.6) —
+    header/footer bands wrapped in /Artifact levels (BDC-dict and BMC
+    forms; suppressed by default, the §14.8.2.2.2 text-extraction rule),
+    mid-page DRAFT watermark artifacts that would otherwise be KEPT,
+    hyphenation-fix /ActualText spans (plain, hex-UTF-16BE-BOM and
+    octal-literal-BOM operand forms, occasionally non-ASCII), an
+    artifact-wrapped Do (the form's shows still render — fresh stack),
+    and traps: unbalanced EMC, zero-show levels, number-first BDC
+    (untagged), ref-in-property-dict stack-clear (untagged — renders),
+    named-props /Artifact (still suppresses).
     v16: ~35% of section tails grow a classic xref table + startxref
     (inert bytes to the xref-free scanner); ~12% of non-encrypted
     payloads append an incremental-update section (ISO §7.5.6) that
@@ -535,6 +545,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     n_roll = rng.random()
     n_pages = 3 if n_roll < 0.06 else (2 if n_roll < 0.26 else 1)
     use_cm = rng.random() < 0.25  # v20: q/Q/cm-positioned blocks
+    use_mc = rng.random() < 0.35  # v24: marked-content payloads
     # v21: page-tree ordering draws (see the docstring)
     shuffle_pages = n_pages >= 2 and rng.random() < 0.5
     nested_tree = n_pages >= 2 and rng.random() < 0.25
@@ -655,6 +666,36 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f" ( {_pdf_str(' '.join(ws[cut:]))}) Tj"
         )
 
+    def _at_line(sch=None) -> str:
+        # v24: a hyphenation-fix /ActualText span (ISO §14.8.2.2) — the
+        # drawn fragments are replaced by the declared text; the operand
+        # rides plain-literal, hex-UTF-16BE-BOM or octal-literal-BOM form
+        sent = _sent(rng, words, rng.randint(3, 6))
+        if rng.random() < 0.25:  # non-ASCII replacement text
+            sent = rng.choice(("café ", "naïve ", "“quoted” ")) + sent
+        r = rng.random()
+        if r < 0.40:
+            at = f"({_pdf_str(sent)})"
+        elif r < 0.75:
+            at = "<FEFF" + "".join(f"{ord(c):04X}" for c in sent) + ">"
+        else:
+            at = (
+                "(\\376\\377"
+                + "".join(
+                    f"\\{ord(c) >> 8:03o}\\{ord(c) & 0xFF:03o}" for c in sent
+                )
+                + ")"
+            )
+        ws2 = sent.split(" ")
+        cut = max(1, len(ws2) // 2)
+        fa, fb = " ".join(ws2[:cut]) + "-", " ".join(ws2[cut:])
+        draw = (
+            f"({_pdf_str(fa)}) Tj ({_pdf_str(fb)}) Tj"
+            if sch is None
+            else f"<{_codes(fa, sch)}> Tj <{_codes(fb, sch)}> Tj"
+        )
+        return f"/Span << /ActualText {at} >> BDC {draw} EMC"
+
     body_font = "/F9" if scheme else "/F1"
     streams = []
     for _page in range(n_pages):
@@ -662,13 +703,27 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         ll = fs + rng.randint(3, 6)
         ops = ["BT"]
         if rng.random() < 0.7:  # header band (always /F1 — identity)
-            ops += [f"/F1 8 Tf 72 {mb_h - 26} Td",
-                    f"({_pdf_str(_sent(rng, words, 3))} header) Tj"]
+            hdr = f"({_pdf_str(_sent(rng, words, 3))} header) Tj"
+            if use_mc and rng.random() < 0.55:
+                # v24: real producers mark pagination as /Artifact
+                mark = (
+                    "/Artifact << /Type /Pagination /Subtype /Header >> BDC"
+                    if rng.random() < 0.6
+                    else "/Artifact BMC"
+                )
+                ops += [f"/F1 8 Tf 72 {mb_h - 26} Td", mark, hdr, "EMC"]
+            else:
+                ops += [f"/F1 8 Tf 72 {mb_h - 26} Td", hdr]
         ops.append("ET")
         if rng.random() < 0.2:  # v8: inline image between text objects
             ops.append(_inline_img(rng))
         if use_forms:  # v9: letterhead form + hostile Do targets
-            ops.append("/Fx Do")
+            if use_mc and rng.random() < 0.30:
+                # v24: artifact-wrapped Do — the form's shows still render
+                # (forms get a FRESH marked-content stack)
+                ops.append("/Artifact BMC /Fx Do EMC")
+            else:
+                ops.append("/Fx Do")
             r = rng.random()
             if r < 0.30:
                 ops.append("/Im Do")  # image XObject: must no-op
@@ -761,7 +816,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         else:
                             ops.append(f"{sstr} '")
                         continue
-                ops.append(show(_sent(rng, words, rng.randint(4, 10)), sch))
+                if use_mc and li == 2 and rng.random() < 0.45:
+                    # v24: hyphenation-fix /ActualText span in the body
+                    ops.append(_at_line(sch))
+                else:
+                    ops.append(show(_sent(rng, words, rng.randint(4, 10)), sch))
             ops.append("ET")
         if use_cm and rng.random() < 0.9:
             # v20: graphics-state positioned block (ISO §8.4.4) — the
@@ -801,11 +860,50 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         f"q 1 0 0 {cy} cm",
                         f"BT /F1 {fs} Tf {cx} {cy} Td", l1,
                         f"1 0 0 1 0 -{ll * 2} cm", l2, "ET", "Q", "Q"]
+        if use_mc and rng.random() < 0.22:
+            # v24: a mid-page watermark artifact — unlike the header band
+            # (which the y-band rule drops anyway) this would otherwise be
+            # KEPT, so suppression is visible in the golden
+            ops += [
+                "BT",
+                f"/F1 {rng.choice((18, 24))} Tf"
+                f" {rng.randint(140, 300)} {rng.randint(320, 520)} Td",
+                "/Artifact << /Type /Layout >> BDC",
+                f"(DRAFT {_pdf_str(_sent(rng, words, 2))}) Tj",
+                "EMC", "ET",
+            ]
+        if use_mc and rng.random() < 0.18:
+            # v24 traps (SPEC §3b Marked content degrades)
+            trap = rng.random()
+            if trap < 0.22:
+                ops.insert(0, "EMC")  # unbalanced: inert
+            elif trap < 0.42:  # zero-show level: contributes nothing
+                ops += ["BT /F1 9 Tf 200 200 Td",
+                        "/Span << /ActualText (never-used) >> BDC EMC",
+                        f"({_pdf_str(_sent(rng, words, 3))}) Tj", "ET"]
+            elif trap < 0.62:  # number-first BDC: untagged, renders
+                ops += ["BT /F1 9 Tf 210 240 Td",
+                        f"7 /Artifact BDC ({_pdf_str(_sent(rng, words, 3))}"
+                        " untag) Tj EMC", "ET"]
+            elif trap < 0.82:  # ref in the property dict clears the stack
+                ops += ["BT /F1 9 Tf 220 260 Td",
+                        "/Artifact << /Md 9 0 R >> BDC"
+                        f" ({_pdf_str(_sent(rng, words, 3))} refclear) Tj"
+                        " EMC", "ET"]
+            else:  # named-props artifact: the tag rule still suppresses
+                ops += ["BT /F1 9 Tf 230 280 Td",
+                        f"/Artifact /P0 BDC ({_pdf_str(_sent(rng, words, 2))})"
+                        " Tj EMC", "ET"]
         if rng.random() < 0.15:  # v8: inline image before the footer
             ops.append(_inline_img(rng))
         if rng.random() < 0.7:  # footer band (always /F1 — identity)
-            ops += ["BT", "/F1 8 Tf 72 18 Td",
-                    f"(page {_page} footer) Tj", "ET"]
+            ftr = f"(page {_page} footer) Tj"
+            if use_mc and rng.random() < 0.55:
+                ops += ["BT", "/F1 8 Tf 72 18 Td",
+                        "/Artifact << /Type /Pagination /Subtype /Footer >>"
+                        " BDC", ftr, "EMC", "ET"]
+            else:
+                ops += ["BT", "/F1 8 Tf 72 18 Td", ftr, "ET"]
         else:
             ops.append("BT ET")
         streams.append("\n".join(ops))

@@ -1626,6 +1626,40 @@ def _inline_image_skip(content: str, i: int, stack: list) -> int:
         j += 1
 
 
+def _atext_decode(s: str) -> str:
+    """/ActualText replacement text (SPEC §3b Marked content, v24; ISO
+    32000 §14.8.2.2): a UTF-16BE-BOM string decodes byte pairs to code
+    units with surrogate pairs combined; odd byte count, a lone
+    surrogate, or a char above U+00FF degrades to the raw string. No BOM
+    = PDFDocEncoded, used as-is (subset rule)."""
+    if not s.startswith("\xfe\xff"):
+        return s
+    body = s[2:]
+    if len(body) % 2:
+        return s
+    units = []
+    for k in range(0, len(body), 2):
+        hi, lo = ord(body[k]), ord(body[k + 1])
+        if hi > 0xFF or lo > 0xFF:
+            return s
+        units.append(hi * 256 + lo)
+    out: List[str] = []
+    k = 0
+    while k < len(units):
+        u = units[k]
+        if 0xD800 <= u <= 0xDBFF:
+            if k + 1 >= len(units) or not (0xDC00 <= units[k + 1] <= 0xDFFF):
+                return s  # lone high surrogate
+            out.append(chr(0x10000 + ((u - 0xD800) << 10) + (units[k + 1] - 0xDC00)))
+            k += 2
+            continue
+        if 0xDC00 <= u <= 0xDFFF:
+            return s  # lone low surrogate
+        out.append(chr(u))
+        k += 1
+    return "".join(out)
+
+
 def _interpret(content: str, mb_w: float, mb_h: float,
                cfg: ExtractConfig, fonts: Optional[dict] = None,
                xobjs: Optional[dict] = None, resolver=None,
@@ -1678,6 +1712,15 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     # is absorbed without restoring, so balance survives hostile streams.
     gstack: list = []
     gskip = 0
+    # v24 marked content (SPEC §3b Marked content; ISO 32000 §14.6): a
+    # per-interpretation level stack — NOT graphics state (q/Q never save
+    # it), fresh per form. art_depth counts open /Artifact levels;
+    # at_text/at_consumed carry the outermost active /ActualText
+    # replacement and whether a show has emitted it yet.
+    mc_stack: list = []
+    art_depth = 0
+    at_text: Optional[str] = None
+    at_consumed = False
     fonts = fonts or {}
     xobjs = xobjs or {}
     buf: List[str] = []
@@ -1855,6 +1898,45 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if in_text:
                     flush()
                 ctm = _compose((v[0], v[1], v[2], v[3], v[4], v[5]), ctm)
+        elif tok in ("BMC", "BDC"):
+            # v24 marked content: tag = FIRST operand iff a name (inline
+            # property-dict delimiters are invisible to the tokenizer, so
+            # a BDC's stack reads `tag key₁ val₁ …`); no flush, in or out
+            # of a text object like Do.
+            tag = (
+                stack[0][1]
+                if stack and isinstance(stack[0], tuple) and stack[0][0] == "n"
+                else None
+            )
+            atext = None
+            if tok == "BDC":
+                # replacement = string right after the LAST ActualText
+                # name (the v8 inline-image /L pair rule)
+                for k in range(len(stack) - 1):
+                    if (
+                        isinstance(stack[k], tuple)
+                        and stack[k] == ("n", "ActualText")
+                        and isinstance(stack[k + 1], tuple)
+                        and stack[k + 1][0] == "s"
+                    ):
+                        atext = stack[k + 1][1]
+            owns = False
+            if atext is not None and at_text is None:
+                at_text = _atext_decode(atext)  # outermost wins
+                at_consumed = False
+                owns = True
+            is_art = tag == "Artifact"
+            mc_stack.append((is_art, owns))
+            if is_art:
+                art_depth += 1
+        elif tok == "EMC":
+            if mc_stack:  # unbalanced EMC: inert (pinned degrade)
+                is_art, owns = mc_stack.pop()
+                if is_art:
+                    art_depth -= 1
+                if owns:
+                    at_text = None
+                    at_consumed = False
         elif in_text:
             if tok == "Tf":
                 if stack and isinstance(stack[-1], float):
@@ -1909,6 +1991,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                     if cfg.drop_invisible_text and mode == 3:
                         suppressed += 1
+                    elif art_depth and not cfg.keep_artifact_text:
+                        suppressed += 1  # v24: /Artifact suppression
+                    elif at_text is not None:
+                        if not at_consumed:  # v24: first show emits the
+                            buf.append(at_text)  # /ActualText replacement
+                            at_consumed = True
                     else:
                         buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok in ("'", '"'):
@@ -1929,16 +2017,30 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                     y -= leading
                     if cfg.drop_invisible_text and mode == 3:
                         suppressed += 1
+                    elif art_depth and not cfg.keep_artifact_text:
+                        suppressed += 1  # v24: /Artifact suppression
+                    elif at_text is not None:
+                        if not at_consumed:
+                            buf.append(at_text)
+                            at_consumed = True
                     else:
                         buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok == "TJ":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
+                    has_str = any(
+                        isinstance(el, tuple) and el[0] == "s"
+                        for el in stack[-1][1]
+                    )
                     if cfg.drop_invisible_text and mode == 3:
-                        if any(
-                            isinstance(el, tuple) and el[0] == "s"
-                            for el in stack[-1][1]
-                        ):
+                        if has_str:
                             suppressed += 1
+                    elif art_depth and not cfg.keep_artifact_text:
+                        if has_str:
+                            suppressed += 1  # v24: /Artifact suppression
+                    elif at_text is not None:
+                        if has_str and not at_consumed:
+                            buf.append(at_text)
+                            at_consumed = True
                     else:
                         piece = []
                         for el in stack[-1][1]:

@@ -1783,6 +1783,20 @@ def _rpdf_tokens(content: str):
     return toks
 
 
+def _rpdf_atext(s: str):
+    """/ActualText replacement decode (SPEC §3b Marked content, v24) —
+    independent mirror of the kernel's hand-rolled unit combiner: the
+    stdlib utf-16-be codec rejects odd lengths and lone surrogates, and
+    latin-1 encoding rejects chars above U+00FF, so every degrade case
+    falls back to the raw string exactly like the kernel's."""
+    if not s.startswith("\xfe\xff"):
+        return s
+    try:
+        return s[2:].encode("latin-1").decode("utf-16-be")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return s
+
+
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
                     depth=0, chain=frozenset(), boxes=None, rot=0,
@@ -1814,6 +1828,12 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     ctmb = [ctm]
     gstack = []
     gskip = [0]
+    # v24 marked content: level stack of (is_artifact, owns_replacement);
+    # "art" counts open /Artifact levels; atx = [active replacement text
+    # or None, consumed flag]. Not graphics state — q/Q never touch it.
+    mcs = []
+    atx = [None, False]
+    art = [0]
     fonts = fonts or {}
     xobjs = xobjs or {}
     cmap = [None]  # boxed for closure-free mutation alongside `state`
@@ -1947,6 +1967,33 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if state["in"]:
                     flush()
                 ctmb[0] = _rpdf_compose(tuple(v), ctmb[0])
+        elif op in ("BMC", "BDC"):
+            # v24 marked content (SPEC §3b): tag = FIRST operand iff a
+            # name; BDC replacement = string after the LAST ActualText
+            # name among the operands; outermost replacement wins
+            tag = stack[0][1] if stack and stack[0][0] == "name" else None
+            atext = None
+            if op == "BDC":
+                for k in range(len(stack) - 1):
+                    if stack[k] == ("name", "ActualText") and stack[k + 1][0] == "str":
+                        atext = stack[k + 1][1]
+            owns = False
+            if atext is not None and atx[0] is None:
+                atx[0] = _rpdf_atext(atext)
+                atx[1] = False
+                owns = True
+            is_art = tag == "Artifact"
+            mcs.append((is_art, owns))
+            if is_art:
+                art[0] += 1
+        elif op == "EMC":
+            if mcs:  # unbalanced EMC: inert (pinned degrade)
+                is_art, owns = mcs.pop()
+                if is_art:
+                    art[0] -= 1
+                if owns:
+                    atx[0] = None
+                    atx[1] = False
         elif state["in"]:
             if op == "Tf" and stack and stack[-1][0] == "num":
                 flush()
@@ -1989,6 +2036,12 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
             elif op == "Tj" and stack and stack[-1][0] == "str":
                 if invisible():
                     state["sup"] += 1
+                elif art[0] and not cfg.keep_artifact_text:
+                    state["sup"] += 1  # v24: /Artifact suppression
+                elif atx[0] is not None:
+                    if not atx[1]:  # v24: first show emits the replacement
+                        buf.append(atx[0])
+                        atx[1] = True
                 else:
                     buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op in ("'", '"') and stack and stack[-1][0] == "str":
@@ -2006,12 +2059,26 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 state["y"] -= state["lead"]
                 if invisible():
                     state["sup"] += 1
+                elif art[0] and not cfg.keep_artifact_text:
+                    state["sup"] += 1  # v24: /Artifact suppression
+                elif atx[0] is not None:
+                    if not atx[1]:
+                        buf.append(atx[0])
+                        atx[1] = True
                 else:
                     buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
             elif op == "TJ" and stack and stack[-1][0] == "arr":
+                has_str = any(el[0] == "str" for el in stack[-1][1])
                 if invisible():
-                    if any(el[0] == "str" for el in stack[-1][1]):
+                    if has_str:
                         state["sup"] += 1
+                elif art[0] and not cfg.keep_artifact_text:
+                    if has_str:
+                        state["sup"] += 1  # v24: /Artifact suppression
+                elif atx[0] is not None:
+                    if has_str and not atx[1]:
+                        buf.append(atx[0])
+                        atx[1] = True
                 else:
                     buf.append(
                         "".join(

@@ -2665,3 +2665,235 @@ def test_v23_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_lit >= 80
+
+
+# ---------------------------------------------------------------------------
+# v24: marked content (SPEC §3b Marked content; ISO 32000 §14.6/§14.8.2.2)
+# ---------------------------------------------------------------------------
+
+
+def _parity_cfg(doc, cfg):
+    k, spans, drop = extract_payload(doc, cfg)
+    o = oracle_extract(doc, cfg)
+    assert k == o["kind"] and spans == o["spans"] and drop == o["n_dropped"]
+    return spans, drop
+
+
+def test_artifact_suppressed_by_default():
+    """A mid-page /Artifact level (BDC-dict and BMC forms) suppresses its
+    shows — counted dropped — and keep_artifact_text=True renders them."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td (body line) Tj\n"
+        "0 -20 Td /Artifact << /Type /Layout >> BDC (DRAFT watermark) Tj EMC\n"
+        "0 -20 Td /Artifact BMC [(deco) -300 (ration)] TJ EMC\n"
+        "0 -20 Td (body two) Tj ET"
+    )
+    doc = _pdf(ops)
+    spans, drop = _parity_cfg(doc, DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["body line", "body two"]
+    assert drop == 2  # one Tj + one TJ suppressed
+    kept, kdrop = _parity_cfg(doc, ExtractConfig(keep_artifact_text=True))
+    assert [s[2] for s in kept] == [
+        "body line", "DRAFT watermark", "deco ration", "body two"]
+    assert kdrop == 0
+
+
+def test_artifact_positioning_side_effects_survive():
+    """Suppressed shows keep their positioning side effects: a ' inside an
+    artifact still flushes and advances y by the leading."""
+    ops = (
+        "BT /F1 12 Tf 20 TL 72 700 Td (top) Tj\n"
+        "/Artifact BMC (gone) ' (also gone) ' EMC\n"
+        "(bottom) ' ET"
+    )
+    plain = (
+        "BT /F1 12 Tf 20 TL 72 700 Td (top) Tj\n"
+        "(x) ' (y) ' (bottom) ' ET"
+    )
+    spans, drop = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    ref, _ = _parity_cfg(_pdf(plain), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["top", "bottom"]
+    assert drop == 2
+    # "bottom" sits exactly where the plain twin's "bottom" sits
+    assert spans[-1][4] == ref[-1][4]
+
+
+def test_actualtext_replaces_enclosed_shows():
+    """The first show inside an /ActualText level emits the replacement;
+    the rest of the level's shows emit nothing (hyphenation-fix shape)."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/Span << /ActualText (extraction) >> BDC (extrac-) Tj (tion) Tj EMC"
+        " ( done) Tj ET"
+    )
+    spans, drop = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["extraction done"]
+    assert drop == 0
+
+
+def test_actualtext_utf16_bom_forms():
+    """Hex and octal-literal UTF-16BE BOM forms decode (surrogate pairs
+    combined); odd byte count and a lone surrogate degrade to raw."""
+    # hex form: "héllo" with é = U+00E9; plus a surrogate pair U+1D460
+    hexat = "<FEFF006800E9006C006C006FD835DC60>"
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        f"/Span << /ActualText {hexat} >> BDC (x) Tj EMC ET"
+    )
+    spans, _ = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["héllo\U0001d460"]
+    # literal form with octal escapes: BOM + "High" (≥ min_chars)
+    lit = r"(\376\377\000H\000i\000g\000h)"
+    ops2 = (
+        "BT /F1 12 Tf 72 700 Td "
+        f"/Span << /ActualText {lit} >> BDC (x) Tj EMC ET"
+    )
+    spans2, _ = _parity_cfg(_pdf(ops2), DEFAULT_CONFIG)
+    assert [s[2] for s in spans2] == ["High"]
+    # odd byte count → raw string stands (BOM chars included)
+    odd = r"(\376\377\000A\000)"
+    ops3 = (
+        "BT /F1 12 Tf 72 700 Td "
+        f"/Span << /ActualText {odd} >> BDC (x) Tj EMC ET"
+    )
+    spans3, _ = _parity_cfg(_pdf(ops3), DEFAULT_CONFIG)
+    assert spans3[0][2] == "\xfe\xff\x00A\x00"
+    # lone high surrogate → raw
+    lone = "<FEFFD8000041>"
+    ops4 = (
+        "BT /F1 12 Tf 72 700 Td "
+        f"/Span << /ActualText {lone} >> BDC (x) Tj EMC ET"
+    )
+    spans4, _ = _parity_cfg(_pdf(ops4), DEFAULT_CONFIG)
+    assert spans4[0][2] == "\xfe\xff\xd8\x00\x00A"
+
+
+def test_actualtext_nested_outermost_wins():
+    """A nested /ActualText while one is active is balance-tracked only."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/Span << /ActualText (outer) >> BDC "
+        "/Span << /ActualText (inner) >> BDC (a) Tj EMC (b) Tj EMC "
+        "( tail) Tj ET"
+    )
+    spans, _ = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["outer tail"]
+
+
+def test_artifact_beats_actualtext_and_emc_releases():
+    """Shows inside an artifact nested in an /ActualText level are
+    suppressed and do NOT consume the replacement; a later show does."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/Span << /ActualText (real) >> BDC "
+        "/Artifact BMC (junk) Tj EMC (drawn) Tj EMC ET"
+    )
+    spans, drop = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["real"]
+    assert drop == 1  # the artifact-suppressed Tj
+
+
+def test_marked_content_traps():
+    """Unbalanced EMC inert; zero-show level contributes nothing;
+    number-first BDC is untagged; a ref inside the inline property dict
+    clears the operand stack → untagged level (pinned degrade)."""
+    ops = (
+        "EMC BT /F1 12 Tf 72 700 Td "
+        "/Span << /ActualText (never) >> BDC EMC "
+        "(one) Tj "
+        "42 /Artifact BDC ( two) Tj EMC "
+        "/Artifact << /Md 9 0 R >> BDC ( three) Tj EMC "
+        "EMC (four?) Tj ET"
+    )
+    # "never" is released at its EMC before any show; the number-first and
+    # ref-cleared BDC levels are untagged so their text renders; the
+    # trailing EMC pops nothing extra (stack already empty) → "four?" renders
+    spans, drop = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["one two threefour?"]
+    assert drop == 0
+
+
+def test_artifact_named_props_suppresses():
+    """/Artifact /P0 BDC (named properties): the tag rule still applies."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td (kept) Tj "
+        "/Artifact /P0 BDC ( pagination) Tj EMC ET"
+    )
+    spans, drop = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["kept"]
+    assert drop == 1
+
+
+def test_marked_content_not_graphics_state():
+    """q/Q do not save or restore the marked-content stack: a level opened
+    inside q..Q stays open after Q."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td (before) Tj ET "
+        "q /Artifact BMC Q "
+        "BT /F1 12 Tf 72 650 Td (still artifact) Tj ET "
+        "EMC "
+        "BT /F1 12 Tf 72 600 Td (after) Tj ET"
+    )
+    spans, drop = _parity_cfg(_pdf(ops), DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["before", "after"]
+    assert drop == 1
+
+
+def test_marked_content_fresh_per_form():
+    """A form body gets a fresh marked-content stack: an open /Artifact in
+    the invoker does not suppress the form's shows — and the form's own
+    unclosed level does not leak back."""
+    form = "5 0 obj\n<< /Subtype /Form /Length 44 >>\nstream\nBT /F1 12 Tf 0 0 Td (form text) Tj ET /Artifact BMC\nendstream\nendobj\n"
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /XObject << /Fx 5 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\n"
+        "q 1 0 0 1 72 500 cm /Artifact BMC /Fx Do EMC Q\n"
+        "BT /F1 12 Tf 72 400 Td (page text) Tj ET"
+        "\nendstream\nendobj\n"
+        f"{form}"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans, drop = _parity_cfg(doc, DEFAULT_CONFIG)
+    assert [s[2] for s in spans] == ["form text", "page text"]
+    assert drop == 0
+
+
+def test_v24_corpus_fuzz_parity():
+    """Corpus v24 window: marked-content payloads parse identically in
+    both implementations under the default AND keep-artifact configs,
+    with the construct mix actually observed."""
+    keep = ExtractConfig(keep_artifact_text=True)
+    n_art = n_at = 0
+    for seed in range(8000, 8400):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Artifact" in doc:
+            n_art += 1
+        if "/ActualText" in doc:
+            n_at += 1
+        for cfg in (DEFAULT_CONFIG, keep):
+            k, spans, drop = extract_payload(doc, cfg)
+            o = oracle_extract(doc, cfg)
+            assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+            assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_art >= 40 and n_at >= 8
+
+
+def test_v24_truncation_fuzz_marked_content():
+    """Every-offset truncation through a payload carrying both /Artifact
+    and /ActualText levels parses cleanly and identically."""
+    doc = None
+    for seed in range(800):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/Artifact" in d and "/ActualText" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
