@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 24  # v24: marked content (/Artifact, /ActualText); v23 literal shows
+CORPUS_VERSION = 26  # v26: HTML non-rendered subtrees; v25 /Widths tables
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -63,6 +63,11 @@ def _sent(rng: random.Random, words: List[str], k: int) -> str:
 
 def _make_html(rng: random.Random, words: List[str]) -> str:
     """v17 depth: HTML5 constructs real web pages actually carry —
+    v26: form controls and non-rendered embedded/fallback subtrees
+    (select/option, textarea with tag-looking content, noscript, iframe
+    fallback, template) whose content must vanish while button labels
+    render, plus traps: stray member close (clamped), self-closing
+    member (no skip), cross-member close ending the skip early.
     quoted attribute values containing ``>`` (tag-open state), single-
     quoted and unquoted ``class`` values, uppercase/mixed-case tags,
     hex numeric entities, ``<script>``/``<style>`` blocks whose content
@@ -129,6 +134,37 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
             parts.append(f'<img src="/{w()}.png" alt="{w()} {w()} alt text">')
         ptag = "<P>" if upper else "<p>"
         parts.append(f"{ptag}{sent}{'</P>' if upper else '</p>'}")
+    if rng.random() < 0.18:  # v26: form controls — content must vanish
+        opts = "".join(
+            f'<option value="{w()}">{w()} {w()}</option>'
+            for _ in range(rng.randint(2, 4))
+        )
+        parts.append(
+            f'<form action="/search"><select name="s">{opts}</select>'
+            f"<textarea rows=4>default {w()} text with a <p>tag-looking"
+            f"</p> island</textarea>"
+            f'<button type="submit">{w()} go</button></form>'
+        )
+    if rng.random() < 0.08:  # v26: noscript fallback — not rendered
+        parts.append(f"<noscript><p>enable javascript {w()}</p></noscript>")
+    if rng.random() < 0.08:  # v26: iframe fallback content — not rendered
+        parts.append(
+            f'<iframe src="/embed/{w()}"><p>fallback {w()} {w()}</p></iframe>'
+        )
+    if rng.random() < 0.05:  # v26: template subtree — never rendered
+        parts.append(f"<template><li>{w()} row</li></template>")
+    if rng.random() < 0.06:  # v26 traps: stray close (clamped), self-closing
+        # member (no skip), cross-member close ending the skip early
+        r26 = rng.random()
+        if r26 < 0.35:
+            parts.append(f"</select><p>{_sent(rng, words, 4)} after stray</p>")
+        elif r26 < 0.65:
+            parts.append(f"<textarea/><p>{_sent(rng, words, 4)} renders</p>")
+        else:
+            parts.append(
+                f"<select><option>{w()} hidden</option></style>"
+                f"<option>{w()} leaked</option></select>"
+            )
     if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
         parts.append(f"<![CDATA[{w()} > {w()}]]>")
     if rng.random() < 0.10:
@@ -532,6 +568,13 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     and traps: unbalanced EMC, zero-show levels, number-first BDC
     (untagged), ref-in-property-dict stack-clear (untagged — renders),
     named-props /Artifact (still suppresses).
+    v25: ~14% of payloads carry a /FirstChar + /Widths advance table
+    (ISO 32000 §9.7.4) — on the identity /F1 when no encoded scheme is
+    drawn, else threaded into the /F9 body font (1-byte schemes key
+    widths by the shifted codes; CID schemes take the multi-byte
+    /MissingWidth fallback); inline and ref'd array forms, optional
+    /FontDescriptor /MissingWidth, and no-table traps (missing
+    /FirstChar, junk array token).
     v16: ~35% of section tails grow a classic xref table + startxref
     (inert bytes to the xref-free scanner); ~12% of non-encrypted
     payloads append an incremental-update section (ISO §7.5.6) that
@@ -546,6 +589,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     n_pages = 3 if n_roll < 0.06 else (2 if n_roll < 0.26 else 1)
     use_cm = rng.random() < 0.25  # v20: q/Q/cm-positioned blocks
     use_mc = rng.random() < 0.35  # v24: marked-content payloads
+    use_widths = rng.random() < 0.14  # v25: per-code advance widths
     # v21: page-tree ordering draws (see the docstring)
     shuffle_pages = n_pages >= 2 and rng.random() < 0.5
     nested_tree = n_pages >= 2 and rng.random() < 0.25
@@ -961,6 +1005,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if scheme2:
             ents += f" /F8 {font1 + 2} 0 R"
         res_inner.append(f"/Font << {ents} >>")
+    elif use_widths:
+        # v25: widths ride the identity /F1 (body + header/footer font)
+        res_inner.append("/Font << /F1 50 0 R >>")
     if use_forms:
         res_inner.append(
             f"/XObject << /Fx {xbase} 0 R /Im {xbase + 2} 0 R"
@@ -1147,6 +1194,45 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         )
     for objnum, content in part_objs:
         _emit_stream(objnum, content)
+    wdecl = ""
+    if use_widths:
+        # v25: per-code advance widths (ISO 32000 §9.7.4) — on the identity
+        # /F1 (body + header/footer font) when no encoded scheme is drawn,
+        # else threaded into the /F9 body font object (1-byte schemes key
+        # widths by the SHIFTED codes; CID schemes exercise the multi-byte
+        # MissingWidth fallback). Forms: inline array, ref array, with and
+        # without a /FontDescriptor /MissingWidth; traps: missing
+        # /FirstChar and a junk array token (both → no table).
+        fc0 = rng.choice((32, 32, 48))
+        nw = rng.randint(60, 100)
+        wvals = " ".join(
+            str(rng.choice((250, 333, 400, 500, 556, 611, 722, 944)))
+            for _ in range(nw)
+        )
+        wr = rng.random()
+        fd_extra = ""
+        if wr < 0.30:
+            fd_extra = " /FontDescriptor 52 0 R"
+            parts.append(
+                "52 0 obj\n<< /Type /FontDescriptor /Flags 32"
+                f" /MissingWidth {rng.choice((280, 400, 600))} >>\nendobj"
+            )
+        if wr >= 0.85:  # traps — the table must NOT form
+            wdecl = (
+                f" /Widths [{wvals}]"  # no /FirstChar
+                if rng.random() < 0.5
+                else f" /FirstChar {fc0} /Widths [{wvals} /junk 500]"
+            )
+        elif wr >= 0.70:  # array as a separate (ref'd) object
+            wdecl = f" /FirstChar {fc0} /Widths 51 0 R{fd_extra}"
+            parts.append(f"51 0 obj\n[ {wvals} ]\nendobj")
+        else:
+            wdecl = f" /FirstChar {fc0} /Widths [{wvals}]{fd_extra}"
+        if scheme is None:
+            parts.append(
+                "50 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont"
+                f" /Helvetica{wdecl} >>\nendobj"
+            )
     if scheme:  # v6: font + ToUnicode CMap objects (after the content streams)
         def _cmap_body(sch) -> str:
             kind, m = sch
@@ -1203,6 +1289,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         objstm_inner.append((cnum, ebody))
                     else:
                         parts.append(f"{cnum} 0 obj\n{ebody}\nendobj")
+                if wdecl and fnum == font1:
+                    fbody = fbody[:-3] + wdecl + " >>"  # v25
                 if use_objstm:
                     objstm_inner.append((fnum, fbody))
                 else:
@@ -1228,6 +1316,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
                         f" /Encoding << /Differences [ {arr} ] >> >>"
                     )
+                if wdecl and fnum == font1:
+                    fbody = fbody[:-3] + wdecl + " >>"  # v25
                 if use_objstm:
                     objstm_inner.append((fnum, fbody))
                 else:
@@ -1253,6 +1343,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 f"<< /Type /Font /Subtype /Type0 /ToUnicode {cnum} 0 R"
                 f"{tu_extra} >>"
             )
+            if wdecl and fnum == font1:
+                fbody = fbody[:-3] + wdecl + " >>"  # v25
             if use_objstm:
                 objstm_inner.append((fnum, fbody))
             else:

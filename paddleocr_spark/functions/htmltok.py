@@ -65,6 +65,14 @@ BLOCK_TAGS = frozenset(
 )
 # void tags: never pushed on the open-tag stack
 VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())
+
+# v26: subtrees a browser does not render as page content (script/style as
+# before, plus form controls and non-rendered embedded/fallback content —
+# the Boilerpipe/trafilatura form-strip rule; SPEC §2.2)
+SKIP_TAGS = frozenset(
+    "script style select datalist textarea iframe noscript noframes"
+    " noembed template".split()
+)
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
@@ -128,7 +136,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     stack: List[tuple] = []
     boiler_depth = 0
     link_depth = 0
-    skip_depth = 0  # inside script/style
+    skip_depth = 0  # inside a skipped (non-rendered) subtree
     heading_depth = 0
     pre_depth = 0
     li_depth = 0
@@ -217,12 +225,12 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             if name is None:
                 continue  # malformed tag → ignored
 
-            if not closing and name in ("script", "style") and not self_closing:
+            if not closing and name in SKIP_TAGS and not self_closing:
                 skip_depth += 1
                 if cur_pieces:
                     flush()
                 continue
-            if closing and name in ("script", "style"):
+            if closing and name in SKIP_TAGS:
                 if skip_depth > 0:
                     skip_depth -= 1
                 if cur_pieces:

@@ -1177,16 +1177,211 @@ def _inherited_resources(text: str, objs: dict, vobjs: dict, body: str):
     return None
 
 
+def _read_ref_list(s: str, i: int) -> list:
+    """Refs left-to-right from the ``[`` at ``i`` until ``]`` or the
+    first non-ref element (the /Contents array rule)."""
+    out: list = []
+    i += 1
+    while True:
+        j = _skip_ws(s, i)
+        if j >= len(s) or s[j] == "]":
+            return out
+        num, i = _read_ref(s, j)
+        if num is None:
+            return out
+        out.append(num)
+
+
+def _key_string(body: str, key: str) -> Optional[str]:
+    """Inline literal/hex string value after the key's FIRST token-exact
+    occurrence; None otherwise (SPEC §3b Annotations, v27)."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
+        return None
+    j = _skip_ws(body, after)
+    if body[j : j + 1] == "(":
+        val, _e, _ok = _read_literal(body, j)
+        return val
+    if body[j : j + 1] == "<" and body[j : j + 2] != "<<":
+        val, _e = _read_hex(body, j)
+        return val
+    return None
+
+
+def _page_annots(text: str, objs: dict, vobjs: dict, body: str) -> tuple:
+    """A page's text-bearing annotations (SPEC §3b Annotations, v27; ISO
+    32000 §12.5): /FreeText /Contents strings and /Widget /V filled
+    form-field values, each with a valid inline /Rect, as
+    (u0, v0, u1, v1, text, hidden) tuples in user space — normalized
+    corners, BOM-decoded text, hidden = /F bit 2 (Hidden) or 6 (NoView)."""
+    k = body.find("/Annots")
+    if k < 0:
+        return ()
+    after = k + len("/Annots")
+    if after < len(body) and body[after] not in _WS and body[after] not in _DELIM:
+        return ()
+    j = _skip_ws(body, after)
+    if body[j : j + 1] == "[":
+        refs = _read_ref_list(body, j)
+    else:
+        num, _ = _read_ref(body, after)
+        if num is None:
+            return ()
+        ab = _obj_body(text, objs, vobjs, num)
+        if ab is None:
+            return ()
+        j = _skip_ws(ab, 0)
+        if ab[j : j + 1] != "[":
+            return ()
+        refs = _read_ref_list(ab, j)
+    out = []
+    for num in refs:
+        ab = _obj_body(text, objs, vobjs, num)
+        if ab is None:
+            continue
+        if _subtype_is(ab, "FreeText"):
+            txt = _key_string(ab, "/Contents")
+        elif _subtype_is(ab, "Widget"):
+            txt = _key_string(ab, "/V")
+        else:
+            continue
+        if txt is None:
+            continue
+        rect = _key_num_array(ab, "/Rect", 4)
+        if rect is None:
+            continue
+        f = _key_int(ab, "/F")
+        hidden = f is not None and bool(f & 2 or f & 32)
+        out.append(
+            (
+                min(rect[0], rect[2]),
+                min(rect[1], rect[3]),
+                max(rect[0], rect[2]),
+                max(rect[1], rect[3]),
+                _atext_decode(txt),
+                hidden,
+            )
+        )
+    return tuple(out)
+
+
+def _append_annots(
+    boxes: list, annots: tuple, mb_w: float, mb_h: float, rot: int,
+    cx: float, cy: float, cfg: ExtractConfig,
+) -> int:
+    """Append a page's annotation boxes after its content boxes (SPEC §3b
+    Annotations, v27): crop shift + the flush rotation corner map with
+    the rect's own extent. Returns the hidden-suppression count."""
+    if rot in (90, 270):
+        sx, sy = cfg.page_w / mb_h, cfg.page_h / mb_w
+    else:
+        sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
+    dropped = 0
+    for u0r, v0r, u1r, v1r, txt, hidden in annots:
+        if not txt.strip():
+            continue
+        if hidden:
+            dropped += 1
+            continue
+        u0, v0, u1, v1 = u0r - cx, v0r - cy, u1r - cx, v1r - cy
+        if rot == 90:
+            x0, y0, x1, y1 = v0, u0, v1, u1
+        elif rot == 180:
+            x0, y0, x1, y1 = mb_w - u1, v0, mb_w - u0, v1
+        elif rot == 270:
+            x0, y0, x1, y1 = mb_h - v1, mb_w - u1, mb_h - v0, mb_w - u0
+        else:
+            x0, y0, x1, y1 = u0, mb_h - v1, u1, mb_h - v0
+        boxes.append(
+            (
+                int(math.floor(x0 * sx + 0.5)),
+                int(math.floor(y0 * sy + 0.5)),
+                int(math.floor(x1 * sx + 0.5)),
+                int(math.floor(y1 * sy + 0.5)),
+                len(boxes),
+                txt,
+            )
+        )
+    return dropped
+
+
+def _widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
+    """``/FirstChar`` + ``/Widths`` (+ ``/FontDescriptor /MissingWidth``)
+    → (256-entry unit-width table, multi-byte/out-of-range fallback), or
+    None when the font carries no usable table (SPEC §3b Advance widths,
+    v25; ISO 32000 §9.7.4). The array may be inline or a ref to a direct
+    or ObjStm-contained object whose body is the array; any non-number
+    token before ``]``, an unterminated array, > 4096 entries, or a
+    missing/malformed ``/FirstChar`` degrades to no table."""
+    fc = _key_int(fbody, "/FirstChar")
+    if fc is None:
+        return None
+    k = fbody.find("/Widths")
+    if k < 0:
+        return None
+    after = k + len("/Widths")
+    if after < len(fbody) and fbody[after] not in _WS and fbody[after] not in _DELIM:
+        return None
+    j = _skip_ws(fbody, after)
+    if fbody[j : j + 1] == "[":
+        arr = fbody
+    else:
+        num, _ = _read_ref(fbody, after)
+        if num is None:
+            return None
+        ob = _obj_body(text, objs, vobjs, num)
+        if ob is None:
+            return None
+        j = _skip_ws(ob, 0)
+        if ob[j : j + 1] != "[":
+            return None
+        arr = ob
+    ws: List[float] = []
+    j += 1
+    n = len(arr)
+    while True:
+        j = _skip_ws(arr, j)
+        if j >= n:
+            return None  # unterminated array
+        if arr[j] == "]":
+            break
+        m = _RUN_RE.match(arr, j)
+        if m is None or not _NUM_RE.match(m.group(0)):
+            return None
+        ws.append(float(m.group(0)))
+        if len(ws) > 4096:
+            return None
+        j = m.end()
+    miss = 0.0
+    fd = _key_ref(fbody, "/FontDescriptor")
+    if fd is not None:
+        fdb = _obj_body(text, objs, vobjs, fd)
+        if fdb is not None:
+            mw = _key_int(fdb, "/MissingWidth")
+            if mw is not None:
+                miss = mw / 1000.0
+    wtab = [miss] * 256
+    for i, w in enumerate(ws):
+        c = fc + i
+        if 0 <= c <= 255:
+            wtab[c] = w / 1000.0
+    return tuple(wtab), miss
+
+
 def _font_table(text: str, objs: dict, vobjs: dict, res):
-    """Resolved /Resources dict body → {font name: cmap entry} via
-    /Font (inline dict or ref) → per-entry font object → /ToUnicode
-    stream decoded through its own filters; a font without a usable
-    ToUnicode falls back to an /Encoding /Differences table (v13 —
+    """Resolved /Resources dict body → {font name: (cmap entry, widths
+    entry)} via /Font (inline dict or ref) → per-entry font object →
+    /ToUnicode stream decoded through its own filters; a font without a
+    usable ToUnicode falls back to an /Encoding /Differences table (v13 —
     ToUnicode wins when both parse, matching §9.10.2's text extraction
-    preference order). Callers resolve /Resources first: the page path
-    walks the /Parent chain (v15), the form path uses the form's own
-    params. Every failure degrades to identity (entry absent), never
-    raises."""
+    preference order). v25: a /FirstChar + /Widths pair rides alongside
+    as a per-code advance-width table. Callers resolve /Resources first:
+    the page path walks the /Parent chain (v15), the form path uses the
+    form's own params. Every failure degrades to identity / the
+    average-width rule (entry or component absent), never raises."""
     if res is None:
         return {}
     fdict = _key_dict_body(res, "/Font", text, objs, vobjs)
@@ -1204,8 +1399,14 @@ def _font_table(text: str, objs: dict, vobjs: dict, res):
             cm = _cmap_from_stream_object(text, objs[tref])
         if cm is None and "/Encoding" in fbody:
             cm = _differences_entry(text, objs, vobjs, fbody)
-        if cm is not None:
-            fonts[nm] = cm
+        # v25: per-code advance widths ride alongside the CMap
+        wd = (
+            _widths_entry(text, objs, vobjs, fbody)
+            if "/Widths" in fbody
+            else None
+        )
+        if cm is not None or wd is not None:
+            fonts[nm] = (cm, wd)
     return fonts
 
 
@@ -1706,6 +1907,14 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     rise = 0.0  # Ts (v12); shifts the baseline at flush time, ISO §9.3.7
     suppressed = 0
     cur_map = None
+    cur_wd = None  # v25: the active font's (unit-width table, fallback)
+    # v25 advance accounting: units (Σ width/1000), glyphs (codes
+    # consumed), spaces (codes == 32) accumulate per buffer alongside it;
+    # with no width table they reduce to 0.5·len / len / count(" ") over
+    # the decoded text — the v6/v11/v12 formula inputs, verbatim.
+    acc_u = 0.0
+    acc_g = 0
+    acc_s = 0
     # v20 graphics state: q pushes (CTM + the §9.3.1 text-state params,
     # which ISO 32000 §8.4.2 places INSIDE the graphics state), Q pops.
     # Depth-capped: pushes past the cap are counted and their matching Q
@@ -1728,15 +1937,14 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     arr: list | None = None  # open [ ... ] capture
 
     def flush() -> None:
-        nonlocal buf
+        nonlocal buf, acc_u, acc_g, acc_s
         txt = "".join(buf)
         if txt.strip():
+            # v25: accumulated per-code accounting replaces the flush-time
+            # length formula (identical when no font carries /Widths)
             adv = max(
                 0.0,
-                (
-                    (0.5 * fontsize + charspace) * len(txt)
-                    + wordspace * txt.count(" ")
-                )
+                (acc_u * fontsize + charspace * acc_g + wordspace * acc_s)
                 * (hscale / 100.0),
             )
             if ctm is _IDENT:
@@ -1778,6 +1986,80 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 )
             )
         buf = []
+        acc_u = 0.0
+        acc_g = 0
+        acc_s = 0
+
+    def emit_plain(txt: str) -> None:
+        """Append text with identity accounting (0.5 units/char): the
+        /ActualText replacement and TJ kern-space path (no codes)."""
+        nonlocal acc_u, acc_g, acc_s
+        acc_u += 0.5 * len(txt)
+        acc_g += len(txt)
+        acc_s += txt.count(" ")
+        buf.append(txt)
+
+    def emit_show(raw: str) -> None:
+        """Append a show-string's decoded text, accumulating the v25
+        advance accounting — per-code widths when the active font carries
+        a table, the v6 decoded-length rule otherwise."""
+        nonlocal acc_u, acc_g, acc_s
+        if cur_wd is None:
+            txt = _apply_cmap(raw, cur_map)
+            acc_u += 0.5 * len(txt)
+            acc_g += len(txt)
+            acc_s += txt.count(" ")
+            buf.append(txt)
+            return
+        wtab, miss = cur_wd
+        if cur_map is None or cur_map[2] is not None:
+            # 1-byte code stream: identity or translate-fast-path CMap
+            for c in raw:
+                o = ord(c)
+                acc_u += wtab[o] if o <= 0xFF else miss
+                if o == 32:
+                    acc_s += 1
+            acc_g += len(raw)
+            buf.append(raw if cur_map is None else raw.translate(cur_map[2]))
+            return
+        # multi-byte CMap: consume codes exactly as _apply_cmap does
+        cmapd, lengths, _x = cur_map
+        out: List[str] = []
+        i2, n2 = 0, len(raw)
+        while i2 < n2:
+            hit = None
+            o0 = ord(raw[i2])
+            if o0 <= 0xFF:
+                for nb in lengths:
+                    if i2 + nb > n2:
+                        continue
+                    code = 0
+                    ok = True
+                    for c in raw[i2 : i2 + nb]:
+                        o = ord(c)
+                        if o > 0xFF:
+                            ok = False
+                            break
+                        code = (code << 8) | o
+                    if not ok:
+                        continue
+                    hit = cmapd.get((code, nb))
+                    if hit is not None:
+                        out.append(hit)
+                        acc_u += wtab[code] if code <= 0xFF else miss
+                        acc_g += 1
+                        if code == 32:
+                            acc_s += 1
+                        i2 += nb
+                        break
+            if hit is None:
+                out.append(raw[i2])
+                acc_u += wtab[o0] if o0 <= 0xFF else miss
+                acc_g += 1
+                if o0 == 32:
+                    acc_s += 1
+                i2 += 1
+        buf.append("".join(out))
 
     def nums(k: int):
         """Last k operands iff all numeric, else None."""
@@ -1879,8 +2161,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             # params (ISO §8.4.2 places text state inside graphics state).
             # No flush: q itself changes nothing the flush reads.
             if len(gstack) < _GSTACK_MAX:
-                gstack.append((ctm, fontsize, cur_map, mode, charspace,
-                               wordspace, hscale, rise, leading))
+                gstack.append((ctm, fontsize, cur_map, cur_wd, mode,
+                               charspace, wordspace, hscale, rise, leading))
             else:
                 gskip += 1
         elif tok == "Q":
@@ -1889,7 +2171,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             elif gstack:
                 if in_text:
                     flush()  # restore changes what flush reads
-                (ctm, fontsize, cur_map, mode, charspace,
+                (ctm, fontsize, cur_map, cur_wd, mode, charspace,
                  wordspace, hscale, rise, leading) = gstack.pop()
             # unbalanced Q (empty stack): inert — the pinned degrade
         elif tok == "cm":
@@ -1947,7 +2229,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         and isinstance(stack[-2], tuple)
                         and stack[-2][0] == "n"
                     ):
-                        cur_map = fonts.get(stack[-2][1])
+                        ent = fonts.get(stack[-2][1])
+                        cur_map, cur_wd = ent if ent else (None, None)
             elif tok == "Td":
                 v = nums(2)
                 if v:
@@ -1995,10 +2278,10 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         suppressed += 1  # v24: /Artifact suppression
                     elif at_text is not None:
                         if not at_consumed:  # v24: first show emits the
-                            buf.append(at_text)  # /ActualText replacement
+                            emit_plain(at_text)  # /ActualText replacement
                             at_consumed = True
                     else:
-                        buf.append(_apply_cmap(stack[-1][1], cur_map))
+                        emit_show(stack[-1][1])
             elif tok in ("'", '"'):
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                     if (
@@ -2021,10 +2304,10 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         suppressed += 1  # v24: /Artifact suppression
                     elif at_text is not None:
                         if not at_consumed:
-                            buf.append(at_text)
+                            emit_plain(at_text)
                             at_consumed = True
                     else:
-                        buf.append(_apply_cmap(stack[-1][1], cur_map))
+                        emit_show(stack[-1][1])
             elif tok == "TJ":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                     has_str = any(
@@ -2039,16 +2322,14 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                             suppressed += 1  # v24: /Artifact suppression
                     elif at_text is not None:
                         if has_str and not at_consumed:
-                            buf.append(at_text)
+                            emit_plain(at_text)
                             at_consumed = True
                     else:
-                        piece = []
                         for el in stack[-1][1]:
                             if isinstance(el, tuple) and el[0] == "s":
-                                piece.append(_apply_cmap(el[1], cur_map))
+                                emit_show(el[1])
                             elif isinstance(el, float) and el <= -180:
-                                piece.append(" ")
-                        buf.append("".join(piece))
+                                emit_plain(" ")
             elif tok == "ET":
                 flush()
                 in_text = False
@@ -2181,8 +2462,9 @@ def _content_resources(text: str):
     Gated on a literal ``/ToUnicode``, ``/Differences``,
     ``/WinAnsiEncoding``, ``/MacRomanEncoding`` (v18 — a ``/BaseEncoding``
     value is one of these names, so it needs no token of its own),
-    ``/ObjStm``, ``/XObject``, ``/Rotate``, a 2nd ``/MediaBox``, a
-    ``/Contents`` array opener, or a 2nd ``%%EOF`` appearing anywhere —
+    ``/ObjStm``, ``/XObject``, ``/Rotate``, ``/Widths`` (v25), a 2nd
+    ``/MediaBox``, a ``/Contents`` array opener, or a 2nd ``%%EOF``
+    appearing anywhere —
     absent all of them every table is empty, extraction is identity, no
     form can exist and per-page geometry equals the document default, so
     the gate is a pure fast path (SPEC §3b, v6/v9/v10/v14/v16/v18)."""
@@ -2198,6 +2480,8 @@ def _content_resources(text: str):
         and "/XObject" not in text
         and "/Rotate" not in text
         and "/CropBox" not in text
+        and "/Widths" not in text  # v25: advance-width tables
+        and "/Annots" not in text  # v27: text-bearing annotations
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):
@@ -2212,6 +2496,7 @@ def _content_resources(text: str):
     vobjs = _objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
     want_crop = "/CropBox" in text  # v19: gates the extra geometry walk
+    want_annots = "/Annots" in text  # v27
     by_content: dict = {}
     part_of: dict = {}
     groups: dict = {}
@@ -2228,7 +2513,8 @@ def _content_resources(text: str):
         fonts = _font_table(text, objs, vobjs, res_p)
         xobjs = _xobject_table(text, objs, vobjs, res_p) if want_xobj else {}
         geo = _page_geometry(text, objs, vobjs, body, dflt, want_crop)
-        entry = (fonts, xobjs, geo)
+        annots = _page_annots(text, objs, vobjs, body) if want_annots else ()
+        entry = (fonts, xobjs, geo, annots)
         if len(refs) == 1:
             by_content[refs[0]] = entry
             keys_of_page[num] = refs[0]
@@ -2364,12 +2650,16 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot, cx, cy) = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
             boxes, suppressed = _interpret(
                 content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot,
                 crop=(cx, cy),
             )
             skipped += suppressed
+            if annots:  # v27: annotation boxes follow the content boxes
+                skipped += _append_annots(
+                    boxes, annots, pw, ph, rot, cx, cy, cfg
+                )
             units.append((gid, boxes))
             continue
         if resolver is not None and _subtype_is(params, "Form"):
@@ -2398,15 +2688,18 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             continue
         fonts = xobjs = None
         pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
+        annots = ()
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot, cx, cy) = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
         boxes, suppressed = _interpret(
             content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot,
             crop=(cx, cy),
         )
         skipped += suppressed
+        if annots:  # v27: annotation boxes follow the content boxes
+            skipped += _append_annots(boxes, annots, pw, ph, rot, cx, cy, cfg)
         units.append((onum, boxes))
     # parts stashed for a group whose trigger never materialized (truncated
     # or malformed tail): the page is lost — count it once per group

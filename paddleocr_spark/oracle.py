@@ -69,6 +69,14 @@ def oracle_sniff(text) -> str:
     return "html" if HTML_SNIFF_RE.search(text[:4096]) else "plain"
 
 
+# v26: non-rendered subtrees (independent literal; content-equality with
+# the kernel's SKIP_TAGS asserted by test)
+_ORACLE_SKIP = frozenset({
+    "script", "style", "select", "datalist", "textarea", "iframe",
+    "noscript", "noframes", "noembed", "template",
+})
+
+
 def _oracle_html(text: str, cfg: ExtractConfig):
     tokens = list(TOKEN_RE.finditer(text))
     # context state: stack of (name, flags-dict) + clamped depth counters (SPEC §2.2)
@@ -131,11 +139,11 @@ def _oracle_html(text: str, cfg: ExtractConfig):
             closing, name = nm.group(1) == "/", nm.group(2).lower()
             selfclose = tok.rstrip().endswith("/>")
 
-            if not closing and name in ("script", "style") and not selfclose:
+            if not closing and name in _ORACLE_SKIP and not selfclose:
                 in_script += 1
                 end_block()
                 continue
-            if closing and name in ("script", "style"):
+            if closing and name in _ORACLE_SKIP:
                 in_script = max(0, in_script - 1)
                 end_block()
                 continue
@@ -1155,6 +1163,68 @@ def _rpdf_inherited_resources(text, objs, vobjs, body):
     return None
 
 
+_RPDF_WIDTHSKEY_RE = re.compile(r"/Widths" + _RPDF_NAMEEND)
+_RPDF_ARROPEN_RE = re.compile(r"[\x00\t\n\x0c\r ]*\[")
+_RPDF_ARRTOK_RE = re.compile(
+    r"[\x00\t\n\x0c\r ]*(\]|[^\x00\t\n\x0c\r ()<>\[\]{}/%]+|.)"
+)
+
+
+def _rpdf_widths(text: str, objs: dict, vobjs: dict, fbody: str):
+    """Mirror of the kernel /FirstChar + /Widths rule (SPEC §3b Advance
+    widths, v25) — regex tokenization instead of the kernel's index
+    walk; same degrades (non-number token, unterminated array, > 4096
+    entries, malformed /FirstChar → None)."""
+    k = fbody.find("/Widths")  # FIRST occurrence, token-exact or fail
+    if k < 0 or _RPDF_WIDTHSKEY_RE.match(fbody, k) is None:
+        return None
+    after = k + len("/Widths")
+    fc = _rpdf_key_int(fbody, "/FirstChar")
+    if fc is None:
+        return None
+    am = _RPDF_ARROPEN_RE.match(fbody, after)
+    if am:
+        arr, j = fbody, am.end()
+    else:
+        rm = _RPDF_REFVAL_RE.match(fbody, after)
+        if rm is None:
+            return None
+        ob = _rpdf_obj_body(text, objs, vobjs, int(rm.group(1)))
+        if ob is None:
+            return None
+        am = _RPDF_ARROPEN_RE.match(ob)
+        if am is None:
+            return None
+        arr, j = ob, am.end()
+    ws = []
+    while True:
+        tm = _RPDF_ARRTOK_RE.match(arr, j)
+        if tm is None:
+            return None  # unterminated array
+        tok = tm.group(1)
+        if tok == "]":
+            break
+        if not _RPDF_NUM_RE.match(tok):
+            return None
+        ws.append(float(tok))
+        if len(ws) > 4096:
+            return None
+        j = tm.end()
+    miss = 0.0
+    fd = _rpdf_key_ref(fbody, "/FontDescriptor")
+    if fd is not None:
+        fdb = _rpdf_obj_body(text, objs, vobjs, fd)
+        if fdb is not None:
+            mw = _rpdf_key_int(fdb, "/MissingWidth")
+            if mw is not None:
+                miss = mw / 1000.0
+    wtab = [miss] * 256
+    for i, w in enumerate(ws):
+        if 0 <= fc + i <= 255:
+            wtab[fc + i] = w / 1000.0
+    return tuple(wtab), miss
+
+
 def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
     fdict = _rpdf_key_dict(res, "/Font", text, objs, vobjs)
     if fdict is None:
@@ -1173,8 +1243,13 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
         if cm is None and "/Encoding" in fbody:
             # v13: Differences fallback — ToUnicode wins when both parse
             cm = _rpdf_differences(text, objs, vobjs, fbody)
-        if cm is not None:
-            fonts[fm.group(1)] = cm
+        wd = (
+            _rpdf_widths(text, objs, vobjs, fbody)
+            if "/Widths" in fbody
+            else None
+        )
+        if cm is not None or wd is not None:
+            fonts[fm.group(1)] = (cm, wd)
     return fonts
 
 
@@ -1623,6 +1698,59 @@ def _rpdf_apply_cmap(s: str, entry):
     return "".join(out)
 
 
+def _rpdf_show_decode(s: str, entry, wd):
+    """Decoded show text + (units, glyphs, spaces) advance accounting
+    (SPEC §3b Advance widths, v25). No width table → the v6
+    decoded-length rule verbatim; with one, codes are consumed exactly
+    as CMap application does and looked up per code (multi-byte and
+    >U+00FF chars take the fallback width)."""
+    if wd is None:
+        txt = _rpdf_apply_cmap(s, entry)
+        return txt, 0.5 * len(txt), len(txt), txt.count(" ")
+    wtab, miss = wd
+    u, g, sp = 0.0, 0, 0
+    if entry is None:
+        for c in s:
+            o = ord(c)
+            u += wtab[o] if o <= 0xFF else miss
+            if o == 32:
+                sp += 1
+        return s, u, len(s), sp
+    cmap, lengths = entry
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        hit = None
+        o0 = ord(s[i])
+        if o0 <= 0xFF:
+            for nb in lengths:
+                if i + nb > n:
+                    continue
+                codes = [ord(c) for c in s[i : i + nb]]
+                if max(codes) > 0xFF:
+                    continue
+                acc = 0
+                for o in codes:
+                    acc = acc * 256 + o
+                hit = cmap.get((acc, nb))
+                if hit is not None:
+                    out.append(hit)
+                    u += wtab[acc] if acc <= 0xFF else miss
+                    g += 1
+                    if acc == 32:
+                        sp += 1
+                    i += nb
+                    break
+        if hit is None:
+            out.append(s[i])
+            u += wtab[o0] if o0 <= 0xFF else miss
+            g += 1
+            if o0 == 32:
+                sp += 1
+            i += 1
+    return "".join(out), u, g, sp
+
+
 def _rpdf_mediabox(text: str):
     m = RPDF_MEDIABOX_RE.search(text)
     if m:
@@ -1822,7 +1950,9 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     oy -= crop[1]
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
              "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0,
-             "tz": 100.0, "rise": 0.0}
+             "tz": 100.0, "rise": 0.0,
+             # v25 advance accounting: units / glyphs / space-codes
+             "au": 0.0, "ag": 0, "asp": 0}
     # v20 graphics state: CTM boxed like cmap; q/Q save/restore it plus
     # the text-state params (ISO §8.4.2), capped like the kernel's.
     ctmb = [ctm]
@@ -1837,6 +1967,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     fonts = fonts or {}
     xobjs = xobjs or {}
     cmap = [None]  # boxed for closure-free mutation alongside `state`
+    wdb = [None]  # v25: the active font's (unit-width table, fallback)
     buf = []
     stack = []
     arr = None
@@ -1847,11 +1978,14 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     def flush():
         txt = "".join(buf)
         if txt.strip():
+            # v25: accumulated per-code accounting (identical to the old
+            # length formula when no font carries /Widths)
             adv = max(
                 0.0,
                 (
-                    (0.5 * state["fs"] + state["tc"]) * len(txt)
-                    + state["tw"] * txt.count(" ")
+                    state["au"] * state["fs"]
+                    + state["tc"] * state["ag"]
+                    + state["tw"] * state["asp"]
                 )
                 * (state["tz"] / 100.0),
             )
@@ -1891,6 +2025,23 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 )
             )
         buf.clear()
+        state["au"] = 0.0
+        state["ag"] = 0
+        state["asp"] = 0
+
+    def emit_show(raw):
+        txt, du, dg, dsp = _rpdf_show_decode(raw, cmap[0], wdb[0])
+        buf.append(txt)
+        state["au"] += du
+        state["ag"] += dg
+        state["asp"] += dsp
+
+    def emit_plain(txt):
+        # identity accounting: /ActualText replacements, TJ kern spaces
+        buf.append(txt)
+        state["au"] += 0.5 * len(txt)
+        state["ag"] += len(txt)
+        state["asp"] += txt.count(" ")
 
     def tail_nums(k):
         if len(stack) >= k and all(t[0] == "num" for t in stack[-k:]):
@@ -1944,9 +2095,9 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
             # v20: save CTM + text state (ISO §8.4.2); no flush — q itself
             # changes nothing the flush reads
             if len(gstack) < _RPDF_GSTACK_MAX:
-                gstack.append((ctmb[0], cmap[0], state["fs"], state["mode"],
-                               state["tc"], state["tw"], state["tz"],
-                               state["rise"], state["lead"]))
+                gstack.append((ctmb[0], cmap[0], wdb[0], state["fs"],
+                               state["mode"], state["tc"], state["tw"],
+                               state["tz"], state["rise"], state["lead"]))
             else:
                 gskip[0] += 1
         elif op == "Q":
@@ -1955,9 +2106,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
             elif gstack:
                 if state["in"]:
                     flush()
-                (ctmb[0], cmap[0], fs, mode, tc, tw, tz, rise, lead) = (
-                    gstack.pop()
-                )
+                (ctmb[0], cmap[0], wdb[0], fs, mode, tc, tw, tz, rise,
+                 lead) = gstack.pop()
                 state.update(fs=fs, mode=mode, tc=tc, tw=tw, tz=tz,
                              rise=rise, lead=lead)
             # unbalanced Q: inert (pinned degrade)
@@ -1999,7 +2149,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 flush()
                 state["fs"] = stack[-1][1]
                 if len(stack) >= 2 and stack[-2][0] == "name":
-                    cmap[0] = fonts.get(stack[-2][1])
+                    ent = fonts.get(stack[-2][1])
+                    cmap[0], wdb[0] = ent if ent else (None, None)
             elif op == "Td":
                 v = tail_nums(2)
                 if v:
@@ -2040,10 +2191,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     state["sup"] += 1  # v24: /Artifact suppression
                 elif atx[0] is not None:
                     if not atx[1]:  # v24: first show emits the replacement
-                        buf.append(atx[0])
+                        emit_plain(atx[0])
                         atx[1] = True
                 else:
-                    buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
+                    emit_show(stack[-1][1])
             elif op in ("'", '"') and stack and stack[-1][0] == "str":
                 if (
                     op == '"'
@@ -2063,10 +2214,10 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     state["sup"] += 1  # v24: /Artifact suppression
                 elif atx[0] is not None:
                     if not atx[1]:
-                        buf.append(atx[0])
+                        emit_plain(atx[0])
                         atx[1] = True
                 else:
-                    buf.append(_rpdf_apply_cmap(stack[-1][1], cmap[0]))
+                    emit_show(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "arr":
                 has_str = any(el[0] == "str" for el in stack[-1][1])
                 if invisible():
@@ -2077,17 +2228,14 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                         state["sup"] += 1  # v24: /Artifact suppression
                 elif atx[0] is not None:
                     if has_str and not atx[1]:
-                        buf.append(atx[0])
+                        emit_plain(atx[0])
                         atx[1] = True
                 else:
-                    buf.append(
-                        "".join(
-                            _rpdf_apply_cmap(el[1], cmap[0])
-                            if el[0] == "str"
-                            else (" " if el[0] == "num" and el[1] <= -180 else "")
-                            for el in stack[-1][1]
-                        )
-                    )
+                    for el in stack[-1][1]:
+                        if el[0] == "str":
+                            emit_show(el[1])
+                        elif el[0] == "num" and el[1] <= -180:
+                            emit_plain(" ")
             elif op == "ET":
                 flush()
                 state["in"] = False

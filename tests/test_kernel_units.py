@@ -398,3 +398,91 @@ def test_v17_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_gt_attr >= 100 and n_script >= 50 and n_cls >= 300
+
+
+# ---------------------------------------------------------------------------
+# v26: non-rendered subtrees (SPEC §2.2 Skipped subtrees)
+# ---------------------------------------------------------------------------
+
+
+def test_v26_skip_sets_content_equal():
+    """The kernel and oracle skip sets are independent literals — assert
+    content equality so they can never silently diverge."""
+    from paddleocr_spark.functions.htmltok import SKIP_TAGS
+    from paddleocr_spark.oracle import _ORACLE_SKIP
+
+    assert SKIP_TAGS == _ORACLE_SKIP
+
+
+def test_v26_form_controls_vanish_button_renders():
+    texts = _html_parity(
+        "<html><body><article><p>body text before here</p>"
+        '<form><select><option>hidden option one</option>'
+        "<option>hidden option two</option></select>"
+        "<textarea>default value with a <p>tag-looking</p> island</textarea>"
+        "<button>press this button</button></form>"
+        "<p>body text after here</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "hidden option" not in joined
+    assert "default value" not in joined and "tag-looking" not in joined
+    assert "press this button" in joined
+    assert "body text before here" in joined and "body text after here" in joined
+
+
+def test_v26_noscript_iframe_template_vanish():
+    texts = _html_parity(
+        "<html><body><article><p>real paragraph text one</p>"
+        "<noscript><p>enable javascript please</p></noscript>"
+        '<iframe src="/x"><p>iframe fallback words</p></iframe>'
+        "<template><li>template row item</li></template>"
+        "<p>real paragraph text two</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "enable javascript" not in joined
+    assert "iframe fallback" not in joined
+    assert "template row" not in joined
+    assert "real paragraph text one" in joined
+    assert "real paragraph text two" in joined
+
+
+def test_v26_traps_pinned():
+    # stray close outside any skip: clamped no-op, following text renders
+    texts = _html_parity(
+        "<html><body><article></select><p>after stray close text</p>"
+        "</article></body></html>"
+    )
+    assert any("after stray close text" in t for t in texts)
+    # self-closing member opens no skip
+    texts = _html_parity(
+        "<html><body><article><textarea/><p>renders fine here now</p>"
+        "</article></body></html>"
+    )
+    assert any("renders fine here now" in t for t in texts)
+    # cross-member close ends the innermost skip (the v17 </script> rule)
+    texts = _html_parity(
+        "<html><body><article><select><option>hidden words here</option>"
+        "</style><option>leaked words here</option></select>"
+        "<p>tail paragraph text</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "hidden words here" not in joined
+    assert "leaked words here" in joined
+    assert "tail paragraph text" in joined
+
+
+def test_v26_corpus_fuzz_parity():
+    n_form = n_ns = n_trap = 0
+    for seed in range(9400, 10200):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<select" in doc or "<textarea" in doc:
+            n_form += 1
+        if "<noscript>" in doc or "<iframe" in doc or "<template>" in doc:
+            n_ns += 1
+        if "</select><p>" in doc or "<textarea/>" in doc:
+            n_trap += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_form >= 100 and n_ns >= 100 and n_trap >= 15

@@ -2897,3 +2897,180 @@ def test_v24_truncation_fuzz_marked_content():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v25: advance widths (SPEC §3b Advance widths; ISO 32000 §9.7.4)
+# ---------------------------------------------------------------------------
+
+
+def _pdfw(ops: str, fontobj: str, extra: str = "") -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F5 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{ops}\nendstream\nendobj\n"
+        f"5 0 obj\n{fontobj}\nendobj\n"
+        f"{extra}"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_widths_per_code_advance():
+    """A=1000, B=500 glyph units at fs 10: 'ABA' advances 25 user units —
+    the hand-computed canonical box, not the 0.5-average estimate."""
+    doc = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (ABA) Tj ET",
+        "<< /Type /Font /Subtype /Type1 /FirstChar 65 /Widths [1000 500] >>",
+    )
+    spans = _parity(doc)
+    # X0 = round(72·800/612) = 94; X1 = round((72+25)·800/612) = 127
+    assert spans[0][4] == [94, 104, 127, 116]
+
+
+def test_widths_missing_firstchar_or_junk_no_table():
+    """Missing /FirstChar or a non-number array token → the average rule."""
+    avg = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (ABA) Tj ET",
+        "<< /Type /Font /Subtype /Type1 >>",
+    )
+    ref = _parity(avg)
+    for fobj in (
+        "<< /Type /Font /Widths [1000 500] >>",
+        "<< /Type /Font /FirstChar 65 /Widths [1000 /x 500] >>",
+        "<< /Type /Font /FirstChar 65 /Widths [1000 500 >>",  # unterminated
+        "<< /Type /Font /FirstChar -3 /Widths [1000 500] >>",  # bad int
+    ):
+        doc = _pdfw("BT /F5 10 Tf 72 700 Td (ABA) Tj ET", fobj)
+        assert _parity(doc) == ref, fobj
+
+
+def test_widths_missingwidth_fallback():
+    """Codes outside the covered range take /FontDescriptor /MissingWidth
+    (default 0 — a fully uncovered line is a zero-width box)."""
+    doc = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (AZA) Tj ET",
+        "<< /Type /Font /FirstChar 65 /Widths [1000] /FontDescriptor 6 0 R >>",
+        "6 0 obj\n<< /Type /FontDescriptor /MissingWidth 200 >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    # adv = (1.0 + 0.2 + 1.0)·10 = 22 → X1 = round(94·800/612) = 123
+    assert spans[0][4][2] == 123
+    # no FontDescriptor → MissingWidth 0: 'ZZZ' has zero width
+    zdoc = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (ZZZ) Tj ET",
+        "<< /Type /Font /FirstChar 65 /Widths [1000] >>",
+    )
+    zspans = _parity(zdoc)
+    assert zspans[0][4][0] == zspans[0][4][2] == 94
+
+
+def test_widths_ref_array_and_spacing_interplay():
+    """/Widths as a ref'd array object; Tc/Tw/Tz apply per-glyph/space on
+    top of the per-code units."""
+    doc = _pdfw(
+        "BT /F5 10 Tf 2 Tc 4 Tw 200 Tz 72 700 Td (A A) Tj ET",
+        "<< /Type /Font /FirstChar 32 /Widths 6 0 R >>",
+        "6 0 obj\n[ 300 ]\nendobj\n",
+    )
+    spans = _parity(doc)
+    # codes: A(65)→miss 0, space(32)→0.3; units = 0.3; glyphs 3, spaces 1
+    # adv = (0.3·10 + 2·3 + 4·1)·2 = 26 → X1 = round(98·800/612) = 128
+    assert spans[0][4][2] == 128
+
+
+def test_widths_on_cmap_font_keyed_by_code():
+    """A shift-CMap font looks widths up by the SHIFTED code, not the
+    decoded char."""
+    cmap = (
+        "begincmap\n1 beginbfrange\n<42> <43> <0041>\nendbfrange\nendcmap"
+    )
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\nBT /F9 10 Tf 72 700 Td <424342> Tj ET\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /ToUnicode 6 0 R"
+        " /FirstChar 66 /Widths [1000 500] >>\nendobj\n"
+        f"6 0 obj\n<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans = _parity(doc)
+    # decodes to ABA; widths keyed by codes 66,67,66 → 1.0+0.5+1.0 = 25
+    assert spans[0][2] == "ABA"
+    assert spans[0][4] == [94, 104, 127, 116]
+
+
+def test_widths_kern_space_and_actualtext_identity_accounting():
+    """TJ kern-spaces and /ActualText replacements contribute the
+    identity 0.5-unit accounting even under a widths font."""
+    doc = _pdfw(
+        "BT /F5 10 Tf 72 700 Td [(A) -300 (A)] TJ ET",
+        "<< /Type /Font /FirstChar 65 /Widths [1000] >>",
+    )
+    spans = _parity(doc)
+    # A + kern-space(0.5) + A = 2.5 units → adv 25 → X1 127
+    assert spans[0][2] == "A A" and spans[0][4][2] == 127
+    at = _pdfw(
+        "BT /F5 10 Tf 72 700 Td"
+        " /Span << /ActualText (WXYZ) >> BDC (A) Tj EMC ET",
+        "<< /Type /Font /FirstChar 65 /Widths [1000] >>",
+    )
+    atspans = _parity(at)
+    # replacement = 4 chars × 0.5 = 2.0 units → adv 20 → X1 round(92·sx)=120
+    assert atspans[0][2] == "WXYZ" and atspans[0][4][2] == 120
+
+
+def test_widths_saved_by_q_with_font():
+    """q saves the active width table with the font; Q restores it."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F5 5 0 R /F6 6 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\n"
+        "BT /F5 10 Tf 72 700 Td q /F6 10 Tf Q (AAA) Tj ET"
+        "\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /FirstChar 65 /Widths [1000] >>\nendobj\n"
+        "6 0 obj\n<< /Type /Font /FirstChar 65 /Widths [200] >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans = _parity(doc)
+    # Q restored /F5's table: 3·1.0·10 = 30 → X1 = round(102·800/612) = 133
+    assert spans[0][4][2] == 133
+
+
+def test_v25_corpus_fuzz_parity():
+    """Corpus v25 window: widths payloads parse identically in both
+    implementations; construct mix observed."""
+    n_w = 0
+    for seed in range(8800, 9400):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Widths" in doc:
+            n_w += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_w >= 50
+
+
+def test_v25_truncation_fuzz_widths():
+    """Every-offset truncation through a widths-bearing payload."""
+    doc = None
+    for seed in range(400):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/Widths" in d and "/FirstChar" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
