@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 26  # v26: HTML non-rendered subtrees; v25 /Widths tables
+CORPUS_VERSION = 27  # v27: annotations (/FreeText, /Widget /V); v26 HTML skip set
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -575,6 +575,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     /MissingWidth fallback); inline and ref'd array forms, optional
     /FontDescriptor /MissingWidth, and no-table traps (missing
     /FirstChar, junk array token).
+    v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
+    sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
+    Widget /V field values, ignored Link annotations, hidden/NoView /F
+    flags (suppressed + counted), ref'd-array and inline /Annots forms,
+    dangling refs and malformed-rect/missing-contents traps.
     v16: ~35% of section tails grow a classic xref table + startxref
     (inert bytes to the xref-free scanner); ~12% of non-encrypted
     payloads append an incremental-update section (ISO §7.5.6) that
@@ -590,6 +595,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     use_cm = rng.random() < 0.25  # v20: q/Q/cm-positioned blocks
     use_mc = rng.random() < 0.35  # v24: marked-content payloads
     use_widths = rng.random() < 0.14  # v25: per-code advance widths
+    use_annots = rng.random() < 0.10  # v27: text-bearing annotations
+    annot_objs: List[tuple] = []
     # v21: page-tree ordering draws (see the docstring)
     shuffle_pages = n_pages >= 2 and rng.random() < 0.5
     nested_tree = n_pages >= 2 and rng.random() < 0.25
@@ -739,6 +746,58 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else f"<{_codes(fa, sch)}> Tj <{_codes(fb, sch)}> Tj"
         )
         return f"/Span << /ActualText {at} >> BDC {draw} EMC"
+
+    def _annot_body(kind: str) -> str:
+        # v27: annotation objects (ISO 32000 §12.5) — FreeText notes,
+        # filled Widget fields, ignored Links, and malformed traps
+        x0, y0 = rng.randint(60, 380), rng.randint(120, 600)
+        rect = f"[{x0} {y0} {x0 + rng.randint(80, 200)} {y0 + rng.randint(14, 40)}]"
+        txt = _sent(rng, words, rng.randint(2, 5))
+        r = rng.random()
+        hidden = (
+            " /F 2" if r < 0.12 else
+            " /F 32" if r < 0.18 else
+            " /F 4" if r < 0.30 else ""  # Print flag: NOT hidden
+        )
+        if kind == "freetext":
+            enc = rng.random()
+            if enc < 0.60:
+                val = f"({_pdf_str(txt + ' note')})"
+            elif enc < 0.80:  # UTF-16BE BOM hex form
+                val = (
+                    "<FEFF"
+                    + "".join(f"{ord(c):04X}" for c in (txt + " nóte"))
+                    + ">"
+                )
+            else:  # plain hex form
+                val = "<" + "".join(f"{ord(c):02X}" for c in (txt + " note")) + ">"
+            return (
+                f"<< /Type /Annot /Subtype /FreeText /Rect {rect}{hidden}"
+                f" /Contents {val} >>"
+            )
+        if kind == "widget":
+            return (
+                f"<< /Type /Annot /Subtype /Widget /FT /Tx /Rect {rect}"
+                f"{hidden} /V ({_pdf_str(txt)} value) >>"
+            )
+        if kind == "link":  # ignored subtype: never extracted
+            return (
+                f"<< /Type /Annot /Subtype /Link /Rect {rect}"
+                f" /Contents ({_pdf_str(txt)}) >>"
+            )
+        tr = rng.random()  # traps: all must skip silently
+        if tr < 0.35:  # missing /Rect
+            return (
+                f"<< /Type /Annot /Subtype /FreeText /Contents"
+                f" ({_pdf_str(txt)}) >>"
+            )
+        if tr < 0.70:  # malformed /Rect
+            return (
+                f"<< /Type /Annot /Subtype /FreeText /Rect [10 10 zz 30]"
+                f" /Contents ({_pdf_str(txt)}) >>"
+            )
+        # FreeText with no /Contents string
+        return f"<< /Type /Annot /Subtype /FreeText /Rect {rect} >>"
 
     body_font = "/F9" if scheme else "/F1"
     streams = []
@@ -1080,6 +1139,28 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 extra += f" /MediaBox [0 0 {pw} {ph}]"
             else:  # degenerate extent: IGNORED, the /Parent walk continues
                 extra += " /MediaBox [0 0 0 792]"
+        if use_annots and rng.random() < 0.7:
+            base = 60 + 4 * i
+            n_an = rng.randint(1, 3)
+            kinds = []
+            for _a in range(n_an):
+                kr = rng.random()
+                kinds.append(
+                    "freetext" if kr < 0.45
+                    else "widget" if kr < 0.75
+                    else "link" if kr < 0.90
+                    else "trap"
+                )
+            arefs = [f"{base + a} 0 R" for a in range(n_an)]
+            if rng.random() < 0.12:  # dangling ref: resolved to nothing
+                arefs.insert(rng.randrange(len(arefs) + 1), "98 0 R")
+            if rng.random() < 0.20:  # ref'd array-object form
+                annot_objs.append((72 + i, "[ " + " ".join(arefs) + " ]"))
+                extra += f" /Annots {72 + i} 0 R"
+            else:
+                extra += f" /Annots [{' '.join(arefs)}]"
+            for a, kind in enumerate(kinds):
+                annot_objs.append((base + a, _annot_body(kind)))
         objs.append(
             f"<< /Type /Page /Parent {parents[i]} /Contents {contents_val[i]}"
             f"{res}{res_page_broken}{extra} >>"
@@ -1194,6 +1275,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         )
     for objnum, content in part_objs:
         _emit_stream(objnum, content)
+    for anum, abody in annot_objs:
+        parts.append(f"{anum} 0 obj\n{abody}\nendobj")
     wdecl = ""
     if use_widths:
         # v25: per-code advance widths (ISO 32000 §9.7.4) — on the identity

@@ -1253,7 +1253,22 @@ def _page_annots(text: str, objs: dict, vobjs: dict, body: str) -> tuple:
         rect = _key_num_array(ab, "/Rect", 4)
         if rect is None:
             continue
-        f = _key_int(ab, "/F")
+        # /F needs the scan-to-first-TOKEN-EXACT rule: the single-shot
+        # find would land inside /FreeText or /FT and always fail
+        f = None
+        fk = -1
+        while True:
+            fk = ab.find("/F", fk + 1)
+            if fk < 0:
+                break
+            fafter = fk + 2
+            if (
+                fafter >= len(ab)
+                or ab[fafter] in _WS
+                or ab[fafter] in _DELIM
+            ):
+                f = _key_int(ab[fk:], "/F")
+                break
         hidden = f is not None and bool(f & 2 or f & 32)
         out.append(
             (

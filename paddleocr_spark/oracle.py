@@ -1581,6 +1581,178 @@ def _rpdf_page_tree_order(text: str, objs: dict, vobjs: dict):
     return order
 
 
+_RPDF_NUMPAT = r"[+-]?(?:\d+\.?\d*|\.\d+)"
+_RPDF_RECTVAL_RE = re.compile(
+    r"[\x00\t\n\x0c\r ]*\["
+    + 4 * (
+        r"[\x00\t\n\x0c\r ]*("
+        + _RPDF_NUMPAT
+        + r")(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+    )
+    + r"[\x00\t\n\x0c\r ]*\]"
+)
+
+
+def _rpdf_string_at(s: str, i: int):
+    """Inline literal/hex string starting at s[i], or None — the oracle's
+    regex-chunk literal reader lifted out of the tokenizer (unterminated
+    → what accumulated, the kernel rule)."""
+    if s[i : i + 1] == "(":
+        parts, depth, i = [], 1, i + 1
+        while i < len(s):
+            m = _RPDF_STRCHUNK_RE.match(s, i)
+            if m is None:
+                break
+            i = m.end()
+            esc, paren, plain = m.groups()
+            if plain is not None:
+                parts.append(plain)
+            elif paren == "(":
+                depth += 1
+                parts.append("(")
+            elif paren == ")":
+                depth -= 1
+                if depth == 0:
+                    return "".join(parts)
+                parts.append(")")
+            elif esc == "\n":
+                pass
+            elif esc[0] in "01234567":
+                parts.append(chr(int(esc, 8) % 256))
+            else:
+                parts.append(_RPDF_ESC.get(esc, esc))
+        return "".join(parts)
+    if s[i : i + 1] == "<" and s[i : i + 2] != "<<":
+        body = _RPDF_HEXBODY_RE.match(s, i + 1).group(0)
+        hx = "".join(c for c in body if c in "0123456789abcdefABCDEF")
+        if len(hx) % 2:
+            hx += "0"
+        return "".join(
+            chr(int(hx[k : k + 2], 16)) for k in range(0, len(hx), 2)
+        )
+    return None
+
+
+def _rpdf_key_string(body: str, key: str):
+    """Inline string value after the key's FIRST token-exact occurrence
+    (SPEC §3b Annotations, v27)."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    if after < len(body) and not re.match(
+        r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after]
+    ):
+        return None
+    return _rpdf_string_at(body, _RPDF_WSRUN_RE.match(body, after).end())
+
+
+def _rpdf_page_annots(text: str, objs: dict, vobjs: dict, body: str):
+    """Mirror of the kernel /Annots rule (SPEC §3b Annotations, v27):
+    FreeText /Contents and Widget /V strings with a valid inline /Rect,
+    as (u0, v0, u1, v1, text, hidden) user-space tuples."""
+    k = body.find("/Annots")
+    if k < 0:
+        return ()
+    after = k + len("/Annots")
+    if after < len(body) and not re.match(
+        r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after]
+    ):
+        return ()
+    i = _RPDF_WSRUN_RE.match(body, after).end()
+    arr = body
+    if body[i : i + 1] != "[":
+        r = _RPDF_REFVAL0_RE.match(body, i)
+        if not r:
+            return ()
+        ab = _rpdf_obj_body(text, objs, vobjs, int(r.group(1)))
+        if ab is None:
+            return ()
+        i = _RPDF_WSRUN_RE.match(ab, 0).end()
+        if ab[i : i + 1] != "[":
+            return ()
+        arr = ab
+    i += 1
+    refs = []
+    while i < len(arr):
+        i = _RPDF_WSRUN_RE.match(arr, i).end()
+        if arr[i : i + 1] == "]":
+            break
+        r = _RPDF_REFVAL0_RE.match(arr, i)
+        if not r:
+            break
+        refs.append(int(r.group(1)))
+        i = r.end()
+    out = []
+    for num in refs:
+        ab = _rpdf_obj_body(text, objs, vobjs, num)
+        if ab is None:
+            continue
+        if _rpdf_subtype_is(ab, "FreeText"):
+            txt = _rpdf_key_string(ab, "/Contents")
+        elif _rpdf_subtype_is(ab, "Widget"):
+            txt = _rpdf_key_string(ab, "/V")
+        else:
+            continue
+        if txt is None:
+            continue
+        rk = ab.find("/Rect")
+        if rk < 0 or (
+            rk + 5 < len(ab)
+            and not re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", ab[rk + 5])
+        ):
+            continue
+        rm = _RPDF_RECTVAL_RE.match(ab, rk + 5)
+        if rm is None:
+            continue
+        a, b, c, d = (float(rm.group(g)) for g in range(1, 5))
+        fm = re.search(r"/F" + _RPDF_NAMEEND, ab)
+        f = _rpdf_key_int(ab[fm.start():], "/F") if fm else None
+        out.append(
+            (min(a, c), min(b, d), max(a, c), max(b, d),
+             _rpdf_atext(txt),
+             f is not None and bool(f & 2 or f & 32))
+        )
+    return tuple(out)
+
+
+def _rpdf_append_annots(boxes, annots, mb_w, mb_h, rot, cx, cy, cfg):
+    """Annotation boxes after the unit's content boxes (v27) — crop shift
+    + the rotation corner map with the rect's own extent; returns the
+    hidden-suppression count."""
+    import math
+
+    if rot in (90, 270):
+        sx, sy = cfg.page_w / mb_h, cfg.page_h / mb_w
+    else:
+        sx, sy = cfg.page_w / mb_w, cfg.page_h / mb_h
+    dropped = 0
+    for u0r, v0r, u1r, v1r, txt, hidden in annots:
+        if not txt.strip():
+            continue
+        if hidden:
+            dropped += 1
+            continue
+        u0, v0, u1, v1 = u0r - cx, v0r - cy, u1r - cx, v1r - cy
+        corners = {
+            0: (u0, mb_h - v1, u1, mb_h - v0),
+            90: (v0, u0, v1, u1),
+            180: (mb_w - u1, v0, mb_w - u0, v1),
+            270: (mb_h - v1, mb_w - u1, mb_h - v0, mb_w - u0),
+        }[rot]
+        boxes.append(
+            (
+                int(math.floor(corners[0] * sx + 0.5)),
+                int(math.floor(corners[1] * sy + 0.5)),
+                int(math.floor(corners[2] * sx + 0.5)),
+                int(math.floor(corners[3] * sy + 0.5)),
+                len(boxes),
+                txt,
+            )
+        )
+    return dropped
+
+
 def _rpdf_content_resources(text: str):
     """{content obj num: (font table, xobject table, geometry)} + object
     intervals + form resolver + {part obj num: group id} + {group id:
@@ -1604,6 +1776,8 @@ def _rpdf_content_resources(text: str):
         and "/XObject" not in text
         and "/Rotate" not in text
         and "/CropBox" not in text
+        and "/Widths" not in text  # v25: advance-width tables
+        and "/Annots" not in text  # v27: text-bearing annotations
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
@@ -1617,6 +1791,7 @@ def _rpdf_content_resources(text: str):
     )
     vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
+    want_annots = "/Annots" in text  # v27
     by_content = {}
     part_of: dict = {}
     groups: dict = {}
@@ -1639,7 +1814,10 @@ def _rpdf_content_resources(text: str):
         geo = _rpdf_page_geometry(
             text, objs, vobjs, body, dflt, "/CropBox" in text
         )
-        entry = (fonts, xobjs, geo)
+        annots = (
+            _rpdf_page_annots(text, objs, vobjs, body) if want_annots else ()
+        )
+        entry = (fonts, xobjs, geo, annots)
         if len(refs) == 1:
             by_content[refs[0]] = entry
             keys_of_page[num] = refs[0]
@@ -2318,12 +2496,16 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot, cx, cy) = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
             boxes, sup = _rpdf_interpret(
                 _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs,
                 resolver, rot=rot, crop=(cx, cy),
             )
             dropped += sup
+            if annots:  # v27: annotation boxes follow the content boxes
+                dropped += _rpdf_append_annots(
+                    boxes, annots, pw, ph, rot, cx, cy, cfg
+                )
             kept = []
             for b in boxes:
                 if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:
@@ -2344,15 +2526,18 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
             continue
         fonts = xobjs = None
         pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
+        annots = ()
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot, cx, cy) = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
         boxes, sup = _rpdf_interpret(
             _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver,
             rot=rot, crop=(cx, cy),
         )
         dropped += sup
+        if annots:  # v27: annotation boxes follow the content boxes
+            dropped += _rpdf_append_annots(boxes, annots, pw, ph, rot, cx, cy, cfg)
         kept = []
         for b in boxes:
             if b[3] <= cfg.header_y or b[1] >= cfg.footer_y:

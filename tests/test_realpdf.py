@@ -3074,3 +3074,137 @@ def test_v25_truncation_fuzz_widths():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v27: annotations (SPEC §3b Annotations; ISO 32000 §12.5)
+# ---------------------------------------------------------------------------
+
+
+def _pdfa(annots_val: str, extra_objs: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        f" /Annots {annots_val} >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\nBT /F1 12 Tf 72 700 Td (page body text) Tj ET\nendstream\nendobj\n"
+        f"{extra_objs}"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_annots_freetext_widget_link_and_hidden():
+    """FreeText /Contents and Widget /V extract after the content boxes;
+    Link is ignored; /F Hidden counts one drop; the Print flag does not
+    hide."""
+    doc = _pdfa(
+        "[5 0 R 6 0 R 7 0 R 8 0 R 9 0 R]",
+        "5 0 obj\n<< /Type /Annot /Subtype /FreeText /Rect [100 300 250 320]"
+        " /Contents (a sticky note comment) >>\nendobj\n"
+        "6 0 obj\n<< /Type /Annot /Subtype /Widget /FT /Tx"
+        " /Rect [100 260 250 280] /V (typed field value) >>\nendobj\n"
+        "7 0 obj\n<< /Type /Annot /Subtype /FreeText /Rect [100 220 250 240]"
+        " /F 2 /Contents (hidden note) >>\nendobj\n"
+        "8 0 obj\n<< /Type /Annot /Subtype /Link /Rect [100 180 250 200]"
+        " /Contents (link text ignored) >>\nendobj\n"
+        "9 0 obj\n<< /Type /Annot /Subtype /FreeText /Rect [100 140 250 160]"
+        " /F 4 /Contents (printed note text) >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    texts = [s[2] for s in spans]
+    assert "a sticky note comment" in texts
+    assert "typed field value" in texts
+    assert "printed note text" in texts
+    assert not any("hidden" in t or "link text" in t for t in texts)
+    k, s2, d = extract_payload(doc)
+    assert d == 1  # exactly the hidden note
+    # rect [100 300 250 320] → X0 = round(100·800/612) = 131,
+    # Y0 = round((792-320)·1000/792) = 596
+    note = next(s for s in spans if s[2] == "a sticky note comment")
+    assert note[4] == [131, 596, 327, 621]
+
+
+def test_annots_ref_array_and_utf16_contents():
+    """/Annots as a ref to an array object; a BOM hex /Contents decodes."""
+    at = "<FEFF" + "".join(f"{ord(c):04X}" for c in "café annotation") + ">"
+    doc = _pdfa(
+        "10 0 R",
+        "10 0 obj\n[ 5 0 R ]\nendobj\n"
+        "5 0 obj\n<< /Type /Annot /Subtype /FreeText /Rect [100 300 250 320]"
+        f" /Contents {at} >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == ["page body text", "café annotation"]
+
+
+def test_annots_traps_skip_silently():
+    """Missing/malformed /Rect, missing /Contents, dangling refs, and a
+    non-ref list element all skip without a drop count."""
+    doc = _pdfa(
+        "[5 0 R 98 0 R 6 0 R (junk) 7 0 R]",
+        "5 0 obj\n<< /Type /Annot /Subtype /FreeText"
+        " /Contents (no rect here) >>\nendobj\n"
+        "6 0 obj\n<< /Type /Annot /Subtype /FreeText /Rect [10 10 zz 30]"
+        " /Contents (bad rect) >>\nendobj\n"
+        "7 0 obj\n<< /Type /Annot /Subtype /FreeText"
+        " /Rect [100 300 250 320] >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    # the non-ref element ends the list BEFORE 7 0 R; nothing extracts
+    assert [s[2] for s in spans] == ["page body text"]
+    k, s2, d = extract_payload(doc)
+    assert d == 0
+
+
+def test_annots_rotated_page_geometry():
+    """Annotation rects ride the page's rotation corner map."""
+    base = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792]"
+        " /Rotate 90 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Annots [5 0 R] >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\nBT /F1 12 Tf 72 700 Td (rotated body) Tj ET\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Annot /Subtype /FreeText /Rect [100 300 250 320]"
+        " /Contents (rotated annotation) >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans = _parity(base)
+    note = next(s for s in spans if s[2] == "rotated annotation")
+    # r=90 viewer: W=792, H=612; X = v·800/792, Y = u·1000/612
+    # X0 = round(300·800/792) = 303; Y0 = round(100·1000/612) = 163
+    assert note[4] == [303, 163, 323, 408]
+
+
+def test_v27_corpus_fuzz_parity():
+    """Corpus v27 window: annotation payloads parse identically; mix
+    observed."""
+    n_a = n_h = 0
+    for seed in range(10200, 11000):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Annots" in doc:
+            n_a += 1
+        if "/F 2" in doc or "/F 32" in doc:
+            n_h += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_a >= 30 and n_h >= 5
+
+
+def test_v27_truncation_fuzz_annots():
+    doc = None
+    for seed in range(800):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/Annots" in d and "/Subtype /Widget" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
