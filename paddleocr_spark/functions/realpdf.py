@@ -1955,13 +1955,27 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         nonlocal buf, acc_u, acc_g, acc_s
         txt = "".join(buf)
         if txt.strip():
-            # v25: accumulated per-code accounting replaces the flush-time
-            # length formula (identical when no font carries /Widths)
-            adv = max(
-                0.0,
-                (acc_u * fontsize + charspace * acc_g + wordspace * acc_s)
-                * (hscale / 100.0),
-            )
+            # v25: with no active width table the per-show accounting sums
+            # telescope to the flush-time length formula EXACTLY (0.5 and
+            # integer counts are exact floats), so the common case skips
+            # per-show work and computes here; a widths buffer uses the
+            # accumulated per-code counters. Tf and Q flush, so the active
+            # table is constant across a buffer's life.
+            if cur_wd is None:
+                adv = max(
+                    0.0,
+                    (
+                        (0.5 * fontsize + charspace) * len(txt)
+                        + wordspace * txt.count(" ")
+                    )
+                    * (hscale / 100.0),
+                )
+            else:
+                adv = max(
+                    0.0,
+                    (acc_u * fontsize + charspace * acc_g + wordspace * acc_s)
+                    * (hscale / 100.0),
+                )
             if ctm is _IDENT:
                 u0, u1 = ox + x, ox + x + adv
                 v0, v1 = oy + y + rise, oy + y + rise + fontsize
@@ -2007,33 +2021,32 @@ def _interpret(content: str, mb_w: float, mb_h: float,
 
     def emit_plain(txt: str) -> None:
         """Append text with identity accounting (0.5 units/char): the
-        /ActualText replacement and TJ kern-space path (no codes)."""
+        /ActualText replacement and TJ kern-space path (no codes). In the
+        no-widths regime the flush formula covers it — plain append."""
         nonlocal acc_u, acc_g, acc_s
-        acc_u += 0.5 * len(txt)
-        acc_g += len(txt)
-        acc_s += txt.count(" ")
         buf.append(txt)
-
-    def emit_show(raw: str) -> None:
-        """Append a show-string's decoded text, accumulating the v25
-        advance accounting — per-code widths when the active font carries
-        a table, the v6 decoded-length rule otherwise."""
-        nonlocal acc_u, acc_g, acc_s
-        if cur_wd is None:
-            txt = _apply_cmap(raw, cur_map)
+        if cur_wd is not None:
             acc_u += 0.5 * len(txt)
             acc_g += len(txt)
             acc_s += txt.count(" ")
-            buf.append(txt)
-            return
+
+    def emit_show(raw: str) -> None:
+        """Append a show-string's decoded text accumulating per-code
+        widths accounting — called ONLY when the active font carries a
+        table (the no-widths regime appends directly and accounts at
+        flush). A per-piece subtotal keeps float association identical
+        to the oracle's per-piece sums."""
+        nonlocal acc_u, acc_g, acc_s
         wtab, miss = cur_wd
+        du = 0.0
         if cur_map is None or cur_map[2] is not None:
             # 1-byte code stream: identity or translate-fast-path CMap
             for c in raw:
                 o = ord(c)
-                acc_u += wtab[o] if o <= 0xFF else miss
+                du += wtab[o] if o <= 0xFF else miss
                 if o == 32:
                     acc_s += 1
+            acc_u += du
             acc_g += len(raw)
             buf.append(raw if cur_map is None else raw.translate(cur_map[2]))
             return
@@ -2061,7 +2074,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                     hit = cmapd.get((code, nb))
                     if hit is not None:
                         out.append(hit)
-                        acc_u += wtab[code] if code <= 0xFF else miss
+                        du += wtab[code] if code <= 0xFF else miss
                         acc_g += 1
                         if code == 32:
                             acc_s += 1
@@ -2069,11 +2082,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         break
             if hit is None:
                 out.append(raw[i2])
-                acc_u += wtab[o0] if o0 <= 0xFF else miss
+                du += wtab[o0] if o0 <= 0xFF else miss
                 acc_g += 1
                 if o0 == 32:
                     acc_s += 1
                 i2 += 1
+        acc_u += du
         buf.append("".join(out))
 
     def nums(k: int):
@@ -2295,8 +2309,10 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         if not at_consumed:  # v24: first show emits the
                             emit_plain(at_text)  # /ActualText replacement
                             at_consumed = True
-                    else:
+                    elif cur_wd is not None:
                         emit_show(stack[-1][1])
+                    else:
+                        buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok in ("'", '"'):
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                     if (
@@ -2321,8 +2337,10 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         if not at_consumed:
                             emit_plain(at_text)
                             at_consumed = True
-                    else:
+                    elif cur_wd is not None:
                         emit_show(stack[-1][1])
+                    else:
+                        buf.append(_apply_cmap(stack[-1][1], cur_map))
             elif tok == "TJ":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                     has_str = any(
@@ -2339,12 +2357,20 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         if has_str and not at_consumed:
                             emit_plain(at_text)
                             at_consumed = True
-                    else:
+                    elif cur_wd is not None:
                         for el in stack[-1][1]:
                             if isinstance(el, tuple) and el[0] == "s":
                                 emit_show(el[1])
                             elif isinstance(el, float) and el <= -180:
                                 emit_plain(" ")
+                    else:
+                        piece = []
+                        for el in stack[-1][1]:
+                            if isinstance(el, tuple) and el[0] == "s":
+                                piece.append(_apply_cmap(el[1], cur_map))
+                            elif isinstance(el, float) and el <= -180:
+                                piece.append(" ")
+                        buf.append("".join(piece))
             elif tok == "ET":
                 flush()
                 in_text = False
