@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 27  # v27: annotations (/FreeText, /Widget /V); v26 HTML skip set
+CORPUS_VERSION = 29  # v29: hidden HTML content (hidden attr / display:none)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -63,6 +63,11 @@ def _sent(rng: random.Random, words: List[str], k: int) -> str:
 
 def _make_html(rng: random.Random, words: List[str]) -> str:
     """v17 depth: HTML5 constructs real web pages actually carry —
+    v29: hidden elements (HTML5 boolean ``hidden`` in all its forms,
+    inline ``style`` display:none / visibility:hidden declarations,
+    hidden tables) whose content must vanish, plus near-miss traps
+    (class="hidden", data-/aria-hidden, border:none, the bare word)
+    that must render.
     v26: form controls and non-rendered embedded/fallback subtrees
     (select/option, textarea with tag-looking content, noscript, iframe
     fallback, template) whose content must vanish while button labels
@@ -165,6 +170,44 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 f"<select><option>{w()} hidden</option></style>"
                 f"<option>{w()} leaked</option></select>"
             )
+    if rng.random() < 0.14:  # v29: hidden content — must vanish
+        hw = f"{w()} {w()}"
+        r29 = rng.random()
+        if r29 < 0.28:  # boolean hidden attr: bare / empty / valued / case
+            attr = rng.choice(
+                ("hidden", 'hidden=""', 'hidden="hidden"', "HIDDEN",
+                 "hidden=until-found")
+            )
+            inner = f"<p>{hw} invisible</p>"
+            if rng.random() < 0.3:  # nested visible-styled child: still hidden
+                inner = f'<p style="display:block">{hw} stillgone</p>'
+            parts.append(f"<div {attr}>{inner}</div>")
+        elif r29 < 0.52:  # display:none declaration forms
+            st = rng.choice(
+                ('style="display:none"',
+                 'style="display: none !important"',
+                 "style='display :none;color:#222'",
+                 "style=display:none")
+            )
+            parts.append(f"<p {st}>{hw} invisible</p>")
+        elif r29 < 0.66:  # visibility:hidden
+            parts.append(
+                f'<span style="visibility: hidden">{hw} invisible</span>'
+                f"<p>{w()} visible tail</p>"
+            )
+        elif r29 < 0.80:  # a hidden <table> renders nothing
+            parts.append(
+                f"<table hidden><tr><td>{hw} cellgone</td>"
+                f"<td>{w()} alsogone</td></tr></table>"
+            )
+        else:  # traps: near-miss attrs/styles/text must RENDER
+            parts.append(rng.choice((
+                f'<p class="hidden">{hw} classy renders</p>',
+                f'<p data-hidden="true">{hw} datum renders</p>',
+                f'<p aria-hidden="true">{hw} aria renders</p>',
+                f'<p style="border:none">{hw} bordered renders</p>',
+                f"<p>the hidden {hw} word renders</p>",
+            )))
     if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
         parts.append(f"<![CDATA[{w()} > {w()}]]>")
     if rng.random() < 0.10:
@@ -580,6 +623,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     Widget /V field values, ignored Link annotations, hidden/NoView /F
     flags (suppressed + counted), ref'd-array and inline /Annots forms,
     dangling refs and malformed-rect/missing-contents traps.
+    v28: annotated pages also draw the §12.5.6 markup set — /Text sticky
+    notes (inert /Open //Name noise), Highlight/StrikeOut/Underline/Stamp
+    review comments (inert /QuadPoints) — and ~25% pair one annotation
+    with a /Popup object listed in /Annots whose /Contents must NOT
+    extract (§12.5.6.14 duplicate-text rule).
     v16: ~35% of section tails grow a classic xref table + startxref
     (inert bytes to the xref-free scanner); ~12% of non-encrypted
     payloads append an incremental-update section (ISO §7.5.6) that
@@ -747,11 +795,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         )
         return f"/Span << /ActualText {at} >> BDC {draw} EMC"
 
-    def _annot_body(kind: str) -> str:
+    def _annot_body(kind: str, popup_ref: str = "") -> str:
         # v27: annotation objects (ISO 32000 §12.5) — FreeText notes,
-        # filled Widget fields, ignored Links, and malformed traps
+        # filled Widget fields, ignored Links, and malformed traps.
+        # v28: the §12.5.6 markup set (/Text sticky notes, Highlight /
+        # StrikeOut / Stamp review comments with inert /QuadPoints //Name
+        # //Open noise keys) whose /Contents must extract too.
         x0, y0 = rng.randint(60, 380), rng.randint(120, 600)
-        rect = f"[{x0} {y0} {x0 + rng.randint(80, 200)} {y0 + rng.randint(14, 40)}]"
+        x1, y1 = x0 + rng.randint(80, 200), y0 + rng.randint(14, 40)
+        rect = f"[{x0} {y0} {x1} {y1}]"
         txt = _sent(rng, words, rng.randint(2, 5))
         r = rng.random()
         hidden = (
@@ -759,6 +811,24 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             " /F 32" if r < 0.18 else
             " /F 4" if r < 0.30 else ""  # Print flag: NOT hidden
         )
+        if kind == "textnote":  # v28: sticky note (/Text)
+            noise = " /Open true /Name /Comment" if rng.random() < 0.5 else ""
+            return (
+                f"<< /Type /Annot /Subtype /Text /Rect {rect}{hidden}"
+                f"{noise}{popup_ref} /Contents ({_pdf_str(txt)} sticky) >>"
+            )
+        if kind == "markup":  # v28: review-comment markup annotations
+            sub = rng.choice(("Highlight", "StrikeOut", "Underline", "Stamp"))
+            quad = ""
+            if sub != "Stamp" and rng.random() < 0.6:
+                quad = (
+                    f" /QuadPoints [{x0} {y1} {x1} {y1} {x0} {y0} {x1} {y0}]"
+                )
+            name = " /Name /Draft" if sub == "Stamp" and rng.random() < 0.5 else ""
+            return (
+                f"<< /Type /Annot /Subtype /{sub} /Rect {rect}{hidden}"
+                f"{quad}{name}{popup_ref} /Contents ({_pdf_str(txt)} remark) >>"
+            )
         if kind == "freetext":
             enc = rng.random()
             if enc < 0.60:
@@ -773,7 +843,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 val = "<" + "".join(f"{ord(c):02X}" for c in (txt + " note")) + ">"
             return (
                 f"<< /Type /Annot /Subtype /FreeText /Rect {rect}{hidden}"
-                f" /Contents {val} >>"
+                f"{popup_ref} /Contents {val} >>"
             )
         if kind == "widget":
             return (
@@ -1146,12 +1216,32 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             for _a in range(n_an):
                 kr = rng.random()
                 kinds.append(
-                    "freetext" if kr < 0.45
-                    else "widget" if kr < 0.75
+                    "freetext" if kr < 0.28
+                    else "textnote" if kr < 0.42  # v28
+                    else "markup" if kr < 0.56    # v28
+                    else "widget" if kr < 0.76
                     else "link" if kr < 0.90
                     else "trap"
                 )
             arefs = [f"{base + a} 0 R" for a in range(n_an)]
+            # v28: ~25% of annotated pages pair their last markup-capable
+            # annotation with a /Popup object that DUPLICATES its
+            # /Contents (ISO §12.5.6.14) — listed in /Annots as real
+            # writers do; extracting it would double the text
+            use_popup = rng.random() < 0.25
+            if use_popup:
+                pa = n_an - 1
+                if kinds[pa] not in ("textnote", "markup", "freetext"):
+                    kinds[pa] = "textnote"
+                ptxt = _sent(rng, words, rng.randint(2, 5))
+                annot_objs.append((
+                    base + 3,
+                    f"<< /Type /Annot /Subtype /Popup /Parent {base + pa} 0 R"
+                    f" /Rect [400 400 520 460] /Contents"
+                    f" ({_pdf_str(ptxt)} sticky) >>",
+                ))
+                if rng.random() < 0.8:
+                    arefs.append(f"{base + 3} 0 R")
             if rng.random() < 0.12:  # dangling ref: resolved to nothing
                 arefs.insert(rng.randrange(len(arefs) + 1), "98 0 R")
             if rng.random() < 0.20:  # ref'd array-object form
@@ -1160,7 +1250,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else:
                 extra += f" /Annots [{' '.join(arefs)}]"
             for a, kind in enumerate(kinds):
-                annot_objs.append((base + a, _annot_body(kind)))
+                popup_ref = (
+                    f" /Popup {base + 3} 0 R"
+                    if use_popup and a == n_an - 1
+                    else ""
+                )
+                annot_objs.append((base + a, _annot_body(kind, popup_ref)))
         objs.append(
             f"<< /Type /Page /Parent {parents[i]} /Contents {contents_val[i]}"
             f"{res}{res_page_broken}{extra} >>"

@@ -75,6 +75,84 @@ SKIP_TAGS = frozenset(
 )
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+# v29: hidden-content detection (SPEC §2.2). An element is hidden iff its
+# attributes carry the HTML5 boolean `hidden` (any or no value), or an
+# inline `style` whose declarations include display:none or
+# visibility:hidden (ws-tolerant, trailing !important allowed). The scan
+# is attribute-EXACT over the lowercased tag token — class="hidden",
+# data-hidden, aria-hidden and text values containing the word never hide.
+_ATTR_NAME_END = " \t\n\r\x0c>/=\"'"
+_IMPORTANT_RE = re.compile(r"\s*!\s*important\s*$")
+
+
+def _style_hides(val: str) -> bool:
+    # declaration-split rule (SPEC §2.2 v29): split on ';', partition each
+    # declaration at its FIRST ':', strip a trailing !important
+    for decl in val.split(";"):
+        prop, colon, v = decl.partition(":")
+        if not colon:
+            continue
+        prop = prop.strip()
+        if prop != "display" and prop != "visibility":
+            continue
+        v = _IMPORTANT_RE.sub("", v).strip()
+        if (prop == "display" and v == "none") or (
+            prop == "visibility" and v == "hidden"
+        ):
+            return True
+    return False
+
+
+def _hidden_in_tag(low: str) -> bool:
+    """Attribute walk over a lowercased opening-tag token: skip ws and
+    '/', name = maximal run outside ws/>/=/quotes (empty → one-char
+    advance, the pinned junk degrade), optional = value (quoted to the
+    matching quote or token end, else unquoted to ws/'>')."""
+    m = _TAG_NAME_RE.match(low)
+    if m is None:
+        return False
+    i = m.end()
+    n = len(low)
+    while i < n:
+        c = low[i]
+        if c in " \t\n\r\x0c/":
+            i += 1
+            continue
+        if c == ">":
+            return False
+        j = i
+        while j < n and low[j] not in _ATTR_NAME_END:
+            j += 1
+        if j == i:  # quote/'=' junk where a name should start
+            i += 1
+            continue
+        name = low[i:j]
+        i = j
+        k = i
+        while k < n and low[k] in " \t\n\r\x0c":
+            k += 1
+        val = None
+        if k < n and low[k] == "=":
+            k += 1
+            while k < n and low[k] in " \t\n\r\x0c":
+                k += 1
+            if k < n and (low[k] == '"' or low[k] == "'"):
+                e = low.find(low[k], k + 1)
+                if e < 0:
+                    val, i = low[k + 1 :], n
+                else:
+                    val, i = low[k + 1 : e], e + 1
+            else:
+                e = k
+                while e < n and low[e] not in " \t\n\r\x0c>":
+                    e += 1
+                val, i = low[k:e], e
+        if name == "hidden":
+            return True
+        if name == "style" and val and _style_hides(val):
+            return True
+    return False
+
 
 def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
     if "=" not in tag_token:  # a class attr requires '='; skip the regex
@@ -104,20 +182,28 @@ def _parse_tag(tok: str):
     if info is None:
         tm = _TAG_NAME_RE.match(tok)
         if tm is None:
-            info = (False, None, False, None)
+            info = (False, None, False, None, False)
         else:
             slash, name = tm.groups()
             closing = slash == "/"
             class_tokens = None
+            hidden = False
             if not closing and "=" in tok:
                 m = _CLASS_RE.search(tok)
                 if m:
                     class_tokens = tuple(_class_value(m).split())
+            if not closing:
+                # v29 gate: the attr walk only runs when the token can
+                # possibly hide (case-blind substring probe)
+                low = tok.lower()
+                if "hidden" in low or ("style" in low and "none" in low):
+                    hidden = _hidden_in_tag(low)
             info = (
                 closing,
                 name.lower(),
                 not closing and tok.endswith("/>"),
                 class_tokens,
+                hidden,
             )
         if len(tok) <= _TAG_CACHE_MAX_TOKEN_LEN and len(_TAG_CACHE) < _TAG_CACHE_MAX:
             _TAG_CACHE[tok] = info
@@ -131,12 +217,14 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     ``(kind, text, score)`` for KEPT blocks and n_dropped counts candidate
     blocks (non-empty text) that the keep predicate rejected.
     """
-    # open-tag stack entries: (tagname, is_boiler, is_link, is_heading, is_pre, is_li)
+    # open-tag stack entries:
+    #   (tagname, is_boiler, is_link, is_heading, is_pre, is_li, is_hidden)
     # context is tracked by clamped counters; lenient close pops decrement them
     stack: List[tuple] = []
     boiler_depth = 0
     link_depth = 0
     skip_depth = 0  # inside a skipped (non-rendered) subtree
+    hidden_depth = 0  # v29: inside a hidden element (attr/display:none)
     heading_depth = 0
     pre_depth = 0
     li_depth = 0
@@ -147,6 +235,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     cell_pieces: Optional[List[str]] = None
     table_link_chars = 0
     table_boiler = False
+    table_hide = False  # v29: the <table> tag itself carried hidden state
 
     candidates: List[tuple] = []  # (kind, text, total, link, boiler)
     # current block as plain locals (a Block() per flush measurably costs;
@@ -184,10 +273,10 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         cur_boiler = False
 
     def flush_table():
-        nonlocal table_rows, table_link_chars, table_boiler
+        nonlocal table_rows, table_link_chars, table_boiler, table_hide
         rows = [" | ".join(r) for r in table_rows if r]
         t = "\n".join(rows)
-        if t.strip():
+        if t.strip() and not table_hide:  # v29: a hidden table renders nothing
             candidates.append(
                 ("table", t, sum(len(c) for r in table_rows for c in r),
                  table_link_chars, table_boiler)
@@ -195,11 +284,12 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         table_rows = []
         table_link_chars = 0
         table_boiler = False
+        table_hide = False
 
     for tok in _TOKEN_RE.findall(text):
         if tok[0] != "<":
             # --- text token (fast path: the most common token kind) ---
-            if skip_depth > 0:
+            if skip_depth > 0 or hidden_depth > 0:
                 continue
             piece = (
                 decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
@@ -221,7 +311,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if tok[1] == "!":  # comment or declaration (<!-- / <!DOCTYPE) → ignored
             continue
         else:  # --- tag token ---
-            closing, name, self_closing, class_tokens = parse_tag(tok)
+            closing, name, self_closing, class_tokens, tag_hidden = parse_tag(tok)
             if name is None:
                 continue  # malformed tag → ignored
 
@@ -271,6 +361,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                     flush()
                 table_depth = 1
                 table_boiler = boiler_depth > 0
+                table_hide = tag_hidden  # v29 (interior table tags: pinned no-op)
                 continue
 
             if name in BLOCK_TAGS and cur_pieces:
@@ -286,12 +377,13 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 is_h = name in HEADING_TAGS
                 is_pre = name in ("pre", "code")
                 is_li = name == "li"
-                stack.append((name, boiler, is_a, is_h, is_pre, is_li))
+                stack.append((name, boiler, is_a, is_h, is_pre, is_li, tag_hidden))
                 boiler_depth += boiler
                 link_depth += is_a
                 heading_depth += is_h
                 pre_depth += is_pre
                 li_depth += is_li
+                hidden_depth += tag_hidden
             else:
                 # lenient close: pop until matching tag name (if present)
                 idx = None
@@ -304,7 +396,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                     # link_depth without a stack pop — the oracle clamps the
                     # same way); flag-guarded so the common all-false entry
                     # costs five bool checks, no max() calls
-                    for _, b2, a2, h2, p2, l2 in stack[idx:]:
+                    for _, b2, a2, h2, p2, l2, hd2 in stack[idx:]:
                         if b2:
                             boiler_depth = max(0, boiler_depth - 1)
                         if a2:
@@ -315,6 +407,8 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                             pre_depth = max(0, pre_depth - 1)
                         if l2:
                             li_depth = max(0, li_depth - 1)
+                        if hd2:
+                            hidden_depth = max(0, hidden_depth - 1)
                     del stack[idx:]
             continue
 

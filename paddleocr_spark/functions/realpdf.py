@@ -1212,11 +1212,15 @@ def _key_string(body: str, key: str) -> Optional[str]:
 
 
 def _page_annots(text: str, objs: dict, vobjs: dict, body: str) -> tuple:
-    """A page's text-bearing annotations (SPEC §3b Annotations, v27; ISO
-    32000 §12.5): /FreeText /Contents strings and /Widget /V filled
-    form-field values, each with a valid inline /Rect, as
-    (u0, v0, u1, v1, text, hidden) tuples in user space — normalized
-    corners, BOM-decoded text, hidden = /F bit 2 (Hidden) or 6 (NoView)."""
+    """A page's text-bearing annotations (SPEC §3b Annotations, v27+v28;
+    ISO 32000 §12.5): /Contents strings of FreeText and the §12.5.6 markup
+    set (Text sticky notes, Highlight/Underline/Squiggly/StrikeOut
+    comments, Caret/Ink/Square/Circle/Polygon/PolyLine/Stamp/
+    FileAttachment — /Popup excluded, it duplicates its parent's text)
+    plus /Widget /V filled form-field values, each with a valid inline
+    /Rect, as (u0, v0, u1, v1, text, hidden) tuples in user space —
+    normalized corners, BOM-decoded text, hidden = /F bit 2 (Hidden) or
+    6 (NoView)."""
     k = body.find("/Annots")
     if k < 0:
         return ()
@@ -1242,9 +1246,10 @@ def _page_annots(text: str, objs: dict, vobjs: dict, body: str) -> tuple:
         ab = _obj_body(text, objs, vobjs, num)
         if ab is None:
             continue
-        if _subtype_is(ab, "FreeText"):
+        st = _subtype_name(ab)
+        if st in _ANNOT_TEXT_SUBTYPES:
             txt = _key_string(ab, "/Contents")
-        elif _subtype_is(ab, "Widget"):
+        elif st == "Widget":
             txt = _key_string(ab, "/V")
         else:
             continue
@@ -1437,20 +1442,39 @@ def _xobject_table(text: str, objs: dict, vobjs: dict, res) -> dict:
     return dict(_name_ref_pairs(xdict))
 
 
+def _subtype_name(params: str) -> Optional[str]:
+    """The FIRST ``/Subtype`` name in ``params`` (token-exact key, ws*,
+    ``/name`` value), or None."""
+    k = params.find("/Subtype")
+    if k < 0:
+        return None
+    after = k + len("/Subtype")
+    if after < len(params) and params[after] not in _WS and params[after] not in _DELIM:
+        return None
+    i = _skip_ws(params, after)
+    if params[i : i + 1] != "/":
+        return None
+    nm, _ = _read_name_token(params, i)
+    return nm
+
+
 def _subtype_is(params: str, name: str) -> bool:
     """True when the FIRST ``/Subtype`` in ``params`` (token-exact) is
     followed (ws*) by the exact name ``/name``."""
-    k = params.find("/Subtype")
-    if k < 0:
-        return False
-    after = k + len("/Subtype")
-    if after < len(params) and params[after] not in _WS and params[after] not in _DELIM:
-        return False
-    i = _skip_ws(params, after)
-    if params[i : i + 1] != "/":
-        return False
-    nm, _ = _read_name_token(params, i)
-    return nm == name
+    return _subtype_name(params) == name
+
+
+# Annotation subtypes whose /Contents is extractable comment text (SPEC
+# §3b Annotations v28; ISO 32000 §12.5.6 markup annotations + FreeText).
+# /Popup is deliberately ABSENT: a popup's /Contents duplicates its parent
+# markup annotation's (§12.5.6.14) — extracting both would double the text.
+# /Link is absent too (its /Contents is an alternate description, not page
+# text); /Widget stays a separate /V dispatch.
+_ANNOT_TEXT_SUBTYPES = frozenset((
+    "FreeText", "Text", "Highlight", "Underline", "Squiggly", "StrikeOut",
+    "Caret", "Ink", "Square", "Circle", "Polygon", "PolyLine", "Stamp",
+    "FileAttachment",
+))
 
 
 def _key_num_array(body: str, key: str, count: int) -> Optional[List[float]]:

@@ -76,12 +76,53 @@ _ORACLE_SKIP = frozenset({
     "noscript", "noframes", "noembed", "template",
 })
 
+# v29: hidden-element detection mirror (SPEC §2.2) — a regex-step attr
+# walk (vs the kernel's char scanner) over the lowercased tag token, and
+# a regex closed form of the kernel's declaration-split style rule.
+_O_HWS = " \t\n\r\x0c"  # the HTML5 whitespace set (pinned; NOT \s)
+_O_ATTR_RE = re.compile(
+    r"([^ \t\n\r\x0c>/=\"']+)"  # attribute name
+    r"(?:[ \t\n\r\x0c]*=[ \t\n\r\x0c]*"
+    r"(?:\"([^\"]*)\"?|'([^']*)'?|([^ \t\n\r\x0c>]*)))?"  # optional value
+)
+_O_STYLE_HIDDEN_RE = re.compile(
+    r"(?:^|;)\s*(?:display\s*:\s*none|visibility\s*:\s*hidden)"
+    r"\s*(?:!\s*important\s*)?\s*(?:;|$)"
+)
+
+
+def _o_hidden_tag(low: str) -> bool:
+    m = TAG_NAME_RE.match(low)
+    if m is None:
+        return False
+    i, n = m.end(), len(low)
+    while i < n:
+        c = low[i]
+        if c in _O_HWS or c == "/":
+            i += 1
+            continue
+        if c == ">":
+            return False
+        am = _O_ATTR_RE.match(low, i)
+        if am is None or am.end() == i:  # junk char where a name starts
+            i += 1
+            continue
+        name = am.group(1)
+        if name == "hidden":
+            return True
+        if name == "style":
+            val = next((g for g in am.groups()[1:] if g is not None), None)
+            if val and _O_STYLE_HIDDEN_RE.search(val):
+                return True
+        i = am.end()
+    return False
+
 
 def _oracle_html(text: str, cfg: ExtractConfig):
     tokens = list(TOKEN_RE.finditer(text))
     # context state: stack of (name, flags-dict) + clamped depth counters (SPEC §2.2)
     stack = []
-    depth = {"boiler": 0, "a": 0, "heading": 0, "pre": 0, "li": 0}
+    depth = {"boiler": 0, "a": 0, "heading": 0, "pre": 0, "li": 0, "hid": 0}
     in_script = 0
     candidates = []  # dict: kind, pieces, link, boiler_hit
     blk = {"kind": None, "pieces": [], "link": 0, "boiler_hit": False}
@@ -117,7 +158,7 @@ def _oracle_html(text: str, cfg: ExtractConfig):
     def end_table():
         rows = [" | ".join(r) for r in tbl["rows"] if r]
         joined = "\n".join(rows)
-        if joined.strip():
+        if joined.strip() and not tbl["hide"]:
             candidates.append(
                 {
                     "kind": "table",
@@ -179,12 +220,19 @@ def _oracle_html(text: str, cfg: ExtractConfig):
 
             if not closing and name == "table" and not selfclose:
                 end_block()
+                low = tok.lower()
                 tbl = {
                     "depth": 1,
                     "rows": [],
                     "cell": None,
                     "link": 0,
                     "boiler": depth["boiler"] > 0,
+                    # v29: a hidden <table> renders nothing (interior
+                    # table tags: pinned no-op)
+                    "hide": (
+                        ("hidden" in low or ("style" in low and "none" in low))
+                        and _o_hidden_tag(low)
+                    ),
                 }
                 continue
 
@@ -195,6 +243,7 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 if name in _VOID or selfclose:
                     continue
                 cm = CLASS_RE.search(tok)
+                low = tok.lower()
                 flags = {
                     "boiler": name in cfg.boiler_tags
                     or bool(cm and cfg.boiler_class in _class_val(cm).split()),
@@ -202,6 +251,10 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     "heading": name in _HEADINGS,
                     "pre": name in ("pre", "code"),
                     "li": name == "li",
+                    "hid": (
+                        ("hidden" in low or ("style" in low and "none" in low))
+                        and _o_hidden_tag(low)
+                    ),
                 }
                 stack.append((name, flags))
                 for k, v in flags.items():
@@ -218,7 +271,7 @@ def _oracle_html(text: str, cfg: ExtractConfig):
             continue
 
         # text token
-        if in_script:
+        if in_script or depth["hid"] > 0:
             continue
         piece = _decode(tok)
         if tbl is not None:
@@ -1286,6 +1339,25 @@ def _rpdf_subtype_is(params: str, name: str) -> bool:
     return bool(m) and m.group(1) == name
 
 
+def _rpdf_subtype_name(params: str):
+    """First token-exact /Subtype name, or None (SPEC §3b, v28)."""
+    k = params.find("/Subtype")
+    if k < 0:
+        return None
+    m = _RPDF_SUBTYPE_RE.match(params, k)
+    return m.group(1) if m else None
+
+
+# /Contents-bearing annotation subtypes (SPEC §3b Annotations v28):
+# FreeText + the ISO 32000 §12.5.6 markup set. Popup and Link are out —
+# Popup mirrors its parent's /Contents, Link's is an alt description.
+_RPDF_ANNOT_TEXT_SUBTYPES = frozenset((
+    "Text", "FreeText", "Stamp", "Caret", "Ink",
+    "Highlight", "Underline", "Squiggly", "StrikeOut",
+    "Square", "Circle", "Polygon", "PolyLine", "FileAttachment",
+))
+
+
 _RPDF_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
@@ -1688,9 +1760,10 @@ def _rpdf_page_annots(text: str, objs: dict, vobjs: dict, body: str):
         ab = _rpdf_obj_body(text, objs, vobjs, num)
         if ab is None:
             continue
-        if _rpdf_subtype_is(ab, "FreeText"):
+        st = _rpdf_subtype_name(ab)
+        if st in _RPDF_ANNOT_TEXT_SUBTYPES:
             txt = _rpdf_key_string(ab, "/Contents")
-        elif _rpdf_subtype_is(ab, "Widget"):
+        elif st == "Widget":
             txt = _rpdf_key_string(ab, "/V")
         else:
             continue

@@ -486,3 +486,141 @@ def test_v26_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_form >= 100 and n_ns >= 100 and n_trap >= 15
+
+# ---------------------------------------------------------------------------
+# v29: hidden elements (SPEC §2.2 Hidden elements)
+# ---------------------------------------------------------------------------
+
+
+def test_v29_hidden_attr_variants_vanish():
+    """The HTML5 boolean ``hidden`` hides in every syntactic form —
+    bare, empty, valued, uppercase, until-found — and a nested child
+    with a visible style stays hidden (ancestor wins by depth)."""
+    for attr in ("hidden", 'hidden=""', 'hidden="hidden"', "HIDDEN",
+                 "hidden=until-found"):
+        texts = _html_parity(
+            f"<html><body><article><div {attr}><p>gone words here</p></div>"
+            "<p>after the div renders</p></article></body></html>"
+        )
+        joined = "\n".join(texts)
+        assert "gone words" not in joined, attr
+        assert "after the div renders" in joined, attr
+    texts = _html_parity(
+        '<html><body><article><div hidden><p style="display:block">'
+        "still gone words</p></div><p>tail renders</p></article>"
+        "</body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "still gone" not in joined and "tail renders" in joined
+
+
+def test_v29_style_declaration_forms():
+    """display:none and visibility:hidden hide across quoting, spacing,
+    !important and extra declarations; unquoted style values parse."""
+    for st in ('style="display:none"',
+               'style="display: none !important"',
+               "style='display :none;color:#222'",
+               "style=display:none",
+               'style="color:#111;visibility:hidden"',
+               'style="visibility: hidden"'):
+        texts = _html_parity(
+            f"<html><body><article><p {st}>gone words here</p>"
+            "<p>visible tail text</p></article></body></html>"
+        )
+        joined = "\n".join(texts)
+        assert "gone words" not in joined, st
+        assert "visible tail text" in joined, st
+
+
+def test_v29_near_miss_traps_render():
+    """Attribute-name-exact and declaration-exact rules: hidden-looking
+    attrs/styles/text never hide."""
+    for frag in ('<p class="hidden">classy words render</p>',
+                 '<p data-hidden="true">datum words render</p>',
+                 '<p aria-hidden="true">aria words render</p>',
+                 '<p style="border:none">border words render</p>',
+                 '<p style="display:block">block words render</p>',
+                 "<p>the hidden word itself renders</p>",
+                 '<p class=hidden>unquoted class value renders</p>'):
+        texts = _html_parity(
+            f"<html><body><article>{frag}</article></body></html>"
+        )
+        assert any("render" in t for t in texts), frag
+
+
+def test_v29_hidden_table_emits_nothing():
+    """A hiding <table> consumes its rows and emits NO candidate; a
+    following table still renders; a table inside a hidden div loses its
+    cell text (the empty-cell skeleton drops via the keep predicate)."""
+    texts = _html_parity(
+        "<html><body><article>"
+        "<table hidden><tr><td>cell gone one</td><td>cell gone two</td></tr></table>"
+        "<table><tr><td>kept alpha</td><td>kept bravo</td></tr></table>"
+        "</article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "cell gone" not in joined
+    assert "kept alpha | kept bravo" in joined
+    texts = _html_parity(
+        "<html><body><article><div hidden>"
+        "<table><tr><td>swallowed one</td><td>swallowed two</td></tr></table>"
+        "</div><p>after renders fine</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "swallowed" not in joined and "after renders fine" in joined
+    assert all("|" not in t or "kept" in t for t in texts)
+
+
+def test_v29_close_restores_and_clamps():
+    """Lenient close decrements the hidden depth (ancestor pop ends the
+    hide); a stray close never underflows; an unterminated quoted style
+    value swallows '>' into the value and does NOT hide (pinned)."""
+    texts = _html_parity(
+        "<html><body><article><div hidden><span>inner gone</span></div>"
+        "<p>outer renders now</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "inner gone" not in joined and "outer renders now" in joined
+    # cross-pop: closing an outer tag pops the hidden child too
+    texts = _html_parity(
+        "<html><body><article><section><div hidden><p>deep gone</p>"
+        "</section><p>sibling renders</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "deep gone" not in joined and "sibling renders" in joined
+    # unterminated quote: value swallows the rest incl '>' → no hide
+    texts = _html_parity(
+        '<html><body><article><p style="display:none>leaked by quote</p>'
+        "<p>and the tail</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "leaked by quote" in joined and "and the tail" in joined
+
+
+def test_v29_attr_walk_junk_degrade():
+    """Quote/'=' junk where a name should start advances one char — a
+    later real ``hidden`` still detects."""
+    texts = _html_parity(
+        '<html><body><article><div " = hidden><p>junk gone</p></div>'
+        "<p>junk tail renders</p></article></body></html>"
+    )
+    joined = "\n".join(texts)
+    assert "junk gone" not in joined and "junk tail renders" in joined
+
+
+def test_v29_corpus_fuzz_parity():
+    n_attr = n_style = n_trap = 0
+    for seed in range(11800, 12600):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "hidden>" in doc or 'hidden="' in doc or "HIDDEN" in doc:
+            n_attr += 1
+        if "display:none" in doc or "display: none" in doc \
+                or "display :none" in doc or "visibility: hidden" in doc:
+            n_style += 1
+        if "renders</p>" in doc:
+            n_trap += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_attr >= 30 and n_style >= 25 and n_trap >= 15

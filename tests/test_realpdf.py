@@ -3208,3 +3208,118 @@ def test_v27_truncation_fuzz_annots():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v28: markup-annotation /Contents + /Popup exclusion (ISO 32000 §12.5.6)
+# ---------------------------------------------------------------------------
+
+
+def test_annot_subtype_sets_match():
+    """Kernel and oracle carry independent /Contents-subtype literals —
+    hold them content-equal (the v26 skip-set gate pattern)."""
+    from paddleocr_spark.functions.realpdf import _ANNOT_TEXT_SUBTYPES
+    from paddleocr_spark.oracle import _RPDF_ANNOT_TEXT_SUBTYPES
+
+    assert _ANNOT_TEXT_SUBTYPES == _RPDF_ANNOT_TEXT_SUBTYPES
+    assert "Popup" not in _ANNOT_TEXT_SUBTYPES
+    assert "Link" not in _ANNOT_TEXT_SUBTYPES
+    assert "Widget" not in _ANNOT_TEXT_SUBTYPES  # separate /V dispatch
+
+
+def test_annots_markup_set_extracts():
+    """Text sticky notes and Highlight/StrikeOut/Stamp review comments
+    extract their /Contents; inert /QuadPoints //Open //Name keys are
+    noise; a Squiggly with /F 2 hides and counts."""
+    doc = _pdfa(
+        "[5 0 R 6 0 R 7 0 R 8 0 R 9 0 R]",
+        "5 0 obj\n<< /Type /Annot /Subtype /Text /Rect [100 300 250 320]"
+        " /Open true /Name /Comment /Contents (reviewer sticky) >>\nendobj\n"
+        "6 0 obj\n<< /Type /Annot /Subtype /Highlight"
+        " /Rect [100 260 250 280]"
+        " /QuadPoints [100 280 250 280 100 260 250 260]"
+        " /Contents (highlight remark) >>\nendobj\n"
+        "7 0 obj\n<< /Type /Annot /Subtype /StrikeOut /Rect [100 220 250 240]"
+        " /Contents (strike remark) >>\nendobj\n"
+        "8 0 obj\n<< /Type /Annot /Subtype /Stamp /Name /Draft"
+        " /Rect [100 180 250 200] /Contents (stamp remark) >>\nendobj\n"
+        "9 0 obj\n<< /Type /Annot /Subtype /Squiggly /Rect [100 140 250 160]"
+        " /F 2 /Contents (hidden squiggle) >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    texts = [s[2] for s in spans]
+    assert texts == [
+        "page body text", "reviewer sticky", "highlight remark",
+        "strike remark", "stamp remark",
+    ]
+    _k, _s, d = extract_payload(doc)
+    assert d == 1  # the hidden squiggle
+
+
+def test_annots_popup_never_extracts():
+    """A /Popup's /Contents duplicates its parent's (§12.5.6.14): the
+    parent extracts once, the popup — listed in /Annots — never, whether
+    its text matches the parent's or not."""
+    doc = _pdfa(
+        "[5 0 R 6 0 R 7 0 R]",
+        "5 0 obj\n<< /Type /Annot /Subtype /Text /Popup 6 0 R"
+        " /Rect [100 300 250 320] /Contents (parent note) >>\nendobj\n"
+        "6 0 obj\n<< /Type /Annot /Subtype /Popup /Parent 5 0 R"
+        " /Rect [400 400 520 460] /Contents (parent note) >>\nendobj\n"
+        "7 0 obj\n<< /Type /Annot /Subtype /Popup /Parent 5 0 R"
+        " /Rect [400 300 520 360] /Contents (orphan popup text) >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    texts = [s[2] for s in spans]
+    assert texts == ["page body text", "parent note"]
+    _k, _s, d = extract_payload(doc)
+    assert d == 0  # ignored subtypes never count
+
+
+def test_annots_widget_contents_is_not_text():
+    """A Widget with /Contents but no /V yields nothing — the /V dispatch
+    never falls back to /Contents."""
+    doc = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Type /Annot /Subtype /Widget /Rect [100 300 250 320]"
+        " /Contents (tooltip text not a value) >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == ["page body text"]
+
+
+def test_v28_corpus_fuzz_parity():
+    """Corpus v28 window: markup + popup payloads parse identically; mix
+    observed (sticky notes, markup remarks, popup pairs)."""
+    n_t = n_m = n_p = 0
+    for seed in range(11000, 11800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Subtype /Text " in doc or "/Subtype /Text\n" in doc:
+            n_t += 1
+        if any(
+            f"/Subtype /{s}" in doc
+            for s in ("Highlight", "StrikeOut", "Underline", "Stamp")
+        ):
+            n_m += 1
+        if "/Subtype /Popup" in doc:
+            n_p += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_t >= 8 and n_m >= 8 and n_p >= 4
+
+
+def test_v28_truncation_fuzz_popup():
+    doc = None
+    for seed in range(2000):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/Subtype /Popup" in d and "/Contents" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
