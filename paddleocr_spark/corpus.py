@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 29  # v29: hidden HTML content (hidden attr / display:none)
+CORPUS_VERSION = 30  # v30: invisible format chars (soft hyphen / ZWSP / bidi)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -208,6 +208,43 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 f'<p style="border:none">{hw} bordered renders</p>',
                 f"<p>the hidden {hw} word renders</p>",
             )))
+    if rng.random() < 0.12:  # v30: invisible format chars — stripped
+        iw = f"{w()}"
+        r30 = rng.random()
+        if r30 < 0.22:  # soft hyphens inside words (entity + literal forms)
+            parts.append(
+                f"<p>{w()} hy&shy;phen&shy;ated {iw}\u00adbreak"
+                f" {_sent(rng, words, 3)}</p>"
+            )
+        elif r30 < 0.42:  # ZWSP runs between words (SEO stuffing)
+            parts.append(
+                f"<p>{w()}&#8203;{w()} {iw}\u200b\u200b{w()}"
+                f" &#x200B;{_sent(rng, words, 3)}</p>"
+            )
+        elif r30 < 0.56:  # bidi marks + word joiner + BOM
+            parts.append(
+                f"<p>&lrm;{w()} \u200f{iw}&rlm; marks"
+                f" no\u2060break&NoBreak;here \ufeff{w()}</p>"
+            )
+        elif r30 < 0.66:  # a piece that strips to NOTHING (kind/boiler traps)
+            parts.append(
+                f"<p>&shy;<code>{iw}</code> tail {w()}</p><h2>\u200b</h2>"
+            )
+        elif r30 < 0.78:  # ZWSP-padded link text (link chars post-strip)
+            parts.append(
+                f'<p>{_sent(rng, words, 6)} <a href="/{w()}">\u200b{iw}'
+                f"\u200b</a> {w()}</p>"
+            )
+        elif r30 < 0.88:  # table cells stripping to empty
+            parts.append(
+                f"<table><tr><td>&shy;\u200b</td><td>{iw} kept cell</td>"
+                f"</tr></table>"
+            )
+        else:  # KEEP traps: ZWNJ/ZWJ survive the strip
+            parts.append(
+                f"<p>می\u200cخواهم {iw}"
+                f" \U0001f469\u200d\U0001f4bb kept joiners</p>"
+            )
     if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
         parts.append(f"<![CDATA[{w()} > {w()}]]>")
     if rng.random() < 0.10:

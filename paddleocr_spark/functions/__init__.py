@@ -1,6 +1,7 @@
 from .sniff import sniff_kind, sniff_kind_col, PDF_MAGIC, PDF_REAL_MAGIC
 from .textnorm import (
     decode_entities,
+    strip_invisible,
     collapse_ws,
     scrub_style_tags,
     squeeze_newlines,
@@ -18,6 +19,7 @@ __all__ = [
     "PDF_MAGIC",
     "PDF_REAL_MAGIC",
     "decode_entities",
+    "strip_invisible",
     "collapse_ws",
     "scrub_style_tags",
     "squeeze_newlines",

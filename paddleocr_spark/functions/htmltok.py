@@ -36,7 +36,7 @@ import re
 from typing import List, Optional
 
 from ..config import ExtractConfig, DEFAULT_CONFIG
-from .textnorm import decode_entities, collapse_ws
+from .textnorm import decode_entities, collapse_ws, strip_invisible
 
 # one-pass token scan: comments | tags (quote-aware) | bogus tags | text runs.
 # v17: a quoted attribute value may contain '>' (HTML5 tag-open state) — the
@@ -294,6 +294,13 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             piece = (
                 decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
             )
+            # v30: invisible format chars strip AFTER entity decode (both
+            # &shy;-style entities and literal codepoints); a piece that
+            # strips to nothing contributes nothing — no kind decision,
+            # no boiler mark, no link chars.
+            piece = strip_invisible(piece)
+            if not piece:
+                continue
             if table_depth > 0:
                 if cell_pieces is not None:
                     cell_pieces.append(piece)

@@ -27,6 +27,24 @@ def decode_entities(s: str) -> str:
     return _html.unescape(s).replace("\xa0", " ")
 
 
+# v30: invisible format characters stripped from rendered HTML text
+# (SPEC §2.3). STRIP: soft hyphen U+00AD, zero-width space U+200B, LRM/RLM
+# direction marks U+200E/U+200F, word joiner U+2060, ZWNBSP/BOM U+FEFF —
+# all default-ignorable hyphenation/SEO/bidi artifacts that inflate
+# extracted text and break exact dedup. DELIBERATELY KEPT: ZWNJ U+200C and
+# ZWJ U+200D — linguistically load-bearing (Persian/Indic joining control,
+# emoji ZWJ sequences). The oracle carries an independent set literal;
+# content equality is gated by test.
+_INVIS_RE = re.compile("[\u00ad\u200b\u200e\u200f\u2060\ufeff]")
+
+
+def strip_invisible(s: str) -> str:
+    """Remove invisible format characters (identity fast path on miss)."""
+    if _INVIS_RE.search(s) is None:
+        return s
+    return _INVIS_RE.sub("", s)
+
+
 def collapse_ws(s: str) -> str:
     """Collapse any whitespace run to a single space and strip.
 

@@ -91,6 +91,25 @@ _O_STYLE_HIDDEN_RE = re.compile(
 )
 
 
+# v30: invisible format characters (SPEC §2.3) — independent literal;
+# content equality with the kernel's regex class asserted by test.
+# ZWNJ U+200C / ZWJ U+200D deliberately absent (kept in text).
+_O_INVIS = frozenset({
+    "\u00ad",  # soft hyphen
+    "\u200b",  # zero-width space
+    "\u200e",  # left-to-right mark
+    "\u200f",  # right-to-left mark
+    "\u2060",  # word joiner
+    "\ufeff",  # zero-width no-break space / BOM
+})
+
+
+def _o_strip_invis(s: str) -> str:
+    if _O_INVIS.isdisjoint(s):
+        return s
+    return "".join(c for c in s if c not in _O_INVIS)
+
+
 def _o_hidden_tag(low: str) -> bool:
     m = TAG_NAME_RE.match(low)
     if m is None:
@@ -273,7 +292,9 @@ def _oracle_html(text: str, cfg: ExtractConfig):
         # text token
         if in_script or depth["hid"] > 0:
             continue
-        piece = _decode(tok)
+        piece = _o_strip_invis(_decode(tok))  # v30: strip after decode
+        if not piece:  # v30: strips to nothing → contributes nothing
+            continue
         if tbl is not None:
             if tbl["cell"] is not None:
                 tbl["cell"].append(piece)

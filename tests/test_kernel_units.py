@@ -624,3 +624,146 @@ def test_v29_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_attr >= 30 and n_style >= 25 and n_trap >= 15
+
+
+# ---------------------------------------------------------------------------
+# v30: invisible format characters (SPEC §2.3 Invisible format characters)
+# ---------------------------------------------------------------------------
+
+
+def test_v30_strip_sets_content_equal():
+    """The kernel's regex class and the oracle's frozenset are independent
+    literals — assert content equality, and that ZWNJ/ZWJ are in NEITHER."""
+    from paddleocr_spark.functions.textnorm import _INVIS_RE
+    from paddleocr_spark.oracle import _O_INVIS
+
+    kernel_set = set(_INVIS_RE.pattern) - set("[]")
+    assert kernel_set == set(_O_INVIS)
+    assert "‌" not in kernel_set and "‍" not in kernel_set
+
+
+def test_v30_soft_hyphen_and_zwsp_strip():
+    """Entity and literal forms both strip; words rejoin seamlessly."""
+    texts = _html_parity(
+        "<html><body><article><p>a hy&shy;phen&shy;ated word plus"
+        " ze​ro&#8203;width and &lrm;bidi‏ marks"
+        " no⁠break&NoBreak;joined ﻿bom tail</p>"
+        "</article></body></html>"
+    )
+    assert texts == [
+        "a hyphenated word plus zerowidth and bidi marks nobreakjoined"
+        " bom tail"
+    ]
+
+
+def test_v30_zwnj_zwj_kept():
+    """ZWNJ (Persian/Indic joining) and ZWJ (emoji sequences) survive."""
+    texts = _html_parity(
+        "<html><body><article><p>می‌خوا"
+        "هم and \U0001f469‍\U0001f4bb pair kept</p>"
+        "</article></body></html>"
+    )
+    assert len(texts) == 1
+    assert "‌" in texts[0] and "‍" in texts[0]
+
+
+def test_v30_empty_piece_contributes_nothing():
+    """A piece that strips to nothing makes no kind decision and sets no
+    boiler mark (pinned: '' is not whitespace, so without the skip the
+    empty piece would claim both)."""
+    # kind trap: the first piece strips empty → kind decided by the next
+    # piece, which sits inside <code> → kind 'code' (pre-v30: 'para')
+    k, spans, drop = extract_payload(
+        "<html><body><article><p>&shy;<code>snippet</code> tail word here"
+        "</p></article></body></html>"
+    )
+    from paddleocr_spark.oracle import oracle_extract as _o
+    o = _o("<html><body><article><p>&shy;<code>snippet</code> tail word"
+           " here</p></article></body></html>")
+    assert spans == o["spans"]
+    assert spans[0][1] == "code"
+    # boiler trap: a sidebar-classed inline span whose text strips empty
+    # must NOT mark the block boilerplate
+    texts = _html_parity(
+        '<html><body><article><p><span class="sidebar">​</span>'
+        "actual body text here</p></article></body></html>"
+    )
+    assert texts == ["actual body text here"]
+    # a title block that strips entirely empty emits no candidate
+    texts = _html_parity(
+        "<html><body><article><h2>​&shy;</h2><p>following body text"
+        " here</p></article></body></html>"
+    )
+    assert texts == ["following body text here"]
+
+
+def test_v30_link_chars_post_strip():
+    """Link-density counts the STRIPPED text: ZWSP padding inside an
+    anchor cannot push a block over the density threshold."""
+    doc = (
+        '<html><body><article><p>one two three four <a href="/x">'
+        "​​​​​​link​​​"
+        "​​​</a></p></article></body></html>"
+    )
+    k, spans, drop = extract_payload(doc)
+    from paddleocr_spark.oracle import oracle_extract as _o
+    o = _o(doc)
+    assert spans == o["spans"] and len(spans) == 1
+    text = spans[0][2]
+    assert text == "one two three four link"
+    # score = 1 - 4/23 (link chars = len('link'), not the padded length)
+    assert abs(spans[0][3] - (1 - 4 / len(text))) < 1e-12
+
+
+def test_v30_table_cells_strip():
+    """A cell stripping to empty joins as an empty cell; a table whose
+    every cell strips empty emits no candidate."""
+    texts = _html_parity(
+        "<html><body><article><table><tr><td>&shy;​</td>"
+        "<td>kept cell text</td></tr></table></article></body></html>"
+    )
+    assert texts == [" | kept cell text"]
+    texts = _html_parity(
+        "<html><body><article><table><tr><td>&shy;</td><td>​</td>"
+        "</tr></table><p>body text after here</p></article></body></html>"
+    )
+    assert texts == ["body text after here"]
+
+
+def test_v30_plain_and_pdf_paths_keep_verbatim():
+    """The strip is an HTML-rendering rule: plain and PDF payloads keep
+    the characters byte-verbatim (pinned)."""
+    k, spans, drop = extract_payload("soft­hyphen plain body text")
+    assert k == "plain" and "­" in spans[0][2]
+    ops = "BT /F1 12 Tf 72 700 Td (zero​width kept here) Tj ET"
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\n"
+        "endobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    from paddleocr_spark.oracle import oracle_extract as _o
+    k, spans, drop = extract_payload(doc)
+    o = _o(doc)
+    assert k == "pdf_real" == o["kind"] and spans == o["spans"]
+    assert any("​" in s[2] for s in spans)
+
+
+def test_v30_corpus_fuzz_parity():
+    n_shy = n_zwsp = n_keep = 0
+    for seed in range(12600, 13400):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "&shy;" in doc or "­" in doc:
+            n_shy += 1
+        if "​" in doc or "&#8203;" in doc:
+            n_zwsp += 1
+        if "‌" in doc or "‍" in doc:
+            n_keep += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_shy >= 25 and n_zwsp >= 20 and n_keep >= 5

@@ -101,19 +101,21 @@ def test_write_conversation_docx_distributed(spark, tmp_path):
     got_rows = (
         ex.filter(f"conv_id = '{conv}'")
         .selectExpr("turn_idx", "posexplode(spans) AS (pos, s)")
-        .selectExpr("turn_idx", "pos", "s.text AS text")
+        .selectExpr("turn_idx", "pos", "s.kind AS kind", "s.text AS text")
         .orderBy("turn_idx", "pos")
         .collect()
     )
     root = _doc_root(open(os.path.join(out, f"{conv}.docx"), "rb").read())
     texts = [t.text for t in root.iter(f"{W_NS}t") if t.text]
     # table spans render via w:tbl (cells, not one run) — check para spans
-    # only; XML-invalid chars (identity-decoded CID bytes from truncated
-    # real-PDFs) are sanitized to U+FFFD by the sink, so compare post-sub
+    # only (by kind: a one-row table span carries no newline, so a
+    # newline heuristic would misclassify it); XML-invalid chars
+    # (identity-decoded CID bytes from truncated real-PDFs) are sanitized
+    # to U+FFFD by the sink, so compare post-sub
     from paddleocr_spark.sinks.ooxml import _XML_INVALID_RE
 
     for r in got_rows:
-        if "\n" not in r.text:
+        if r.kind != "table":
             assert _XML_INVALID_RE.sub("�", r.text) in texts
 
 
