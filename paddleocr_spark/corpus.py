@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 30  # v30: invisible format chars (soft hyphen / ZWSP / bidi)
+CORPUS_VERSION = 31  # v31: /Identity-H CID fonts without ToUnicode
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -708,6 +708,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         scheme = ("winansi" if rng.random() < 0.6 else "macroman", None)
         if rng.random() < 0.15:
             scheme2 = ("shift", 3)
+    elif r2 < 0.62:  # v31: Identity-H/-V Type0 without ToUnicode
+        scheme = ("id2", "H" if rng.random() < 0.8 else "V")
+        if rng.random() < 0.20:
+            scheme2 = ("shift", 4)
 
     def _codes(sent: str, sch) -> str:
         kind, m = sch
@@ -736,9 +740,22 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     )
                 except UnicodeEncodeError:
                     out.append("3F")
+            elif kind == "id2":  # v31: CID == UTF-16BE code unit
+                out.append(f"{o:04X}" if o <= 0xFFFF else "FFFD")
             else:
                 out.append(f"{m.setdefault(ch, 0x0100 + len(m)):04X}")
         return "".join(out)
+
+    def _id2_decorate(rng_, sent: str) -> str:
+        # v31: salt with BMP glyphs a CID font exists to draw (Greek,
+        # Cyrillic, CJK, typographic marks) — all identity-decodable
+        ws = sent.split(" ")
+        i = rng_.randrange(len(ws))
+        ws[i] = rng_.choice(
+            (f"αβγ {ws[i]}", f"{ws[i]} привет", f"你好{ws[i]}",
+             f"{ws[i]}—em", f"№{ws[i]}", f"{ws[i]} 数据")
+        )
+        return " ".join(ws)
 
     def _base_decorate(rng_, sent: str, kind: str) -> str:
         # v18: salt the sentence with glyphs that live in the high half of
@@ -765,7 +782,14 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             sent = _diff_decorate(rng, sent, sch[1])
         elif sch is not None and sch[0] in ("winansi", "macroman"):
             sent = _base_decorate(rng, sent, sch[0])
+        elif sch is not None and sch[0] == "id2" and rng.random() < 0.7:
+            sent = _id2_decorate(rng, sent)
         if sch is not None:  # encoded shows: hex-string or literal forms
+            if sch[0] == "id2" and roll < 0.12:
+                # v31 traps: odd trailing byte (identity char) and a
+                # surrogate-range code (U+FFFD)
+                tail = rng.choice(("41", "D801"))
+                return f"<{_codes(sent, sch)}{tail}> Tj"
             if roll < 0.45:
                 return f"<{_codes(sent, sch)}> Tj"
             if roll < 0.60:  # v23: escaped literal-string form — octal
@@ -1538,6 +1562,20 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 else:
                     parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
                 continue
+            if sch[0] == "id2":
+                # v31: Type0 with a bare-name Identity encoding and NO
+                # ToUnicode — codes are identity-to-Unicode 2-byte CIDs
+                fbody = (
+                    "<< /Type /Font /Subtype /Type0 /BaseFont"
+                    f" /NotoSans /Encoding /Identity-{sch[1]} >>"
+                )
+                if wdecl and fnum == font1:
+                    fbody = fbody[:-3] + wdecl + " >>"  # v25 interplay
+                if use_objstm:
+                    objstm_inner.append((fnum, fbody))
+                else:
+                    parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
+                continue
             cm = _cmap_body(sch)
             if rng.random() < 0.5:  # the CMap stream itself compressed
                 cbody = _a85body(zlib.compress(cm.encode("latin-1"), 6))
@@ -1552,6 +1590,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 if tu_r < 0.15
                 else " /Encoding /WinAnsiEncoding"  # v18: CMap still wins
                 if tu_r < 0.25
+                else " /Encoding /Identity-H"  # v31: ToUnicode still wins
+                if tu_r < 0.35
                 else ""
             )
             fbody = (

@@ -1053,6 +1053,33 @@ _BASE_ENCODINGS = {
     "MacRomanEncoding": _MACROMAN_XLATE,
 }
 
+# v31: /Encoding /Identity-H (or /Identity-V) with no usable /ToUnicode
+# (ISO 32000 §9.7.5.2): show-string bytes are consumed as 2-byte CIDs and
+# interpreted identity-to-Unicode — the common generator pattern omits
+# the ToUnicode exactly because the CIDs ARE the UTF-16BE code units.
+# Surrogate-range codes map to U+FFFD (a lone surrogate is not a Unicode
+# scalar and Arrow/parquet reject it); a lone trailing byte and any char
+# above U+00FF pass through identity one char at a time (the _apply_cmap
+# degrade rule). The entry keeps the (cmap, lengths, xlate) shape with a
+# string sentinel in the cmap slot — a 65536-entry dict per font would
+# cost more to build than most payloads cost to extract.
+_ID2_ENTRY = ("ID2", (2,), None)
+
+
+def _id2_decode(s: str) -> str:
+    out: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        o0 = ord(s[i])
+        if o0 <= 0xFF and i + 1 < n and ord(s[i + 1]) <= 0xFF:
+            code = (o0 << 8) | ord(s[i + 1])
+            out.append("�" if 0xD800 <= code <= 0xDFFF else chr(code))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
 
 def _key_name(body: str, key: str) -> Optional[str]:
     """``/Key /Name`` anchored at the FIRST token-exact ``key`` → Name,
@@ -1088,6 +1115,8 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
     enc = _key_dict_body(fbody, "/Encoding", text, objs, vobjs)
     if enc is None:
         nm = _key_name(fbody, "/Encoding")
+        if nm in ("Identity-H", "Identity-V"):  # v31
+            return _ID2_ENTRY
         base = _BASE_ENCODINGS.get(nm) if nm else None
         if base is None:
             return None
@@ -1723,6 +1752,8 @@ def _apply_cmap(s: str, entry) -> str:
     if entry is None:
         return s
     cmap, lengths, xlate = entry
+    if type(cmap) is str:  # v31: identity 2-byte (/Identity-H, -V)
+        return _id2_decode(s)
     if xlate is not None:
         return s.translate(xlate)
     out: List[str] = []
@@ -2076,6 +2107,31 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             return
         # multi-byte CMap: consume codes exactly as _apply_cmap does
         cmapd, lengths, _x = cur_map
+        if type(cmapd) is str:  # v31: identity 2-byte with a width table
+            out2: List[str] = []
+            i3, n3 = 0, len(raw)
+            while i3 < n3:
+                o0 = ord(raw[i3])
+                if o0 <= 0xFF and i3 + 1 < n3 and ord(raw[i3 + 1]) <= 0xFF:
+                    code = (o0 << 8) | ord(raw[i3 + 1])
+                    out2.append(
+                        "�" if 0xD800 <= code <= 0xDFFF else chr(code)
+                    )
+                    du += wtab[code] if code <= 0xFF else miss
+                    acc_g += 1
+                    if code == 32:
+                        acc_s += 1
+                    i3 += 2
+                else:
+                    out2.append(raw[i3])
+                    du += wtab[o0] if o0 <= 0xFF else miss
+                    acc_g += 1
+                    if o0 == 32:
+                        acc_s += 1
+                    i3 += 1
+            acc_u += du
+            buf.append("".join(out2))
+            return
         out: List[str] = []
         i2, n2 = 0, len(raw)
         while i2 < n2:
@@ -2527,7 +2583,8 @@ def _content_resources(text: str):
     Gated on a literal ``/ToUnicode``, ``/Differences``,
     ``/WinAnsiEncoding``, ``/MacRomanEncoding`` (v18 — a ``/BaseEncoding``
     value is one of these names, so it needs no token of its own),
-    ``/ObjStm``, ``/XObject``, ``/Rotate``, ``/Widths`` (v25), a 2nd
+    ``/ObjStm``, ``/XObject``, ``/Rotate``, ``/Widths`` (v25),
+    ``/Identity-`` (v31 — the Identity-H/-V encoding names), a 2nd
     ``/MediaBox``, a ``/Contents`` array opener, or a 2nd ``%%EOF``
     appearing anywhere —
     absent all of them every table is empty, extraction is identity, no
@@ -2547,6 +2604,7 @@ def _content_resources(text: str):
         and "/CropBox" not in text
         and "/Widths" not in text  # v25: advance-width tables
         and "/Annots" not in text  # v27: text-bearing annotations
+        and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):

@@ -1147,6 +1147,26 @@ _RPDF_BASE_ENC = {
     "WinAnsiEncoding": _RPDF_WINANSI,
     "MacRomanEncoding": _RPDF_MACROMAN,
 }
+
+# v31: Identity-H / Identity-V mirror — the oracle's entry keeps the
+# (cmap, lengths) shape with a string sentinel; decode is an independent
+# pairwise int.from_bytes-style loop (vs the kernel's shift-or scanner).
+_RPDF_ID2 = ("id2", [2])
+
+
+def _rpdf_id2_decode(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        pair = s[i : i + 2]
+        if len(pair) == 2 and ord(pair[0]) < 256 and ord(pair[1]) < 256:
+            code = ord(pair[0]) * 256 + ord(pair[1])
+            out.append("�" if 0xD800 <= code < 0xE000 else chr(code))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 _RPDF_KEYNAME_RE = re.compile(
     r"[\x00\t\n\x0c\r ]*/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
 )
@@ -1176,6 +1196,8 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
     enc = _rpdf_key_dict(fbody, "/Encoding", text, objs, vobjs)
     if enc is None:
         nm = _rpdf_key_name(fbody, "/Encoding")
+        if nm in ("Identity-H", "Identity-V"):  # v31
+            return _RPDF_ID2
         base = _RPDF_BASE_ENC.get(nm) if nm else None
         if base is None:
             return None
@@ -1872,6 +1894,7 @@ def _rpdf_content_resources(text: str):
         and "/CropBox" not in text
         and "/Widths" not in text  # v25: advance-width tables
         and "/Annots" not in text  # v27: text-bearing annotations
+        and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
@@ -1945,6 +1968,8 @@ def _rpdf_apply_cmap(s: str, entry):
     if entry is None:
         return s
     cmap, lengths = entry
+    if isinstance(cmap, str):  # v31: identity 2-byte
+        return _rpdf_id2_decode(s)
     out = []
     i, n = 0, len(s)
     while i < n:
@@ -1989,6 +2014,28 @@ def _rpdf_show_decode(s: str, entry, wd):
                 sp += 1
         return s, u, len(s), sp
     cmap, lengths = entry
+    if isinstance(cmap, str):  # v31: identity 2-byte with a width table
+        out = []
+        i = 0
+        while i < len(s):
+            pair = s[i : i + 2]
+            if len(pair) == 2 and ord(pair[0]) < 256 and ord(pair[1]) < 256:
+                code = ord(pair[0]) * 256 + ord(pair[1])
+                out.append("�" if 0xD800 <= code < 0xE000 else chr(code))
+                u += wtab[code] if code <= 0xFF else miss
+                g += 1
+                if code == 32:
+                    sp += 1
+                i += 2
+            else:
+                o0 = ord(s[i])
+                out.append(s[i])
+                u += wtab[o0] if o0 <= 0xFF else miss
+                g += 1
+                if o0 == 32:
+                    sp += 1
+                i += 1
+        return "".join(out), u, g, sp
     out = []
     i, n = 0, len(s)
     while i < n:

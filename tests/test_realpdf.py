@@ -3323,3 +3323,167 @@ def test_v28_truncation_fuzz_popup():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v31: Identity CID encodings (SPEC §3b Identity CID encodings)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_id2(ops: str, enc: str = "Identity-H", fextra: str = "") -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\n"
+        "endobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NotoSans"
+        f" /Encoding /{enc}{fextra} >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def _hex16(t: str) -> str:
+    return "".join(f"{ord(c):04X}" for c in t)
+
+
+def test_v31_identity_h_decodes_utf16be_codes():
+    """2-byte CIDs interpret identity-to-Unicode: Greek, CJK and
+    typographic glyphs round-trip; Identity-V decodes the same way."""
+    for enc in ("Identity-H", "Identity-V"):
+        spans = _parity(
+            _pdf_id2(
+                f"BT /F9 12 Tf 72 700 Td <{_hex16('data αβγ 你好 №7')}> Tj ET",
+                enc,
+            )
+        )
+        assert [s[2] for s in spans] == ["data αβγ 你好 №7"], enc
+
+
+def test_v31_surrogate_code_and_odd_tail():
+    """A surrogate-range code maps to U+FFFD (lone surrogates are not
+    Unicode scalars); a lone trailing byte passes through identity."""
+    spans = _parity(
+        _pdf_id2("BT /F9 12 Tf 72 700 Td <D801 0041 0042 43> Tj ET")
+    )
+    assert [s[2] for s in spans] == ["�ABC"]
+
+
+def test_v31_tounicode_wins_over_identity():
+    """§9.10.2 preference: a parsable ToUnicode beats the Identity
+    encoding name — the same precedence as the Differences rule."""
+    cm = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 beginbfrange\n<26> <7E> <0023>\nendbfrange\nendcmap\nend"
+    )
+    ops = "BT /F9 12 Tf 72 700 Td (khoor) Tj ET"
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        " /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\n"
+        "endobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R"
+        " /Encoding /Identity-H >>\nendobj\n"
+        f"6 0 obj\n<< /Length {len(cm)} >>\nstream\n{cm}\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans = _parity(doc)
+    # the bfrange shifts codes back by 3: 'khoor' -> 'hello'
+    assert [s[2] for s in spans] == ["hello"]
+
+
+def test_v31_unknown_bare_name_stays_identity():
+    """Only the two Identity names trigger 2-byte consumption — any other
+    unknown bare /Encoding name keeps 1-byte identity (the pinned v18
+    rule, unchanged)."""
+    spans = _parity(
+        _pdf_id2(
+            "BT /F9 12 Tf 72 700 Td (plain bytes kept) Tj ET",
+            "CustomEncoding",
+        )
+    )
+    assert [s[2] for s in spans] == ["plain bytes kept"]
+
+
+def test_v31_widths_interplay():
+    """An Identity font WITH a /FirstChar+/Widths table accounts per
+    2-byte code: 0x00-high-byte codes hit the table, others take the
+    /MissingWidth fallback — parity pins the advance math."""
+    ops = (
+        f"BT /F9 12 Tf 72 700 Td <{_hex16('AB 你')}> Tj"
+        f" <{_hex16('tail')}> Tj ET"
+    )
+    spans = _parity(
+        _pdf_id2(
+            ops,
+            "Identity-H",
+            " /FirstChar 32 /Widths [ 300 400 500 600 700 800 900 250"
+            " 350 450 550 650 750 850 950 275 375 475 575 675 775 875"
+            " 975 325 425 525 625 725 825 925 280 380 480 580 680 780"
+            " 880 ] /FontDescriptor 7 0 R",
+        ).replace(
+            "trailer",
+            "7 0 obj\n<< /Type /FontDescriptor /MissingWidth 444 >>\n"
+            "endobj\ntrailer",
+        )
+    )
+    assert [s[2] for s in spans] == ["AB 你tail"]
+
+
+def test_v31_literal_string_id2_codes():
+    """Identity 2-byte codes can arrive through a literal string with
+    octal escapes (the v23 encoded-show form)."""
+    from paddleocr_spark.corpus import _lit_escape
+
+    spans = _parity(
+        _pdf_id2(
+            "BT /F9 12 Tf 72 700 Td"
+            f" ({_lit_escape(_hex16('esc αβ ok'))}) Tj ET"
+        )
+    )
+    assert [s[2] for s in spans] == ["esc αβ ok"]
+
+
+def test_v31_corpus_fuzz_parity():
+    n_id2 = n_tu = n_trap = 0
+    for seed in range(13400, 14200):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Identity-" in doc and "/ToUnicode" not in doc:
+            n_id2 += 1
+        if "/Identity-H" in doc and "/ToUnicode" in doc:
+            n_tu += 1
+        if "D801>" in doc:
+            n_trap += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_id2 >= 30 and n_tu >= 20 and n_trap >= 5
+
+
+def test_v31_truncation_fuzz_id2():
+    doc = None
+    for seed in range(13400, 15000):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/Identity-" in d and "/ToUnicode" not in d and "/Widths" in d:
+            doc = d
+            break
+    if doc is None:  # fall back: any identity-encoded payload
+        for seed in range(13400, 15000):
+            d = _make_realpdf(random.Random(seed), WORDS)
+            if "/Identity-" in d and "/ToUnicode" not in d:
+                doc = d
+                break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
