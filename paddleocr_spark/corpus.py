@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 31  # v31: /Identity-H CID fonts without ToUnicode
+CORPUS_VERSION = 32  # v32: <pre> code blocks with verbatim whitespace
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -245,6 +245,36 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 f"<p>می\u200cخواهم {iw}"
                 f" \U0001f469\u200d\U0001f4bb kept joiners</p>"
             )
+    if rng.random() < 0.14:  # v32: <pre> code blocks — whitespace verbatim
+        r32 = rng.random()
+        cw = f"{w()}_{w()}"
+        if r32 < 0.35:  # indented multi-line code (the shape that matters)
+            parts.append(
+                f"<pre>def {cw}(x):\n    if x &gt; {rng.randint(1, 9)}:\n"
+                f"        return x * 2\n    return {w()}</pre>"
+            )
+        elif r32 < 0.55:  # newline-after-<pre> drop + blank interior line
+            parts.append(
+                f"<pre>\n{cw} = [1, 2, 3]\n\nprint({cw})\n</pre>"
+            )
+        elif r32 < 0.68:  # CRLF / lone-CR forms normalize to \n
+            parts.append(
+                f"<pre>line one {w()}\r\n\tline two\rline three</pre>"
+            )
+        elif r32 < 0.80:  # syntax-highlight spans inside pre join raw
+            parts.append(
+                f"<pre><span>for</span> i <span>in</span> {cw}:\n"
+                f"  <b>yield</b> i</pre>"
+            )
+        elif r32 < 0.90:  # trap: inline <code> in a para still collapses
+            parts.append(
+                f"<p>call <code>f( 1,\n   2 )</code> like {w()} this</p>"
+            )
+        else:  # traps: whitespace-only pre (no candidate); code-first para
+            parts.append(rng.choice((
+                "<pre>   \n\t  \n </pre>",
+                f"<p><code>x&lt;{rng.randint(2, 8)}</code> guards {w()}</p>",
+            )))
     if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
         parts.append(f"<![CDATA[{w()} > {w()}]]>")
     if rng.random() < 0.10:

@@ -262,7 +262,17 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     def flush():
         nonlocal cur_kind, cur_pieces, cur_link, cur_boiler
         if cur_pieces:
-            t = collapse_ws("".join(cur_pieces))
+            if cur_kind == "code":
+                # v32: code blocks preserve whitespace verbatim (the
+                # white-space:pre rendering rule, block-granular): CR
+                # forms normalize to \n, outer whitespace strips (which
+                # subsumes the HTML5 newline-after-<pre> drop rule)
+                t = "".join(cur_pieces)
+                if "\r" in t:
+                    t = t.replace("\r\n", "\n").replace("\r", "\n")
+                t = t.strip()
+            else:
+                t = collapse_ws("".join(cur_pieces))
             if t:
                 candidates.append(
                     (cur_kind or "para", t, len(t), min(cur_link, len(t)), cur_boiler)

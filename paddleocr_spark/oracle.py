@@ -157,7 +157,13 @@ def _oracle_html(text: str, cfg: ExtractConfig):
         return "para"
 
     def end_block():
-        joined = _norm("".join(blk["pieces"]))
+        if blk["kind"] == "code":
+            # v32: verbatim whitespace for code blocks — CR→LF, outer strip
+            joined = re.sub(
+                r"\r\n?", "\n", "".join(blk["pieces"])
+            ).strip()
+        else:
+            joined = _norm("".join(blk["pieces"]))
         if joined:
             link = min(blk["link"], len(joined))
             candidates.append(

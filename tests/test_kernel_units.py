@@ -767,3 +767,89 @@ def test_v30_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_shy >= 25 and n_zwsp >= 20 and n_keep >= 5
+
+
+# ---------------------------------------------------------------------------
+# v32: code blocks preserve whitespace (SPEC §2.3 Code blocks)
+# ---------------------------------------------------------------------------
+
+
+def test_v32_pre_preserves_structure():
+    """A <pre> block keeps newlines, indentation and tabs verbatim —
+    collapsing them destroys exactly what a code block carries."""
+    texts = _html_parity(
+        "<html><body><article><pre>def f(x):\n    if x &gt; 2:\n"
+        "        return x\n    return 0</pre></article></body></html>"
+    )
+    assert texts == ["def f(x):\n    if x > 2:\n        return x\n    return 0"]
+
+
+def test_v32_newline_after_pre_drops_and_cr_normalizes():
+    """Outer strip subsumes the HTML5 newline-after-<pre> rule; CRLF and
+    lone CR normalize to \\n."""
+    texts = _html_parity(
+        "<html><body><article><pre>\nalpha = 1\r\n\tbeta\rgamma\n</pre>"
+        "</article></body></html>"
+    )
+    assert texts == ["alpha = 1\n\tbeta\ngamma"]
+
+
+def test_v32_highlight_spans_join_raw():
+    """Inline syntax-highlight tags inside <pre> contribute their text
+    verbatim at the piece boundaries."""
+    texts = _html_parity(
+        "<html><body><article><pre><span>for</span> i <span>in</span> xs:\n"
+        "  <b>yield</b> i</pre></article></body></html>"
+    )
+    assert texts == ["for i in xs:\n  yield i"]
+
+
+def test_v32_inline_code_in_para_still_collapses():
+    """Bare <code> inside a paragraph is not white-space:pre — the block's
+    kind is para and the normal collapse applies (pinned)."""
+    texts = _html_parity(
+        "<html><body><article><p>call <code>f( 1,\n   2 )</code> like"
+        " this now</p></article></body></html>"
+    )
+    assert texts == ["call f( 1, 2 ) like this now"]
+
+
+def test_v32_code_first_para_takes_verbatim_blockwide():
+    """A block whose FIRST text sits in inline code takes kind 'code' and
+    the verbatim rule block-wide — the documented block-granular
+    approximation (pinned)."""
+    k, spans, drop = extract_payload(
+        "<html><body><article><p><code>x = 1</code>\ntail text here now"
+        "</p></article></body></html>"
+    )
+    o = _ora(
+        "<html><body><article><p><code>x = 1</code>\ntail text here now"
+        "</p></article></body></html>"
+    )
+    assert spans == o["spans"]
+    assert spans[0][1] == "code" and spans[0][2] == "x = 1\ntail text here now"
+
+
+def test_v32_whitespace_only_pre_no_candidate():
+    texts = _html_parity(
+        "<html><body><article><pre>   \n\t \n </pre><p>body text after"
+        " here</p></article></body></html>"
+    )
+    assert texts == ["body text after here"]
+
+
+def test_v32_corpus_fuzz_parity():
+    n_pre = n_cr = n_inline = 0
+    for seed in range(14200, 15000):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<pre>" in doc:
+            n_pre += 1
+        if "\r" in doc:
+            n_cr += 1
+        if "<code>" in doc:
+            n_inline += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_pre >= 40 and n_cr >= 5 and n_inline >= 5
