@@ -39,8 +39,13 @@ _INVIS_RE = re.compile("[\u00ad\u200b\u200e\u200f\u2060\ufeff]")
 
 
 def strip_invisible(s: str) -> str:
-    """Remove invisible format characters (identity fast path on miss)."""
-    if _INVIS_RE.search(s) is None:
+    """Remove invisible format characters (identity fast path on miss).
+
+    ``str.isascii()`` is O(1) in CPython (a flag on the unicode object),
+    and every stripped codepoint is non-ASCII — so the overwhelmingly
+    common ASCII piece pays a single flag check, not a regex scan.
+    """
+    if s.isascii() or _INVIS_RE.search(s) is None:
         return s
     return _INVIS_RE.sub("", s)
 
