@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 32  # v32: <pre> code blocks with verbatim whitespace
+CORPUS_VERSION = 33  # v33: descendant CIDFont /W + /DW width arrays
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -678,6 +678,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     and traps: unbalanced EMC, zero-show levels, number-first BDC
     (untagged), ref-in-property-dict stack-clear (untagged — renders),
     named-props /Artifact (still suppresses).
+    v33: ~55% of Type0 payloads (Identity and ToUnicode-CMap schemes)
+    carry a /DescendantFonts CIDFont with /W + /DW width arrays (ISO
+    32000 §9.7.4.3) — DW-only and bare descendants (ISO's DW=1000
+    applies to every glyph), range and run group forms, ref'd /W and
+    ref'd /DescendantFonts arrays, /DW2 noise, and refusal traps that
+    must fall back to any v25 table on the same font.
     v25: ~14% of payloads carry a /FirstChar + /Widths advance table
     (ISO 32000 §9.7.4) — on the identity /F1 when no encoded scheme is
     drawn, else threaded into the /F9 body font (1-byte schemes key
@@ -1502,6 +1508,73 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 "50 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont"
                 f" /Helvetica{wdecl} >>\nendobj"
             )
+    # v33: descendant CIDFont /W + /DW width arrays (ISO 32000 §9.7.4.3)
+    # on the Type0 schemes (Identity and ToUnicode-CMap fonts). Forms:
+    # DW-only / bare descendants, range groups `c1 c2 w`, run groups
+    # `c [w …]` (optionally a mixed second group), a ref'd /W array, a
+    # ref'd /DescendantFonts array, /DW2 vertical-metrics noise (when it
+    # precedes /DW the first-occurrence key rule kills the read — pinned),
+    # and refusal traps (junk token / reversed range / dangling group /
+    # non-integral bound) that must fall back to any v25 table riding the
+    # same font.
+    use_cidw = (
+        scheme is not None
+        and scheme[0] in ("id2", "shift", "cid")
+        and rng.random() < 0.55
+    )
+    cid_decl = ""
+    if use_cidw:
+        wr3 = rng.random()
+        dw_decl = ""
+        if rng.random() < 0.7:
+            dw_decl = f" /DW {rng.choice((400, 500, 600, 1000))}"
+        if rng.random() < 0.15:
+            dw_decl = " /DW2 [880 -1000]" + dw_decl
+        wkey = ""
+        if wr3 < 0.20:
+            pass  # DW-only (or bare) descendant — every code takes dw
+        elif wr3 < 0.45:  # range form over the live code band
+            w3 = rng.choice((300, 444, 500, 556))
+            if scheme[0] == "cid":
+                wkey = f" /W [256 {256 + rng.randint(20, 80)} {w3}]"
+            else:
+                wkey = f" /W [32 126 {w3}]"
+        elif wr3 < 0.65:  # run form, sometimes a mixed second group
+            start = 256 if scheme[0] == "cid" else 97
+            runw = " ".join(
+                str(rng.choice((250, 333, 400, 500, 611)))
+                for _ in range(rng.randint(8, 26))
+            )
+            wkey = f" /W [{start} [{runw}]]"
+            if rng.random() < 0.4:
+                wkey = wkey[:-1] + f" 32 64 {rng.choice((278, 500))}]"
+        elif wr3 < 0.78:  # /W as a ref'd array object
+            parts.append(
+                f"54 0 obj\n[ 32 126 {rng.choice((350, 450, 550))} ]\nendobj"
+            )
+            wkey = " /W 54 0 R"
+        else:  # refusal traps — the entry must NOT form
+            wkey = rng.choice(
+                (
+                    " /W [32 /junk 300]",
+                    " /W [80 60 444]",
+                    " /W [32 [300] 48]",
+                    " /W [32.5 126 444]",
+                )
+            )
+        desc_body = (
+            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+            f" /NotoSans{dw_decl}{wkey} >>"
+        )
+        if use_objstm and rng.random() < 0.5:
+            objstm_inner.append((53, desc_body))
+        else:
+            parts.append(f"53 0 obj\n{desc_body}\nendobj")
+        if rng.random() < 0.25:  # ref-to-array /DescendantFonts form
+            parts.append("55 0 obj\n[ 53 0 R ]\nendobj")
+            cid_decl = " /DescendantFonts 55 0 R"
+        else:
+            cid_decl = " /DescendantFonts [53 0 R]"
     if scheme:  # v6: font + ToUnicode CMap objects (after the content streams)
         def _cmap_body(sch) -> str:
             kind, m = sch
@@ -1599,6 +1672,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     "<< /Type /Font /Subtype /Type0 /BaseFont"
                     f" /NotoSans /Encoding /Identity-{sch[1]} >>"
                 )
+                if cid_decl and fnum == font1:
+                    fbody = fbody[:-3] + cid_decl + " >>"  # v33
                 if wdecl and fnum == font1:
                     fbody = fbody[:-3] + wdecl + " >>"  # v25 interplay
                 if use_objstm:
@@ -1628,6 +1703,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 f"<< /Type /Font /Subtype /Type0 /ToUnicode {cnum} 0 R"
                 f"{tu_extra} >>"
             )
+            if cid_decl and fnum == font1:
+                fbody = fbody[:-3] + cid_decl + " >>"  # v33
             if wdecl and fnum == font1:
                 fbody = fbody[:-3] + wdecl + " >>"  # v25
             if use_objstm:

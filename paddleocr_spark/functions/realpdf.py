@@ -1420,6 +1420,129 @@ def _widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
     return tuple(wtab), miss
 
 
+def _wnum(arr: str, j: int):
+    """Next /W-array token at ``j``: (value, index-after, tag) with tag
+    ``"n"`` number / ``"["`` / ``"]"`` (index AT the bracket) / ``""``
+    anything else or end-of-string."""
+    j = _skip_ws(arr, j)
+    if j >= len(arr):
+        return None, j, ""
+    ch = arr[j]
+    if ch == "]" or ch == "[":
+        return None, j, ch
+    m = _RUN_RE.match(arr, j)
+    tok = m.group(0)
+    if not tok or not _NUM_RE.match(tok):
+        return None, j, ""
+    return float(tok), m.end(), "n"
+
+
+def _cid_widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
+    """``/DescendantFonts`` → descendant CIDFont ``/W`` + ``/DW`` →
+    ({code: unit width}, default unit width), or None when no descendant
+    resolves OR the /W value is malformed (SPEC §3b CID width arrays,
+    v33; ISO 32000 §9.7.4.3). ``/W`` ABSENT on a resolved descendant is
+    a usable ({}, dw) entry — ISO applies /DW (default 1000) to every
+    glyph of a CIDFont. Group forms ``c [w …]`` and ``c1 c2 w``; later
+    assignments override; > 65536 covered codes (counting repeats)
+    refuses the entry."""
+    k = fbody.find("/DescendantFonts")
+    if k < 0:
+        return None
+    after = k + len("/DescendantFonts")
+    if after < len(fbody) and fbody[after] not in _WS and fbody[after] not in _DELIM:
+        return None
+    j = _skip_ws(fbody, after)
+    if fbody[j : j + 1] == "[":
+        arr, j = fbody, j + 1
+    else:
+        num, _ = _read_ref(fbody, after)
+        if num is None:
+            return None
+        ob = _obj_body(text, objs, vobjs, num)
+        if ob is None:
+            return None
+        j = _skip_ws(ob, 0)
+        if ob[j : j + 1] != "[":
+            return None
+        arr, j = ob, j + 1
+    dnum, _ = _read_ref(arr, j)
+    if dnum is None:
+        return None
+    desc = _obj_body(text, objs, vobjs, dnum)
+    if desc is None:
+        return None
+    dw = _key_int(desc, "/DW")
+    dwu = (1000 if dw is None else dw) / 1000.0
+    k2 = desc.find("/W")
+    if k2 < 0:
+        return {}, dwu
+    after2 = k2 + 2
+    if after2 < len(desc) and desc[after2] not in _WS and desc[after2] not in _DELIM:
+        return {}, dwu  # longer name first (/WMode, /Widths) = /W absent
+    j2 = _skip_ws(desc, after2)
+    if desc[j2 : j2 + 1] == "[":
+        warr, j2 = desc, j2 + 1
+    else:
+        wnum, _ = _read_ref(desc, after2)
+        if wnum is None:
+            return None
+        wb = _obj_body(text, objs, vobjs, wnum)
+        if wb is None:
+            return None
+        j2 = _skip_ws(wb, 0)
+        if wb[j2 : j2 + 1] != "[":
+            return None
+        warr, j2 = wb, j2 + 1
+    wmap: dict = {}
+    covered = 0
+    while True:
+        v, j2, t = _wnum(warr, j2)
+        if t == "]":
+            break
+        if t != "n":
+            return None  # unterminated / junk at group level
+        if v != int(v) or not (0.0 <= v <= 65535.0):
+            return None
+        c1 = int(v)
+        v2, j3, t2 = _wnum(warr, j2)
+        if t2 == "[":
+            j2 = j3 + 1
+            i = 0
+            while True:
+                w, j2, t3 = _wnum(warr, j2)
+                if t3 == "]":
+                    j2 += 1
+                    break
+                if t3 != "n":
+                    return None
+                covered += 1
+                if covered > 65536:
+                    return None
+                c = c1 + i
+                if c <= 65535:
+                    wmap[c] = w / 1000.0
+                i += 1
+        elif t2 == "n":
+            if v2 != int(v2) or not (0.0 <= v2 <= 65535.0):
+                return None
+            c2 = int(v2)
+            if c2 < c1:
+                return None
+            w, j2, t3 = _wnum(warr, j3)
+            if t3 != "n":
+                return None
+            covered += c2 - c1 + 1
+            if covered > 65536:
+                return None
+            wu = w / 1000.0
+            for c in range(c1, c2 + 1):
+                wmap[c] = wu
+        else:
+            return None  # dangling group
+    return wmap, dwu
+
+
 def _font_table(text: str, objs: dict, vobjs: dict, res):
     """Resolved /Resources dict body → {font name: (cmap entry, widths
     entry)} via /Font (inline dict or ref) → per-entry font object →
@@ -1448,12 +1571,15 @@ def _font_table(text: str, objs: dict, vobjs: dict, res):
             cm = _cmap_from_stream_object(text, objs[tref])
         if cm is None and "/Encoding" in fbody:
             cm = _differences_entry(text, objs, vobjs, fbody)
-        # v25: per-code advance widths ride alongside the CMap
+        # v33: a usable descendant-CIDFont /W entry wins; refused or
+        # absent → the v25 /FirstChar + /Widths table
         wd = (
-            _widths_entry(text, objs, vobjs, fbody)
-            if "/Widths" in fbody
+            _cid_widths_entry(text, objs, vobjs, fbody)
+            if "/DescendantFonts" in fbody
             else None
         )
+        if wd is None and "/Widths" in fbody:
+            wd = _widths_entry(text, objs, vobjs, fbody)
         if cm is not None or wd is not None:
             fonts[nm] = (cm, wd)
     return fonts
@@ -2093,12 +2219,19 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         to the oracle's per-piece sums."""
         nonlocal acc_u, acc_g, acc_s
         wtab, miss = cur_wd
+        # v33: a CID /W entry is a dict keyed by FULL code value (default
+        # /DW); the v25 tuple keys 0..255 with the multi-byte fallback
+        isd = type(wtab) is dict
         du = 0.0
         if cur_map is None or cur_map[2] is not None:
             # 1-byte code stream: identity or translate-fast-path CMap
             for c in raw:
                 o = ord(c)
-                du += wtab[o] if o <= 0xFF else miss
+                du += (
+                    wtab.get(o, miss)
+                    if isd
+                    else (wtab[o] if o <= 0xFF else miss)
+                )
                 if o == 32:
                     acc_s += 1
             acc_u += du
@@ -2117,14 +2250,22 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                     out2.append(
                         "�" if 0xD800 <= code <= 0xDFFF else chr(code)
                     )
-                    du += wtab[code] if code <= 0xFF else miss
+                    du += (
+                        wtab.get(code, miss)
+                        if isd
+                        else (wtab[code] if code <= 0xFF else miss)
+                    )
                     acc_g += 1
                     if code == 32:
                         acc_s += 1
                     i3 += 2
                 else:
                     out2.append(raw[i3])
-                    du += wtab[o0] if o0 <= 0xFF else miss
+                    du += (
+                        wtab.get(o0, miss)
+                        if isd
+                        else (wtab[o0] if o0 <= 0xFF else miss)
+                    )
                     acc_g += 1
                     if o0 == 32:
                         acc_s += 1
@@ -2154,7 +2295,11 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                     hit = cmapd.get((code, nb))
                     if hit is not None:
                         out.append(hit)
-                        du += wtab[code] if code <= 0xFF else miss
+                        du += (
+                            wtab.get(code, miss)
+                            if isd
+                            else (wtab[code] if code <= 0xFF else miss)
+                        )
                         acc_g += 1
                         if code == 32:
                             acc_s += 1
@@ -2162,7 +2307,11 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         break
             if hit is None:
                 out.append(raw[i2])
-                du += wtab[o0] if o0 <= 0xFF else miss
+                du += (
+                    wtab.get(o0, miss)
+                    if isd
+                    else (wtab[o0] if o0 <= 0xFF else miss)
+                )
                 acc_g += 1
                 if o0 == 32:
                     acc_s += 1
@@ -2584,7 +2733,8 @@ def _content_resources(text: str):
     ``/WinAnsiEncoding``, ``/MacRomanEncoding`` (v18 — a ``/BaseEncoding``
     value is one of these names, so it needs no token of its own),
     ``/ObjStm``, ``/XObject``, ``/Rotate``, ``/Widths`` (v25),
-    ``/Identity-`` (v31 — the Identity-H/-V encoding names), a 2nd
+    ``/Identity-`` (v31 — the Identity-H/-V encoding names),
+    ``/DescendantFonts`` (v33 — CID /W width arrays), a 2nd
     ``/MediaBox``, a ``/Contents`` array opener, or a 2nd ``%%EOF``
     appearing anywhere —
     absent all of them every table is empty, extraction is identity, no
@@ -2605,6 +2755,7 @@ def _content_resources(text: str):
         and "/Widths" not in text  # v25: advance-width tables
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
+        and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):

@@ -1327,6 +1327,139 @@ def _rpdf_widths(text: str, objs: dict, vobjs: dict, fbody: str):
     return tuple(wtab), miss
 
 
+_RPDF_DFKEY_RE = re.compile(r"/DescendantFonts" + _RPDF_NAMEEND)
+_RPDF_WKEY_RE = re.compile(r"/W" + _RPDF_NAMEEND)
+
+
+def _rpdf_warr_tokens(arr: str, j: int):
+    """Tokenize a /W array body from ``j`` (after ``[``) into a flat list
+    of floats and ``"["``/``"]"`` markers for the OUTER array; None on an
+    unterminated array or a non-number token (SPEC §3b CID width arrays,
+    v33). Nested run brackets come through as markers — the group walk
+    re-imposes structure."""
+    toks: list = []
+    depth = 1
+    while True:
+        tm = _RPDF_ARRTOK_RE.match(arr, j)
+        if tm is None:
+            return None
+        tok = tm.group(1)
+        j = tm.end()
+        if tok == "]":
+            depth -= 1
+            if depth == 0:
+                return toks
+            toks.append("]")
+        elif tok == "[":
+            depth += 1
+            if depth > 2:
+                return None  # /W nests at most one run level
+            toks.append("[")
+        elif _RPDF_NUM_RE.match(tok):
+            toks.append(float(tok))
+        else:
+            return None
+
+
+def _rpdf_cid_widths(text: str, objs: dict, vobjs: dict, fbody: str):
+    """Mirror of the kernel /DescendantFonts → /W + /DW rule (SPEC §3b CID
+    width arrays, v33) — regex tokenization into a flat token list, then
+    a group walk; same degrades (junk token, unterminated, non-integral /
+    out-of-range / reversed bounds, dangling group, > 65536 covered)."""
+    k = fbody.find("/DescendantFonts")
+    if k < 0 or _RPDF_DFKEY_RE.match(fbody, k) is None:
+        return None
+    after = k + len("/DescendantFonts")
+    am = _RPDF_ARROPEN_RE.match(fbody, after)
+    if am:
+        arr, j = fbody, am.end()
+    else:
+        rm = _RPDF_REFVAL_RE.match(fbody, after)
+        if rm is None:
+            return None
+        ob = _rpdf_obj_body(text, objs, vobjs, int(rm.group(1)))
+        if ob is None:
+            return None
+        am = _RPDF_ARROPEN_RE.match(ob)
+        if am is None:
+            return None
+        arr, j = ob, am.end()
+    j = _RPDF_WSRUN_RE.match(arr, j).end()
+    dm = _RPDF_REFVAL0_RE.match(arr, j)
+    if dm is None:
+        return None
+    desc = _rpdf_obj_body(text, objs, vobjs, int(dm.group(1)))
+    if desc is None:
+        return None
+    dw = _rpdf_key_int(desc, "/DW")
+    dwu = (1000 if dw is None else dw) / 1000.0
+    kw = desc.find("/W")
+    if kw < 0:
+        return {}, dwu
+    if _RPDF_WKEY_RE.match(desc, kw) is None:
+        return {}, dwu  # longer first name (/WMode, /Widths) = absent
+    after2 = kw + 2
+    am2 = _RPDF_ARROPEN_RE.match(desc, after2)
+    if am2:
+        warr, j2 = desc, am2.end()
+    else:
+        rm2 = _RPDF_REFVAL_RE.match(desc, after2)
+        if rm2 is None:
+            return None
+        wb = _rpdf_obj_body(text, objs, vobjs, int(rm2.group(1)))
+        if wb is None:
+            return None
+        am2 = _RPDF_ARROPEN_RE.match(wb)
+        if am2 is None:
+            return None
+        warr, j2 = wb, am2.end()
+    toks = _rpdf_warr_tokens(warr, j2)
+    if toks is None:
+        return None
+    wmap: dict = {}
+    covered = 0
+    i, n = 0, len(toks)
+    while i < n:
+        c1 = toks[i]
+        if not isinstance(c1, float) or c1 != int(c1) or not 0 <= c1 <= 65535:
+            return None
+        c1 = int(c1)
+        i += 1
+        if i < n and toks[i] == "[":
+            i += 1
+            step = 0
+            while i < n and toks[i] != "]":
+                if not isinstance(toks[i], float):
+                    return None
+                covered += 1
+                if covered > 65536:
+                    return None
+                if c1 + step <= 65535:
+                    wmap[c1 + step] = toks[i] / 1000.0
+                step += 1
+                i += 1
+            if i >= n:
+                return None  # run bracket never closed in the outer array
+            i += 1
+        elif i + 1 < n and isinstance(toks[i], float) and isinstance(toks[i + 1], float):
+            c2 = toks[i]
+            if c2 != int(c2) or not 0 <= c2 <= 65535:
+                return None
+            c2 = int(c2)
+            if c2 < c1:
+                return None
+            covered += c2 - c1 + 1
+            if covered > 65536:
+                return None
+            wu = toks[i + 1] / 1000.0
+            for c in range(c1, c2 + 1):
+                wmap[c] = wu
+            i += 2
+        else:
+            return None  # dangling group
+    return wmap, dwu
+
+
 def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
     fdict = _rpdf_key_dict(res, "/Font", text, objs, vobjs)
     if fdict is None:
@@ -1345,11 +1478,14 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
         if cm is None and "/Encoding" in fbody:
             # v13: Differences fallback — ToUnicode wins when both parse
             cm = _rpdf_differences(text, objs, vobjs, fbody)
+        # v33: a usable descendant-CIDFont /W entry wins over /Widths
         wd = (
-            _rpdf_widths(text, objs, vobjs, fbody)
-            if "/Widths" in fbody
+            _rpdf_cid_widths(text, objs, vobjs, fbody)
+            if "/DescendantFonts" in fbody
             else None
         )
+        if wd is None and "/Widths" in fbody:
+            wd = _rpdf_widths(text, objs, vobjs, fbody)
         if cm is not None or wd is not None:
             fonts[fm.group(1)] = (cm, wd)
     return fonts
@@ -1901,6 +2037,7 @@ def _rpdf_content_resources(text: str):
         and "/Widths" not in text  # v25: advance-width tables
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
+        and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
@@ -2011,11 +2148,19 @@ def _rpdf_show_decode(s: str, entry, wd):
         txt = _rpdf_apply_cmap(s, entry)
         return txt, 0.5 * len(txt), len(txt), txt.count(" ")
     wtab, miss = wd
+    if isinstance(wtab, dict):
+        # v33: a CID /W map keys FULL code values, /DW fallback for all
+        def _w(code):
+            return wtab.get(code, miss)
+    else:
+        # v25: 256-entry table; multi-byte / >0xFF codes take the fallback
+        def _w(code):
+            return wtab[code] if code <= 0xFF else miss
     u, g, sp = 0.0, 0, 0
     if entry is None:
         for c in s:
             o = ord(c)
-            u += wtab[o] if o <= 0xFF else miss
+            u += _w(o)
             if o == 32:
                 sp += 1
         return s, u, len(s), sp
@@ -2028,7 +2173,7 @@ def _rpdf_show_decode(s: str, entry, wd):
             if len(pair) == 2 and ord(pair[0]) < 256 and ord(pair[1]) < 256:
                 code = ord(pair[0]) * 256 + ord(pair[1])
                 out.append("�" if 0xD800 <= code < 0xE000 else chr(code))
-                u += wtab[code] if code <= 0xFF else miss
+                u += _w(code)
                 g += 1
                 if code == 32:
                     sp += 1
@@ -2036,7 +2181,7 @@ def _rpdf_show_decode(s: str, entry, wd):
             else:
                 o0 = ord(s[i])
                 out.append(s[i])
-                u += wtab[o0] if o0 <= 0xFF else miss
+                u += _w(o0)
                 g += 1
                 if o0 == 32:
                     sp += 1
@@ -2060,7 +2205,7 @@ def _rpdf_show_decode(s: str, entry, wd):
                 hit = cmap.get((acc, nb))
                 if hit is not None:
                     out.append(hit)
-                    u += wtab[acc] if acc <= 0xFF else miss
+                    u += _w(acc)
                     g += 1
                     if acc == 32:
                         sp += 1
@@ -2068,7 +2213,7 @@ def _rpdf_show_decode(s: str, entry, wd):
                     break
         if hit is None:
             out.append(s[i])
-            u += wtab[o0] if o0 <= 0xFF else miss
+            u += _w(o0)
             g += 1
             if o0 == 32:
                 sp += 1

@@ -3487,3 +3487,184 @@ def test_v31_truncation_fuzz_id2():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v33: descendant CIDFont /W + /DW width arrays (SPEC §3b CID width arrays;
+# ISO 32000 §9.7.4.3)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_cidw(desc_body: str, fextra: str = "", ops: str = None, extra: str = ""):
+    """Identity-H Type0 with /DescendantFonts [8 0 R]; the descendant body
+    and any extra objects are caller-supplied."""
+    ops = ops or f"BT /F9 10 Tf 72 700 Td <{_hex16('hello wide world')}> Tj ET"
+    doc = _pdf_id2(ops, "Identity-H", f" /DescendantFonts [8 0 R]{fextra}")
+    return doc.replace(
+        "trailer", f"8 0 obj\n{desc_body}\nendobj\n{extra}trailer"
+    )
+
+
+def test_v33_bare_descendant_takes_dw_default_1000():
+    """A descendant with neither /W nor /DW is a USABLE entry: ISO's
+    DW default 1000 applies to every glyph — 16 codes at fontsize 10
+    advance 160 (vs 80 under the no-table 0.5 rule)."""
+    spans = _parity(
+        _pdf_cidw("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /N >>")
+    )
+    assert [(s[2], s[4]) for s in spans] == [
+        ("hello wide world", [94, 104, 303, 116])
+    ]
+    # the SAME document without a descendant keeps the 0.5 rule
+    base = _parity(
+        _pdf_id2(f"BT /F9 10 Tf 72 700 Td <{_hex16('hello wide world')}> Tj ET")
+    )
+    assert base[0][4] == [94, 104, 199, 116]
+
+
+def test_v33_dw_only_descendant():
+    """/DW alone covers all codes; /DW2 vertical-metrics noise occurring
+    FIRST kills the /DW read (the global first-occurrence key rule)."""
+    spans = _parity(_pdf_cidw("<< /Subtype /CIDFontType2 /DW 600 >>"))
+    assert spans[0][4] == [94, 104, 220, 116]
+    # /DW2 before /DW -> first /DW-prefixed occurrence is not token-exact
+    spans2 = _parity(
+        _pdf_cidw("<< /DW2 [880 -1000] /DW 600 >>")
+    )
+    assert spans2[0][4] == [94, 104, 303, 116]  # default 1000
+
+
+def test_v33_w_run_form():
+    """`c [w ...]` assigns consecutive codes; uncovered codes take /DW."""
+    spans = _parity(_pdf_cidw("<< /DW 500 /W [108 [250 0 0 300] ] >>"))
+    # 'l'x3 @.25 + 'o'x2 @.30 + 11 @.50 = 6.85 units -> adv 68.5
+    assert spans[0][4] == [94, 104, 184, 116]
+
+
+def test_v33_w_range_form():
+    """`c1 c2 w` assigns the whole range; absent /DW defaults to 1000 for
+    the uncovered space codes."""
+    spans = _parity(_pdf_cidw("<< /W [60 80 444] /CIDToGIDMap /Identity >>"))
+    # no shown code in 60..80: all 16 at dw 1.0 -> same as bare
+    assert spans[0][4] == [94, 104, 303, 116]
+    spans2 = _parity(_pdf_cidw("<< /W [97 122 444] >>"))
+    # 14 a-z @ .444 + 2 spaces @ 1.0 = 8.216 -> adv 82.16
+    assert spans2[0][4] == [94, 104, 202, 116]
+
+
+def test_v33_w_and_descendants_by_ref():
+    """/W as a ref'd array object; /DescendantFonts as a ref-to-array."""
+    ops = f"BT /F9 10 Tf 72 700 Td <{_hex16('hello wide world')}> Tj ET"
+    doc = _pdf_id2(ops, "Identity-H", " /DescendantFonts 7 0 R").replace(
+        "trailer",
+        "7 0 obj\n[ 8 0 R ]\nendobj\n"
+        "8 0 obj\n<< /DW 700 /W 9 0 R >>\nendobj\n"
+        "9 0 obj\n[ 97 122 444 ]\nendobj\ntrailer",
+    )
+    spans = _parity(doc)
+    # 14 a-z @ .444 + 2 spaces @ .7 = 7.616 -> adv 76.16 -> X1 194
+    assert spans[0][4] == [94, 104, 194, 116]
+
+
+def test_v33_multibyte_codes_hit_the_map():
+    """Unlike the v25 256-table, FULL 2-byte codes can hit /W — the
+    entire point of the CID form."""
+    # 0x4F60 = 20320 ('你'), 0x597D = 22909 ('好')
+    ops = f"BT /F9 10 Tf 72 700 Td <{_hex16('你好 cjk width')}> Tj ET"
+    spans = _parity(
+        _pdf_cidw("<< /DW 250 /W [20320 [990] 22909 22909 990] >>", ops=ops)
+    )
+    # 2 cjk @ .99 + 10 @ .25 = 4.48 -> adv 44.8 -> X1 = round(116.8*800/612)=153
+    assert [(s[2], s[4][2]) for s in spans] == [("你好 cjk width", 153)]
+
+
+def test_v33_refusal_traps_fall_back_to_v25():
+    """A malformed /W refuses the WHOLE CID entry; a /FirstChar+/Widths
+    table riding the same font then applies (and absent one, the 0.5
+    rule) — junk token, reversed range, dangling group, non-integral
+    bound."""
+    v25 = " /FirstChar 32 /Widths [" + " ".join(["600"] * 96) + "]"
+    want = None
+    for wkey in (
+        "/W [32 /junk 300]",
+        "/W [80 60 444]",
+        "/W [32 [300] 48]",
+        "/W [32.5 126 444]",
+        "/W [32 126",  # unterminated
+        "/W [32]",  # lone trailing code
+    ):
+        spans = _parity(
+            _pdf_cidw(f"<< /DW 250 {wkey} >>", fextra=v25)
+        )
+        if want is None:
+            want = spans
+        assert spans == want, wkey
+    # the fallback equals the descendant-free v25 document
+    pure = _parity(
+        _pdf_id2(
+            f"BT /F9 10 Tf 72 700 Td <{_hex16('hello wide world')}> Tj ET",
+            "Identity-H",
+            v25,
+        )
+    )
+    assert want == pure
+
+
+def test_v33_usable_cid_entry_beats_widths_table():
+    """Precedence: when BOTH parse, the descendant /W entry wins (the
+    more specific CID machinery)."""
+    v25 = " /FirstChar 32 /Widths [" + " ".join(["1000"] * 96) + "]"
+    spans = _parity(_pdf_cidw("<< /DW 600 >>", fextra=v25))
+    assert spans[0][4] == [94, 104, 220, 116]  # 600, not 1000
+
+
+def test_v33_wmode_noise_is_w_absent_not_refusal():
+    """A /WMode (or any longer /W-prefixed name) occurring FIRST means
+    /W ABSENT — the entry stays usable with dw only."""
+    spans = _parity(_pdf_cidw("<< /WMode 0 /DW 600 >>"))
+    assert spans[0][4] == [94, 104, 220, 116]
+
+
+def test_v33_covered_cap_refuses():
+    """> 65536 covered codes (counting repeats) refuses the entry."""
+    groups = " ".join("0 65535 500" for _ in range(2))
+    spans = _parity(_pdf_cidw(f"<< /DW 250 /W [{groups}] >>"))
+    # refused -> no v25 table on the font -> 0.5 rule
+    assert spans[0][4] == [94, 104, 199, 116]
+    # exactly at the cap: usable
+    spans2 = _parity(_pdf_cidw("<< /DW 250 /W [0 65535 500] >>"))
+    assert spans2[0][4] == [94, 104, 199, 116]  # all .5 == the 0.5 rule here
+
+
+def test_v33_corpus_fuzz_parity():
+    n_desc = n_ref = n_trap = n_dw2 = 0
+    for seed in range(15000, 15800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/DescendantFonts" in doc:
+            n_desc += 1
+        if "/DescendantFonts 55 0 R" in doc:
+            n_ref += 1
+        if "/junk 300]" in doc or "[80 60 444]" in doc or "[32 [300] 48]" in doc or "[32.5 126 444]" in doc:
+            n_trap += 1
+        if "/DW2" in doc:
+            n_dw2 += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_desc >= 30 and n_ref >= 3 and n_trap >= 3 and n_dw2 >= 2
+
+
+def test_v33_truncation_fuzz_cidw():
+    doc = None
+    for seed in range(15000, 16600):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/DescendantFonts" in d and "/W [" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
