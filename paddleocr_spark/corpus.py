@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 33  # v33: descendant CIDFont /W + /DW width arrays
+CORPUS_VERSION = 34  # v34: open-gated <details>/<summary>/<dialog>
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -63,6 +63,12 @@ def _sent(rng: random.Random, words: List[str], k: int) -> str:
 
 def _make_html(rng: random.Random, words: List[str]) -> str:
     """v17 depth: HTML5 constructs real web pages actually carry —
+    v34: open-gated elements (SPEC §2.2) — closed <details> hide their
+    body while the first direct-child <summary> shows; every boolean
+    `open` form (bare/empty/case/valued — open="false" is OPEN) renders;
+    <dialog> hides without `open`; second/deep summaries are content;
+    near-miss attrs (data-open, class="open") stay closed; table
+    interplay pinned both directions.
     v29: hidden elements (HTML5 boolean ``hidden`` in all its forms,
     inline ``style`` display:none / visibility:hidden declarations,
     hidden tables) whose content must vanish, plus near-miss traps
@@ -274,6 +280,58 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
             parts.append(rng.choice((
                 "<pre>   \n\t  \n </pre>",
                 f"<p><code>x&lt;{rng.randint(2, 8)}</code> guards {w()}</p>",
+            )))
+    if rng.random() < 0.13:  # v34: open-gated <details>/<dialog>
+        dw = f"{w()} {w()}"
+        r34 = rng.random()
+        if r34 < 0.30:  # closed details: summary shows, body vanishes
+            parts.append(
+                f"<details><summary>{dw} disclosure</summary>"
+                f"<p>{_sent(rng, words, 5)} foldaway</p></details>"
+            )
+        elif r34 < 0.52:  # open forms — ALL render (boolean attr rule)
+            attr = rng.choice(
+                ("open", 'open=""', "OPEN", 'open="false"', "open=open")
+            )
+            parts.append(
+                f"<details {attr}><summary>{dw} widget</summary>"
+                f"<p>{_sent(rng, words, 5)} unfolded</p></details>"
+            )
+        elif r34 < 0.64:  # dialog: closed vanishes, open renders
+            if rng.random() < 0.5:
+                parts.append(
+                    f"<dialog><p>{dw} modalgone</p></dialog>"
+                    f"<p>{w()} after dialog</p>"
+                )
+            else:
+                parts.append(f"<dialog open><p>{dw} modal shows</p></dialog>")
+        elif r34 < 0.76:  # summary placement rules
+            parts.append(rng.choice((
+                # second summary child is content (hidden when closed)
+                f"<details><summary>{dw} first</summary>"
+                f"<summary>{w()} secondgone</summary></details>",
+                # a summary nested deeper than a direct child never shows
+                f"<details><div><summary>{dw} deepgone</summary></div>"
+                "</details>",
+                # nested disclosure: both widgets show, both bodies hide
+                f"<details><summary>{dw} outer <details><summary>"
+                f"{w()} inner</summary><p>{w()} ibody gone</p></details>"
+                f"</summary><p>{w()} obody gone</p></details>",
+            )))
+        elif r34 < 0.88:  # near-miss attrs stay CLOSED
+            attr = rng.choice(("data-open", 'class="open"', 'aria-open="true"'))
+            parts.append(
+                f"<details {attr}><summary>{dw} nearmiss</summary>"
+                f"<p>{w()} neargone</p></details>"
+            )
+        else:  # table interplay (both directions pinned)
+            parts.append(rng.choice((
+                # a table inside a closed details accumulates no text
+                f"<details><table><tr><td>{dw} cellgone</td></tr></table>"
+                "</details>",
+                # details INSIDE table mode: intercepted, content extracts
+                f"<table><tr><td><details><summary>{dw} kept</summary>"
+                f"</details></td><td>{w()} cell</td></tr></table>",
             )))
     if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
         parts.append(f"<![CDATA[{w()} > {w()}]]>")

@@ -61,7 +61,8 @@ def _class_value(m) -> str:
 # tags that terminate the current block when opened or closed
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li tr pre blockquote article section main nav "
-    "header footer aside ul ol table title br hr td th".split()
+    "header footer aside ul ol table title br hr td th "
+    "details summary dialog".split()  # v34: all render as blocks
 )
 # void tags: never pushed on the open-tag stack
 VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())
@@ -154,6 +155,52 @@ def _hidden_in_tag(low: str) -> bool:
     return False
 
 
+def _open_in_tag(low: str) -> bool:
+    """Token-exact boolean ``open`` attribute (v34, SPEC §2.2 Open-gated
+    elements) — the same attribute walk as ``_hidden_in_tag``; presence
+    with ANY value (or none) counts: ``open="false"`` is OPEN (the HTML
+    boolean-attribute rule). ``data-open`` / ``class="open"`` never
+    match (name-exact)."""
+    m = _TAG_NAME_RE.match(low)
+    if m is None:
+        return False
+    i = m.end()
+    n = len(low)
+    while i < n:
+        c = low[i]
+        if c in " \t\n\r\x0c/":
+            i += 1
+            continue
+        if c == ">":
+            return False
+        j = i
+        while j < n and low[j] not in _ATTR_NAME_END:
+            j += 1
+        if j == i:  # junk char where a name should start
+            i += 1
+            continue
+        name = low[i:j]
+        if name == "open":
+            return True
+        i = j
+        k = i
+        while k < n and low[k] in " \t\n\r\x0c":
+            k += 1
+        if k < n and low[k] == "=":
+            k += 1
+            while k < n and low[k] in " \t\n\r\x0c":
+                k += 1
+            if k < n and (low[k] == '"' or low[k] == "'"):
+                e = low.find(low[k], k + 1)
+                i = n if e < 0 else e + 1
+            else:
+                e = k
+                while e < n and low[e] not in " \t\n\r\x0c>":
+                    e += 1
+                i = e
+    return False
+
+
 def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
     if "=" not in tag_token:  # a class attr requires '='; skip the regex
         return False
@@ -182,12 +229,14 @@ def _parse_tag(tok: str):
     if info is None:
         tm = _TAG_NAME_RE.match(tok)
         if tm is None:
-            info = (False, None, False, None, False)
+            info = (False, None, False, None, False, False)
         else:
             slash, name = tm.groups()
             closing = slash == "/"
+            lname = name.lower()
             class_tokens = None
             hidden = False
+            has_open = False
             if not closing and "=" in tok:
                 m = _CLASS_RE.search(tok)
                 if m:
@@ -198,12 +247,16 @@ def _parse_tag(tok: str):
                 low = tok.lower()
                 if "hidden" in low or ("style" in low and "none" in low):
                     hidden = _hidden_in_tag(low)
+                # v34: the `open` walk only matters on the gated tags
+                if lname in ("details", "dialog") and "open" in low:
+                    has_open = _open_in_tag(low)
             info = (
                 closing,
-                name.lower(),
+                lname,
                 not closing and tok.endswith("/>"),
                 class_tokens,
                 hidden,
+                has_open,
             )
         if len(tok) <= _TAG_CACHE_MAX_TOKEN_LEN and len(_TAG_CACHE) < _TAG_CACHE_MAX:
             _TAG_CACHE[tok] = info
@@ -228,6 +281,14 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     heading_depth = 0
     pre_depth = 0
     li_depth = 0
+    # v34: open-gated <details> — cdet counts open CLOSED-details
+    # entries, vsum counts visible disclosure summaries; text shows iff
+    # cdet <= vsum (the counter form of the nesting semantics).
+    # cdet_seen carries one consumed-first-summary bit per open closed
+    # details, innermost last.
+    cdet_depth = 0
+    vsum_depth = 0
+    cdet_seen: List[bool] = []
 
     # table mode state
     table_depth = 0
@@ -299,7 +360,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     for tok in _TOKEN_RE.findall(text):
         if tok[0] != "<":
             # --- text token (fast path: the most common token kind) ---
-            if skip_depth > 0 or hidden_depth > 0:
+            if skip_depth > 0 or hidden_depth > 0 or cdet_depth > vsum_depth:
                 continue
             piece = (
                 decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
@@ -328,7 +389,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if tok[1] == "!":  # comment or declaration (<!-- / <!DOCTYPE) → ignored
             continue
         else:  # --- tag token ---
-            closing, name, self_closing, class_tokens, tag_hidden = parse_tag(tok)
+            closing, name, self_closing, class_tokens, tag_hidden, tag_open = parse_tag(tok)
             if name is None:
                 continue  # malformed tag → ignored
 
@@ -394,13 +455,32 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 is_h = name in HEADING_TAGS
                 is_pre = name in ("pre", "code")
                 is_li = name == "li"
-                stack.append((name, boiler, is_a, is_h, is_pre, is_li, tag_hidden))
+                # v34: open-gated elements. A closed <dialog> hides like a
+                # v29 hidden element; a closed <details> opens a cdet
+                # level; a <summary> whose immediate parent is a closed
+                # details that has not consumed its first summary is the
+                # disclosure widget (renders).
+                if name == "dialog" and not tag_open:
+                    tag_hidden = True
+                is_cdet = name == "details" and not tag_open
+                is_vsum = False
+                if name == "summary" and stack and stack[-1][7] and not cdet_seen[-1]:
+                    cdet_seen[-1] = True
+                    is_vsum = True
+                stack.append(
+                    (name, boiler, is_a, is_h, is_pre, is_li, tag_hidden,
+                     is_cdet, is_vsum)
+                )
                 boiler_depth += boiler
                 link_depth += is_a
                 heading_depth += is_h
                 pre_depth += is_pre
                 li_depth += is_li
                 hidden_depth += tag_hidden
+                if is_cdet:
+                    cdet_depth += 1
+                    cdet_seen.append(False)
+                vsum_depth += is_vsum
             else:
                 # lenient close: pop until matching tag name (if present)
                 idx = None
@@ -412,8 +492,8 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                     # clamped decrements (table-mode <a> handling can consume
                     # link_depth without a stack pop — the oracle clamps the
                     # same way); flag-guarded so the common all-false entry
-                    # costs five bool checks, no max() calls
-                    for _, b2, a2, h2, p2, l2, hd2 in stack[idx:]:
+                    # costs seven bool checks, no max() calls
+                    for _, b2, a2, h2, p2, l2, hd2, cd2, vs2 in stack[idx:]:
                         if b2:
                             boiler_depth = max(0, boiler_depth - 1)
                         if a2:
@@ -426,6 +506,12 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                             li_depth = max(0, li_depth - 1)
                         if hd2:
                             hidden_depth = max(0, hidden_depth - 1)
+                        if cd2:  # v34: drop the consumed-bit with the entry
+                            cdet_depth = max(0, cdet_depth - 1)
+                            if cdet_seen:
+                                cdet_seen.pop()
+                        if vs2:
+                            vsum_depth = max(0, vsum_depth - 1)
                     del stack[idx:]
             continue
 

@@ -44,7 +44,8 @@ HTML_SNIFF_RE = re.compile(
 
 _BLOCK = set(
     "p div h1 h2 h3 h4 h5 h6 li tr pre blockquote article section main nav "
-    "header footer aside ul ol table title br hr td th".split()
+    "header footer aside ul ol table title br hr td th "
+    "details summary dialog".split()  # v34
 )
 _VOID = set("br hr img input meta link source wbr area base col embed".split())
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
@@ -137,11 +138,39 @@ def _o_hidden_tag(low: str) -> bool:
     return False
 
 
+def _o_open_tag(low: str) -> bool:
+    """v34 mirror: token-exact boolean `open` attribute (any or no value
+    — `open="false"` is OPEN) via the regex-step attr walk."""
+    m = TAG_NAME_RE.match(low)
+    if m is None:
+        return False
+    i, n = m.end(), len(low)
+    while i < n:
+        c = low[i]
+        if c in _O_HWS or c == "/":
+            i += 1
+            continue
+        if c == ">":
+            return False
+        am = _O_ATTR_RE.match(low, i)
+        if am is None or am.end() == i:
+            i += 1
+            continue
+        if am.group(1) == "open":
+            return True
+        i = am.end()
+    return False
+
+
 def _oracle_html(text: str, cfg: ExtractConfig):
     tokens = list(TOKEN_RE.finditer(text))
     # context state: stack of (name, flags-dict) + clamped depth counters (SPEC §2.2)
     stack = []
-    depth = {"boiler": 0, "a": 0, "heading": 0, "pre": 0, "li": 0, "hid": 0}
+    depth = {
+        "boiler": 0, "a": 0, "heading": 0, "pre": 0, "li": 0, "hid": 0,
+        "cdet": 0, "vsum": 0,  # v34: open-gated <details>/<summary>
+    }
+    cdet_seen = []  # v34: consumed-first-summary bit per open closed details
     in_script = 0
     candidates = []  # dict: kind, pieces, link, boiler_hit
     blk = {"kind": None, "pieces": [], "link": 0, "boiler_hit": False}
@@ -269,6 +298,25 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     continue
                 cm = CLASS_RE.search(tok)
                 low = tok.lower()
+                hid = (
+                    "hidden" in low or ("style" in low and "none" in low)
+                ) and _o_hidden_tag(low)
+                # v34: a closed <dialog> hides like a hidden element; a
+                # closed <details> opens a cdet level; a <summary> whose
+                # immediate parent is a closed details with an unconsumed
+                # first-summary bit is the visible disclosure widget
+                if name == "dialog" and not _o_open_tag(low):
+                    hid = True
+                cdet = name == "details" and not _o_open_tag(low)
+                vsum = False
+                if (
+                    name == "summary"
+                    and stack
+                    and stack[-1][1]["cdet"]
+                    and not cdet_seen[-1]
+                ):
+                    cdet_seen[-1] = True
+                    vsum = True
                 flags = {
                     "boiler": name in cfg.boiler_tags
                     or bool(cm and cfg.boiler_class in _class_val(cm).split()),
@@ -276,14 +324,15 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     "heading": name in _HEADINGS,
                     "pre": name in ("pre", "code"),
                     "li": name == "li",
-                    "hid": (
-                        ("hidden" in low or ("style" in low and "none" in low))
-                        and _o_hidden_tag(low)
-                    ),
+                    "hid": hid,
+                    "cdet": cdet,
+                    "vsum": vsum,
                 }
                 stack.append((name, flags))
                 for k, v in flags.items():
                     depth[k] += int(v)
+                if cdet:
+                    cdet_seen.append(False)
             else:
                 for i in range(len(stack) - 1, -1, -1):
                     if stack[i][0] == name:
@@ -291,12 +340,14 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                             for k, v in fl.items():
                                 if v:
                                     depth[k] = max(0, depth[k] - 1)
+                            if fl["cdet"] and cdet_seen:  # v34
+                                cdet_seen.pop()
                         del stack[i:]
                         break
             continue
 
         # text token
-        if in_script or depth["hid"] > 0:
+        if in_script or depth["hid"] > 0 or depth["cdet"] > depth["vsum"]:
             continue
         piece = _o_strip_invis(_decode(tok))  # v30: strip after decode
         if not piece:  # v30: strips to nothing → contributes nothing

@@ -853,3 +853,146 @@ def test_v32_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_pre >= 40 and n_cr >= 5 and n_inline >= 5
+
+
+# ---------------------------------------------------------------------------
+# v34: open-gated <details>/<summary>/<dialog> (SPEC §2.2 Open-gated elements)
+# ---------------------------------------------------------------------------
+
+_H34 = "<html><body><article>{}</article></body></html>"
+
+
+def test_v34_closed_details_shows_summary_hides_body():
+    texts = _html_parity(_H34.format(
+        "<details><summary>click to expand here</summary>"
+        "<p>collapsed body text gone</p></details>"
+        "<p>after the widget renders</p>"
+    ))
+    assert texts == ["click to expand here", "after the widget renders"]
+
+
+def test_v34_open_boolean_attribute_forms_all_render():
+    for attr in ("open", 'open=""', "OPEN", 'open="false"', "open=open"):
+        texts = _html_parity(_H34.format(
+            f"<details {attr}><summary>widget label text here</summary>"
+            "<p>expanded body text shows</p></details>"
+        ))
+        assert texts == [
+            "widget label text here", "expanded body text shows"
+        ], attr
+
+
+def test_v34_near_miss_attrs_stay_closed():
+    for attr in ("data-open", 'class="open"', 'aria-open="true"'):
+        texts = _html_parity(_H34.format(
+            f"<details {attr}><summary>only the summary shows</summary>"
+            "<p>near miss body gone</p></details>"
+        ))
+        assert texts == ["only the summary shows"], attr
+
+
+def test_v34_dialog_open_gating():
+    texts = _html_parity(_H34.format(
+        "<dialog><p>closed modal never shows</p></dialog>"
+        "<p>page body text renders</p>"
+        "<dialog open><p>open modal text shows</p></dialog>"
+    ))
+    assert texts == ["page body text renders", "open modal text shows"]
+
+
+def test_v34_summary_placement_rules():
+    # second summary child is content; deep summary never shows
+    texts = _html_parity(_H34.format(
+        "<details><summary>first widget shows here</summary>"
+        "<summary>second summary is hidden</summary></details>"
+        "<details><div><summary>deep summary is hidden</summary></div>"
+        "</details>"
+    ))
+    assert texts == ["first widget shows here"]
+    # a summary inside an OPEN details is ordinary rendered content
+    texts2 = _html_parity(_H34.format(
+        "<details open><summary>open widget label here</summary></details>"
+    ))
+    assert texts2 == ["open widget label here"]
+
+
+def test_v34_nested_disclosure():
+    """A closed details inside a visible summary shows its own first
+    summary but hides both bodies — the cdet>vsum counter form."""
+    texts = _html_parity(_H34.format(
+        "<details><summary>outer label shows <details>"
+        "<summary>inner label shows</summary><p>inner body gone</p>"
+        "</details></summary><p>outer body gone</p></details>"
+    ))
+    assert texts == ["outer label shows", "inner label shows"]
+
+
+def test_v34_table_interplay_pinned_both_ways():
+    # table inside closed details: no cell text, skeleton dropped+counted
+    k, spans, drop = extract_payload(_H34.format(
+        "<details><table><tr><td>hidden cell text gone</td></tr></table>"
+        "</details><p>after the table renders</p>"
+    ))
+    o = _ora(_H34.format(
+        "<details><table><tr><td>hidden cell text gone</td></tr></table>"
+        "</details><p>after the table renders</p>"
+    ))
+    assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in spans] == ["after the table renders"]
+    # details inside TABLE MODE is intercepted: content extracts (pinned)
+    texts = _html_parity(_H34.format(
+        "<table><tr><td><details><summary>kept summary text</summary>"
+        "</details></td><td>plain cell text</td></tr></table>"
+    ))
+    assert texts == ["kept summary text | plain cell text"]
+
+
+def test_v34_hidden_wins_inside_open_details():
+    """v29 hidden attrs compose: a hidden child of an OPEN details still
+    vanishes; an open details with the hidden attr vanishes wholly."""
+    texts = _html_parity(_H34.format(
+        "<details open><summary>shown widget label here</summary>"
+        "<p hidden>still hidden body text</p></details>"
+        "<details open hidden><summary>whole thing hidden now</summary>"
+        "</details>"
+    ))
+    assert texts == ["shown widget label here"]
+
+
+def test_v34_stray_closes_clamp():
+    texts = _html_parity(_H34.format(
+        "</details></summary></dialog>"
+        "<p>stray closes are harmless no-ops</p>"
+    ))
+    assert texts == ["stray closes are harmless no-ops"]
+
+
+def test_v34_truncation_never_raises():
+    doc = _H34.format(
+        "<details><summary>alpha beta gamma delta</summary>"
+        "<dialog open><p>epsilon zeta eta theta</p></dialog></details>"
+    )
+    for cut in range(len(doc)):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = _ora(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+def test_v34_corpus_fuzz_parity():
+    n_closed = n_open = n_dialog = n_near = 0
+    for seed in range(15800, 16600):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<details><summary>" in doc:
+            n_closed += 1
+        if "<details open" in doc or "<details OPEN" in doc:
+            n_open += 1
+        if "<dialog" in doc:
+            n_dialog += 1
+        if "data-open" in doc or 'class="open"' in doc or "aria-open" in doc:
+            n_near += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_closed >= 20 and n_open >= 10 and n_dialog >= 5 and n_near >= 5
