@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 34  # v34: open-gated <details>/<summary>/<dialog>
+CORPUS_VERSION = 35  # v35: ruby annotations (rp hides, rt renders)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -63,6 +63,9 @@ def _sent(rng: random.Random, words: List[str], k: int) -> str:
 
 def _make_html(rng: random.Random, words: List[str]) -> str:
     """v17 depth: HTML5 constructs real web pages actually carry —
+    v35: ruby annotations (SPEC §2.2) — <rp> fallback parens never
+    render (UA stylesheet), <rt> gloss text renders inline; multi-
+    segment ruby, table interplay and stray-close traps.
     v34: open-gated elements (SPEC §2.2) — closed <details> hide their
     body while the first direct-child <summary> shows; every boolean
     `open` form (bare/empty/case/valued — open="false" is OPEN) renders;
@@ -332,6 +335,38 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 # details INSIDE table mode: intercepted, content extracts
                 f"<table><tr><td><details><summary>{dw} kept</summary>"
                 f"</details></td><td>{w()} cell</td></tr></table>",
+            )))
+    if rng.random() < 0.08:  # v35: ruby annotations — rp hides, rt renders
+        r35 = rng.random()
+        base, gloss = rng.choice(
+            (("漢字", "kanji"), ("東京", "tokyo"), ("振り仮名", "furigana"))
+        )
+        if r35 < 0.40:  # full rp/rt form: parens vanish, gloss stays
+            parts.append(
+                f"<p>the term <ruby>{base}<rp>(</rp><rt>{gloss}</rt>"
+                f"<rp>)</rp></ruby> appears in {_sent(rng, words, 4)}</p>"
+            )
+        elif r35 < 0.65:  # rt-only form (modern markup)
+            parts.append(
+                f"<p>{_sent(rng, words, 3)} <ruby>{base}<rt>{gloss}</rt>"
+                f"</ruby> {w()} tail</p>"
+            )
+        elif r35 < 0.80:  # multi-segment ruby
+            parts.append(
+                f"<p>read <ruby>東<rp>(</rp><rt>tō</rt><rp>)</rp>"
+                f"京<rp>(</rp><rt>kyō</rt><rp>)</rp></ruby>"
+                f" in {_sent(rng, words, 3)}</p>"
+            )
+        elif r35 < 0.90:  # rp inside a table cell: pinned interior no-op
+            parts.append(
+                f"<table><tr><td><ruby>{base}<rp>(</rp><rt>{gloss}</rt>"
+                f"<rp>)</rp></ruby></td><td>{w()} cell</td></tr></table>"
+            )
+        else:  # traps: stray </rp>, rp with attrs, empty rt
+            parts.append(rng.choice((
+                f"<p>{w()} stray</rp> close {_sent(rng, words, 3)}</p>",
+                f'<p><ruby>{base}<rp class="x">[</rp><rt></rt></ruby>'
+                f" {_sent(rng, words, 3)}</p>",
             )))
     if rng.random() < 0.05:  # v17: CDATA-as-bogus-comment residue (pinned)
         parts.append(f"<![CDATA[{w()} > {w()}]]>")

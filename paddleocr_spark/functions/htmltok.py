@@ -462,6 +462,11 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 # disclosure widget (renders).
                 if name == "dialog" and not tag_open:
                     tag_hidden = True
+                elif name == "rp":
+                    # v35: ruby fallback parens — the HTML5 UA stylesheet
+                    # hides rp in ruby-supporting rendering (rt stays
+                    # inline, the innerText behavior)
+                    tag_hidden = True
                 is_cdet = name == "details" and not tag_open
                 is_vsum = False
                 if name == "summary" and stack and stack[-1][7] and not cdet_seen[-1]:

@@ -996,3 +996,69 @@ def test_v34_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_closed >= 20 and n_open >= 10 and n_dialog >= 5 and n_near >= 5
+
+
+# ---------------------------------------------------------------------------
+# v35: ruby annotations (SPEC §2.2 Ruby annotations)
+# ---------------------------------------------------------------------------
+
+
+def test_v35_rp_hides_rt_renders():
+    texts = _html_parity(_H34.format(
+        "<p>the term <ruby>漢字<rp>(</rp><rt>kanji</rt><rp>)</rp></ruby>"
+        " appears here often</p>"
+    ))
+    assert texts == ["the term 漢字kanji appears here often"]
+
+
+def test_v35_multi_segment_and_rt_only():
+    texts = _html_parity(_H34.format(
+        "<p>read <ruby>東<rp>(</rp><rt>tō</rt><rp>)</rp>"
+        "京<rp>(</rp><rt>kyō</rt><rp>)</rp></ruby> aloud slowly now</p>"
+        "<p>modern <ruby>振り仮名<rt>furigana</rt></ruby> markup here</p>"
+    ))
+    assert texts == [
+        "read 東tō京kyō aloud slowly now",
+        "modern 振り仮名furigana markup here",
+    ]
+
+
+def test_v35_rp_is_inline_no_flush():
+    """rp must NOT split the paragraph (it is a hidden inline, not a
+    block): one candidate, not three."""
+    k, spans, drop = extract_payload(_H34.format(
+        "<p>alpha <ruby>x<rp>(</rp><rt>y</rt><rp>)</rp></ruby> beta"
+        " gamma delta epsilon</p>"
+    ))
+    assert len(spans) == 1 and spans[0][2] == "alpha xy beta gamma delta epsilon"
+
+
+def test_v35_table_interplay_and_stray_close():
+    # rp inside TABLE MODE is intercepted: parens join the cell (pinned)
+    texts = _html_parity(_H34.format(
+        "<table><tr><td><ruby>漢字<rp>(</rp><rt>kanji</rt><rp>)</rp>"
+        "</ruby></td><td>plain cell text</td></tr></table>"
+    ))
+    assert texts == ["漢字(kanji) | plain cell text"]
+    # stray </rp> clamps
+    texts2 = _html_parity(_H34.format(
+        "<p>stray</rp> close is a harmless no-op</p>"
+    ))
+    assert texts2 == ["stray close is a harmless no-op"]
+
+
+def test_v35_corpus_fuzz_parity():
+    n_ruby = n_rp = n_cell = 0
+    for seed in range(16600, 17400):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<ruby>" in doc:
+            n_ruby += 1
+        if "<rp>" in doc:
+            n_rp += 1
+        if "<td><ruby>" in doc:
+            n_cell += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_ruby >= 25 and n_rp >= 15 and n_cell >= 2
