@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 35  # v35: ruby annotations (rp hides, rt renders)
+CORPUS_VERSION = 36  # v36: optional-content (OCG/OCMD) layers
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -777,6 +777,13 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     applies to every glyph), range and run group forms, ref'd /W and
     ref'd /DescendantFonts arrays, /DW2 noise, and refusal traps that
     must fall back to any v25 table on the same font.
+    v36: ~12% of payloads carry optional-content machinery (ISO 32000
+    §8.11) — a catalog /OCProperties (inline or ref'd) whose /D /OFF
+    lists the watermark OCG, page-resource /Properties naming OFF/ON
+    OCGs and an OCMD (all-OFF, single-ref, AnyOn and empty /OCGs
+    draws), /OC BDC layers that must vanish or render accordingly, and
+    render traps (unknown property name, inline dict, BMC /OC, dangling
+    /OFF refs, /OFF-less configs).
     v25: ~14% of payloads carry a /FirstChar + /Widths advance table
     (ISO 32000 §9.7.4) — on the identity /F1 when no encoded scheme is
     drawn, else threaded into the /F9 body font (1-byte schemes key
@@ -810,6 +817,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     use_mc = rng.random() < 0.35  # v24: marked-content payloads
     use_widths = rng.random() < 0.14  # v25: per-code advance widths
     use_annots = rng.random() < 0.10  # v27: text-bearing annotations
+    use_oc = rng.random() < 0.12  # v36: optional-content layers
     annot_objs: List[tuple] = []
     # v21: page-tree ordering draws (see the docstring)
     shuffle_pages = n_pages >= 2 and rng.random() < 0.5
@@ -1223,6 +1231,43 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         f"q 1 0 0 {cy} cm",
                         f"BT /F1 {fs} Tf {cx} {cy} Td", l1,
                         f"1 0 0 1 0 -{ll * 2} cm", l2, "ET", "Q", "Q"]
+        if use_oc and rng.random() < 0.85:
+            # v36: optional-content layers — an OFF /WM watermark (must
+            # vanish), an ON /VIS layer (must render), the /MD OCMD
+            # (verdict per its /OCGs draw), and render traps (unknown
+            # name, inline dict, BMC /OC)
+            roc2 = rng.random()
+            wmtxt = f"(LAYER {_pdf_str(_sent(rng, words, 2))}) Tj"
+            vistxt = f"({_pdf_str(_sent(rng, words, 4))} layered) Tj"
+            if roc2 < 0.40:
+                ops += [
+                    "BT", f"/F1 {rng.choice((18, 24))} Tf"
+                    f" {rng.randint(140, 300)} {rng.randint(320, 520)} Td",
+                    "/OC /WM BDC", wmtxt, "EMC",
+                    f"0 -30 Td /OC /VIS BDC {vistxt} EMC", "ET",
+                ]
+            elif roc2 < 0.60:  # the OCMD-gated layer
+                ops += [
+                    "BT", f"/F1 10 Tf 90 {rng.randint(260, 480)} Td",
+                    "/OC /MD BDC", vistxt, "EMC", "ET",
+                ]
+            elif roc2 < 0.75:  # nested: visible layer inside hidden one
+                ops += [
+                    "BT", f"/F1 11 Tf 96 {rng.randint(250, 470)} Td",
+                    "/OC /WM BDC", wmtxt,
+                    "/OC /VIS BDC", wmtxt, "EMC", "EMC",
+                    f"0 -28 Td {vistxt}", "ET",
+                ]
+            else:  # render traps
+                ops += [
+                    "BT", f"/F1 10 Tf 102 {rng.randint(240, 460)} Td",
+                    rng.choice((
+                        f"/OC /Zq BDC {vistxt} EMC",          # unknown name
+                        f"/OC << /Type /OCG >> BDC {vistxt} EMC",  # inline
+                        f"/OC BMC {vistxt} EMC",             # no property
+                    )),
+                    "ET",
+                ]
         if use_mc and rng.random() < 0.22:
             # v24: a mid-page watermark artifact — unlike the header band
             # (which the y-band rule drops anyway) this would otherwise be
@@ -1310,8 +1355,24 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             root_ref = "77 0 R"  # dead catalog ref: byte order stands
         else:
             orphan_page = True  # page outside the tree: appended after
+    oc_decl = ""
+    if use_oc:
+        roc = rng.random()
+        don = " /ON [57 0 R]" if rng.random() < 0.5 else ""
+        if roc < 0.10:  # trap: no /OFF — nothing hides
+            dcfg = f"/D <<{don} /Name (cfg) >>"
+        elif roc < 0.25:  # dangling ref in /OFF (harmless) + real OFF
+            dcfg = f"/D << /OFF [97 0 R 56 0 R]{don} >>"
+        else:
+            dcfg = f"/D << /OFF [56 0 R]{don} >>"
+        oc_inner = f"/OCGs [56 0 R 57 0 R] {dcfg}"
+        oc_refd = rng.random() < 0.25
+        if oc_refd:  # ref'd /OCProperties dict
+            oc_decl = " /OCProperties 59 0 R"
+        else:
+            oc_decl = f" /OCProperties << {oc_inner} >>"
     objs = [
-        "<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Catalog /Pages 2 0 R{oc_decl} >>",
         f"<< /Type /Pages /Kids [{' '.join(kid_refs)}]"
         f" /Count {n_pages} /MediaBox [0 0 {mb_w} {mb_h}]{pages_rot} >>",
     ]
@@ -1332,6 +1393,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             f"/XObject << /Fx {xbase} 0 R /Im {xbase + 2} 0 R"
             f" /Bad {first_content} 0 R >>"
         )
+    if use_oc:
+        # v36: named optional-content properties — /WM rides the OFF
+        # OCG, /VIS the ON one, /MD an OCMD whose verdict varies
+        res_inner.append("/Properties << /WM 56 0 R /VIS 57 0 R /MD 58 0 R >>")
     res = f" /Resources << {' '.join(res_inner)} >>" if res_inner else ""
     # v15: ~25% of resource-bearing payloads hoist /Resources onto the
     # Pages node — every kid inherits it via the /Parent walk (ISO
@@ -1668,6 +1733,24 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             cid_decl = " /DescendantFonts 55 0 R"
         else:
             cid_decl = " /DescendantFonts [53 0 R]"
+    if use_oc:
+        # v36: the OCG / OCMD objects the /Properties names resolve to
+        parts.append(
+            "56 0 obj\n<< /Type /OCG /Name (Watermark) >>\nendobj"
+        )
+        parts.append("57 0 obj\n<< /Type /OCG /Name (Body) >>\nendobj")
+        rmd = rng.random()
+        if rmd < 0.40:  # all-OFF OCMD: hidden
+            md = "<< /Type /OCMD /OCGs [56 0 R] >>"
+        elif rmd < 0.60:  # single-ref form, OFF
+            md = "<< /Type /OCMD /OCGs 56 0 R >>"
+        elif rmd < 0.85:  # AnyOn: one ON member keeps it visible
+            md = "<< /Type /OCMD /OCGs [56 0 R 57 0 R] >>"
+        else:  # empty /OCGs: visible
+            md = "<< /Type /OCMD /OCGs [] >>"
+        parts.append(f"58 0 obj\n{md}\nendobj")
+        if oc_refd:
+            parts.append(f"59 0 obj\n<< {oc_inner} >>\nendobj")
     if scheme:  # v6: font + ToUnicode CMap objects (after the content streams)
         def _cmap_body(sch) -> str:
             kind, m = sch

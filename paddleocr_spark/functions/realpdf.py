@@ -1585,6 +1585,66 @@ def _font_table(text: str, objs: dict, vobjs: dict, res):
     return fonts
 
 
+def _off_ocgs(text: str, objs: dict, vobjs: dict) -> frozenset:
+    """OFF-by-default OCG object numbers (SPEC §3b Optional content,
+    v36; ISO 32000 §8.11.4.3): /OCProperties → /D → /OFF [refs]. Any
+    failure → empty set (everything renders)."""
+    ocp = _key_dict_body(text, "/OCProperties", text, objs, vobjs)
+    if ocp is None:
+        return frozenset()
+    d = _key_dict_body(ocp, "/D", text, objs, vobjs)
+    if d is None:
+        return frozenset()
+    k = d.find("/OFF")
+    if k < 0:
+        return frozenset()
+    after = k + len("/OFF")
+    if after < len(d) and d[after] not in _WS and d[after] not in _DELIM:
+        return frozenset()
+    j = _skip_ws(d, after)
+    if d[j : j + 1] != "[":
+        return frozenset()
+    return frozenset(_read_ref_list(d, j))
+
+
+def _oc_hidden_names(
+    text: str, objs: dict, vobjs: dict, res, off: frozenset
+) -> frozenset:
+    """Resources /Properties → the set of property NAMES whose optional-
+    content group (or OCMD) is OFF (SPEC §3b Optional content, v36).
+    A body with a token-exact /OCGs is an OCMD: hidden iff its ref list
+    (single ref or inline array) is non-empty and every member is OFF —
+    the /AnyOn default policy. A plain OCG hides iff its own number is
+    OFF. Resolution failures render (never hide)."""
+    if res is None or not off:
+        return frozenset()
+    pdict = _key_dict_body(res, "/Properties", text, objs, vobjs)
+    if pdict is None:
+        return frozenset()
+    hidden = set()
+    for nm, num in _name_ref_pairs(pdict):
+        body = _obj_body(text, objs, vobjs, num)
+        if body is None:
+            continue
+        k = body.find("/OCGs")
+        if k >= 0 and (
+            k + 5 >= len(body)
+            or body[k + 5] in _WS
+            or body[k + 5] in _DELIM
+        ):
+            j = _skip_ws(body, k + 5)
+            if body[j : j + 1] == "[":
+                refs = _read_ref_list(body, j)
+            else:
+                r, _ = _read_ref(body, k + 5)
+                refs = [r] if r is not None else []
+            if refs and all(r in off for r in refs):
+                hidden.add(nm)
+        elif num in off:
+            hidden.add(nm)
+    return frozenset(hidden)
+
+
 def _xobject_table(text: str, objs: dict, vobjs: dict, res) -> dict:
     """Resolved /Resources dict body → {xobject name: object number} via
     /XObject (SPEC §3b Form XObjects, v9). Pure name→number: the target
@@ -1782,8 +1842,11 @@ _GSTACK_MAX = 64  # q-nesting cap (v20): pushes past it are counted, their
 # matching Q absorbed without restoring — balance survives hostile streams
 
 
-def _make_form_resolver(text: str, objs: dict, vobjs: dict):
-    """Object number → (content, fonts, xobjects, /Matrix 6-tuple) for
+def _make_form_resolver(
+    text: str, objs: dict, vobjs: dict, off: frozenset = frozenset()
+):
+    """Object number → (content, fonts, xobjects, /Matrix 6-tuple,
+    hidden optional-content names — v36) for
     /Subtype /Form stream objects, or None (SPEC §3b Form XObjects, v9;
     the full matrix since v20 — it composes with the CTM at Do): direct
     objects only, stream decoded through its own filter chain, resources
@@ -1831,6 +1894,7 @@ def _make_form_resolver(text: str, objs: dict, vobjs: dict):
             _font_table(text, objs, vobjs, res_f),
             _xobject_table(text, objs, vobjs, res_f),
             _matrix6(params),
+            _oc_hidden_names(text, objs, vobjs, res_f, off),
         )
         cache[num] = entry
         return entry
@@ -2065,7 +2129,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                boxes: Optional[List[Box]] = None,
                rot: int = 0,
                crop: Tuple[float, float] = (0.0, 0.0),
-               ctm: Tuple[float, ...] = _IDENT) -> Tuple[List[Box], int]:
+               ctm: Tuple[float, ...] = _IDENT,
+               ocnames: frozenset = frozenset()) -> Tuple[List[Box], int]:
     """One content stream → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts`` maps font names to CMap
     entries (SPEC §3b Fonts, v6): ``Tf`` switches the active map and
@@ -2405,12 +2470,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        fc, ff, fx, fmat = form
+                        fc, ff, fx, fmat, focn = form
                         _b, sup = _interpret(
                             fc, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
-                            ctm=_compose(fmat, ctm),
+                            ctm=_compose(fmat, ctm), ocnames=focn,
                         )  # crop already folded into (ox, oy); the form
                         # /Matrix composes with the CTM at Do (v20)
                         suppressed += sup
@@ -2466,6 +2531,17 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 at_consumed = False
                 owns = True
             is_art = tag == "Artifact"
+            if not is_art and tag == "OC" and ocnames:
+                # v36: an OFF optional-content level suppresses exactly
+                # like /Artifact; the property must be the SECOND name
+                # operand (inline dicts have no identity — render)
+                if (
+                    len(stack) >= 2
+                    and isinstance(stack[1], tuple)
+                    and stack[1][0] == "n"
+                    and stack[1][1] in ocnames
+                ):
+                    is_art = True
             mc_stack.append((is_art, owns))
             if is_art:
                 art_depth += 1
@@ -2756,6 +2832,7 @@ def _content_resources(text: str):
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
+        and "/OCProperties" not in text  # v36: optional-content OFF layers
         and text.count("/MediaBox") < 2
         and not _CONTENTS_ARR_RE.search(text)
     ):
@@ -2771,6 +2848,8 @@ def _content_resources(text: str):
     want_xobj = "/XObject" in text
     want_crop = "/CropBox" in text  # v19: gates the extra geometry walk
     want_annots = "/Annots" in text  # v27
+    want_oc = "/OCProperties" in text  # v36: optional content
+    off = _off_ocgs(text, objs, vobjs) if want_oc else frozenset()
     by_content: dict = {}
     part_of: dict = {}
     groups: dict = {}
@@ -2788,7 +2867,12 @@ def _content_resources(text: str):
         xobjs = _xobject_table(text, objs, vobjs, res_p) if want_xobj else {}
         geo = _page_geometry(text, objs, vobjs, body, dflt, want_crop)
         annots = _page_annots(text, objs, vobjs, body) if want_annots else ()
-        entry = (fonts, xobjs, geo, annots)
+        och = (
+            _oc_hidden_names(text, objs, vobjs, res_p, off)
+            if want_oc
+            else frozenset()
+        )
+        entry = (fonts, xobjs, geo, annots, och)
         if len(refs) == 1:
             by_content[refs[0]] = entry
             keys_of_page[num] = refs[0]
@@ -2801,7 +2885,7 @@ def _content_resources(text: str):
             keys_of_page[num] = num  # group units are keyed by the page obj
             for r in streamable:
                 part_of[r] = num  # a shared part: the LAST page wins
-    resolver = _make_form_resolver(text, objs, vobjs) if want_xobj else None
+    resolver = _make_form_resolver(text, objs, vobjs, off) if want_xobj else None
     # v21: page-tree ordering — map each page's scan-unit key to its tree
     # position. A content object shared by two tree pages keeps the LAST
     # tree listing's position (pinned, mirroring the shared-part rule).
@@ -2924,10 +3008,10 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy), annots, och = entry
             boxes, suppressed = _interpret(
                 content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot,
-                crop=(cx, cy),
+                crop=(cx, cy), ocnames=och,
             )
             skipped += suppressed
             if annots:  # v27: annotation boxes follow the content boxes
@@ -2963,13 +3047,14 @@ def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         fonts = xobjs = None
         pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
         annots = ()
+        och = frozenset()
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy), annots, och = entry
         boxes, suppressed = _interpret(
             content, pw, ph, cfg, fonts, xobjs, resolver, rot=rot,
-            crop=(cx, cy),
+            crop=(cx, cy), ocnames=och,
         )
         skipped += suppressed
         if annots:  # v27: annotation boxes follow the content boxes

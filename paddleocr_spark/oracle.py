@@ -1727,8 +1727,83 @@ _RPDF_FORM_MAX_DEPTH = 8
 _RPDF_GSTACK_MAX = 64  # q-nesting cap mirror (v20)
 
 
-def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
-    """Object number → (token list, fonts, xobjects, /Matrix 6-tuple) for
+def _rpdf_arr_refs(s: str, i: int):
+    """Refs from the ``[`` at ``i`` until ``]`` or the first non-ref (the
+    /Contents-array rule — the oracle's regex form)."""
+    out = []
+    i += 1
+    while True:
+        i = _RPDF_WSRUN_RE.match(s, i).end()
+        if i >= len(s) or s[i] == "]":
+            return out
+        m = _RPDF_REFVAL0_RE.match(s, i)
+        if m is None:
+            return out
+        out.append(int(m.group(1)))
+        i = m.end()
+
+
+def _rpdf_off_ocgs(text: str, objs: dict, vobjs: dict) -> frozenset:
+    """Mirror of the kernel OFF-set rule (SPEC §3b Optional content,
+    v36): /OCProperties → /D → /OFF [refs]; any failure → empty."""
+    ocp = _rpdf_key_dict(text, "/OCProperties", text, objs, vobjs)
+    if ocp is None:
+        return frozenset()
+    d = _rpdf_key_dict(ocp, "/D", text, objs, vobjs)
+    if d is None:
+        return frozenset()
+    k = d.find("/OFF")
+    if k < 0 or (
+        k + 4 < len(d)
+        and not re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", d[k + 4])
+    ):
+        return frozenset()
+    i = _RPDF_WSRUN_RE.match(d, k + 4).end()
+    if d[i : i + 1] != "[":
+        return frozenset()
+    return frozenset(_rpdf_arr_refs(d, i))
+
+
+def _rpdf_oc_hidden(
+    text: str, objs: dict, vobjs: dict, res, off: frozenset
+) -> frozenset:
+    """Mirror of the kernel hidden-property-name rule (SPEC §3b Optional
+    content, v36): /Properties entries resolve to OFF verdicts; /OCGs =
+    OCMD with the AnyOn policy; plain OCG by own number; failures render."""
+    if res is None or not off:
+        return frozenset()
+    pdict = _rpdf_key_dict(res, "/Properties", text, objs, vobjs)
+    if pdict is None:
+        return frozenset()
+    hidden = set()
+    for fm in _RPDF_FONTENT_RE.finditer(pdict):
+        nm, num = fm.group(1), int(fm.group(2))
+        body = _rpdf_obj_body(text, objs, vobjs, num)
+        if body is None:
+            continue
+        k = body.find("/OCGs")
+        if k >= 0 and (
+            k + 5 >= len(body)
+            or re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[k + 5])
+        ):
+            i = _RPDF_WSRUN_RE.match(body, k + 5).end()
+            if body[i : i + 1] == "[":
+                refs = _rpdf_arr_refs(body, i)
+            else:
+                m = _RPDF_REFVAL_RE.match(body, k + 5)
+                refs = [int(m.group(1))] if m else []
+            if refs and all(r in off for r in refs):
+                hidden.add(nm)
+        elif num in off:
+            hidden.add(nm)
+    return frozenset(hidden)
+
+
+def _rpdf_form_resolver(
+    text: str, objs: dict, vobjs: dict, off: frozenset = frozenset()
+):
+    """Object number → (token list, fonts, xobjects, /Matrix 6-tuple,
+    hidden optional-content names — v36) for
     /Subtype /Form direct stream objects, else None (SPEC §3b Form
     XObjects, v9; full matrix since v20) —
     memoized; the oracle resolves to TOKENS where the kernel resolves to a
@@ -1767,6 +1842,11 @@ def _rpdf_form_resolver(text: str, objs: dict, vobjs: dict):
                 _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
             ),
             _rpdf_matrix6(params),
+            _rpdf_oc_hidden(
+                text, objs, vobjs,
+                _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
+                off,
+            ),
         )
         cache[num] = entry
         return entry
@@ -2091,6 +2171,7 @@ def _rpdf_content_resources(text: str):
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
+        and "/OCProperties" not in text  # v36: optional-content OFF layers
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
@@ -2105,6 +2186,8 @@ def _rpdf_content_resources(text: str):
     vobjs = _rpdf_objstm_bodies(text, objs) if "/ObjStm" in text else {}
     want_xobj = "/XObject" in text
     want_annots = "/Annots" in text  # v27
+    want_oc = "/OCProperties" in text  # v36
+    ocoff = _rpdf_off_ocgs(text, objs, vobjs) if want_oc else frozenset()
     by_content = {}
     part_of: dict = {}
     groups: dict = {}
@@ -2130,7 +2213,12 @@ def _rpdf_content_resources(text: str):
         annots = (
             _rpdf_page_annots(text, objs, vobjs, body) if want_annots else ()
         )
-        entry = (fonts, xobjs, geo, annots)
+        och = (
+            _rpdf_oc_hidden(text, objs, vobjs, res_p, ocoff)
+            if want_oc
+            else frozenset()
+        )
+        entry = (fonts, xobjs, geo, annots, och)
         if len(refs) == 1:
             by_content[refs[0]] = entry
             keys_of_page[num] = refs[0]
@@ -2143,7 +2231,7 @@ def _rpdf_content_resources(text: str):
             keys_of_page[num] = num  # group units keyed by the page obj
             for r in streamable:
                 part_of[r] = num  # a shared part: the LAST page wins
-    resolver = _rpdf_form_resolver(text, objs, vobjs) if want_xobj else None
+    resolver = _rpdf_form_resolver(text, objs, vobjs, ocoff) if want_xobj else None
     # v21: unit key → tree position; a content object shared by two tree
     # pages keeps the LAST tree listing's position (pinned)
     tree_pos = None
@@ -2451,7 +2539,7 @@ def _rpdf_atext(s: str):
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
                     depth=0, chain=frozenset(), boxes=None, rot=0,
-                    crop=(0.0, 0.0), ctm=_RPDF_IDENT):
+                    crop=(0.0, 0.0), ctm=_RPDF_IDENT, ocnames=frozenset()):
     """Pass 2: token list → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
     switches the active map (SPEC §3b Fonts, v6) and show-strings decode
@@ -2606,12 +2694,12 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        ftoks, ff, fx, fmat = form
+                        ftoks, ff, fx, fmat, focn = form
                         _b, sup = _rpdf_interpret(
                             ftoks, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
-                            ctm=_rpdf_compose(fmat, ctmb[0]),
+                            ctm=_rpdf_compose(fmat, ctmb[0]), ocnames=focn,
                         )
                         state["sup"] += sup
         elif op == "q":
@@ -2656,6 +2744,15 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 atx[1] = False
                 owns = True
             is_art = tag == "Artifact"
+            if not is_art and tag == "OC" and ocnames:
+                # v36: OFF optional content suppresses like /Artifact;
+                # the property = SECOND name operand (inline dicts render)
+                if (
+                    len(stack) >= 2
+                    and stack[1][0] == "name"
+                    and stack[1][1] in ocnames
+                ):
+                    is_art = True
             mcs.append((is_art, owns))
             if is_art:
                 art[0] += 1
@@ -2841,10 +2938,10 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy), annots, och = entry
             boxes, sup = _rpdf_interpret(
                 _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs,
-                resolver, rot=rot, crop=(cx, cy),
+                resolver, rot=rot, crop=(cx, cy), ocnames=och,
             )
             dropped += sup
             if annots:  # v27: annotation boxes follow the content boxes
@@ -2872,13 +2969,14 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         fonts = xobjs = None
         pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
         annots = ()
+        och = frozenset()
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot, cx, cy), annots = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy), annots, och = entry
         boxes, sup = _rpdf_interpret(
             _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver,
-            rot=rot, crop=(cx, cy),
+            rot=rot, crop=(cx, cy), ocnames=och,
         )
         dropped += sup
         if annots:  # v27: annotation boxes follow the content boxes

@@ -3668,3 +3668,171 @@ def test_v33_truncation_fuzz_cidw():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v36: optional content — OCG/OCMD layers (SPEC §3b Optional content;
+# ISO 32000 §8.11)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_oc(props: str, ocp: str, extra: str = "", ops: str = None) -> str:
+    ops = ops or (
+        "BT /F1 12 Tf 72 700 Td (visible body text here) Tj ET\n"
+        "/OC /P0 BDC BT /F1 10 Tf 72 650 Td (watermark layer text) Tj ET EMC\n"
+        "BT /F1 12 Tf 72 600 Td (more visible text here) Tj ET"
+    )
+    return (
+        "%PDF-1.5\n"
+        f"1 0 obj\n<< /Type /Catalog /Pages 2 0 R {ocp} >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        f" /Resources << /Properties {props} >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        f"{extra}"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+_OCG6 = "6 0 obj\n<< /Type /OCG /Name (Watermark) >>\nendobj\n"
+
+
+def test_v36_off_layer_vanishes_and_counts():
+    k, spans, drop = extract_payload(_pdf_oc(
+        "<< /P0 6 0 R >>",
+        "/OCProperties << /OCGs [6 0 R] /D << /OFF [6 0 R] >> >>",
+        _OCG6,
+    ))
+    o = oracle_extract(_pdf_oc(
+        "<< /P0 6 0 R >>",
+        "/OCProperties << /OCGs [6 0 R] /D << /OFF [6 0 R] >> >>",
+        _OCG6,
+    ))
+    assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in spans] == [
+        "visible body text here", "more visible text here"
+    ]
+    assert drop == 1  # the suppressed show counts
+
+
+def test_v36_on_and_absent_configs_render():
+    for ocp in (
+        "/OCProperties << /OCGs [6 0 R] /D << /ON [6 0 R] >> >>",  # not OFF
+        "",  # no /OCProperties at all (the gate fast path)
+        "/OCProperties << /D << >> >>",  # /OFF absent
+    ):
+        spans = _parity(_pdf_oc("<< /P0 6 0 R >>", ocp, _OCG6))
+        assert [s[2] for s in spans] == [
+            "visible body text here", "watermark layer text",
+            "more visible text here",
+        ], ocp
+
+
+def test_v36_ocproperties_by_ref():
+    spans = _parity(_pdf_oc(
+        "<< /P0 6 0 R >>", "/OCProperties 9 0 R",
+        _OCG6 + "9 0 obj\n<< /OCGs [6 0 R] /D << /OFF [6 0 R] >> >>\nendobj\n",
+    ))
+    assert [s[2] for s in spans] == [
+        "visible body text here", "more visible text here"
+    ]
+
+
+def test_v36_ocmd_anyon_policy():
+    # all members OFF -> hidden (array and single-ref forms)
+    for ocgs in ("[6 0 R]", "6 0 R"):
+        spans = _parity(_pdf_oc(
+            "<< /P0 7 0 R >>",
+            "/OCProperties << /D << /OFF [6 0 R] >> >>",
+            _OCG6 + f"7 0 obj\n<< /Type /OCMD /OCGs {ocgs} >>\nendobj\n",
+        ))
+        assert [s[2] for s in spans] == [
+            "visible body text here", "more visible text here"
+        ], ocgs
+    # one ON member -> visible; empty /OCGs -> visible
+    for ocgs in ("[6 0 R 5 0 R]", "[]"):
+        spans = _parity(_pdf_oc(
+            "<< /P0 7 0 R >>",
+            "/OCProperties << /D << /OFF [6 0 R] >> >>",
+            _OCG6 + "5 0 obj\n<< /Type /OCG >>\nendobj\n"
+            + f"7 0 obj\n<< /Type /OCMD /OCGs {ocgs} >>\nendobj\n",
+        ))
+        assert [s[2] for s in spans] == [
+            "visible body text here", "watermark layer text",
+            "more visible text here",
+        ], ocgs
+
+
+def test_v36_render_traps():
+    """Unknown property name, inline dict, BMC /OC, dangling /OFF ref —
+    all render."""
+    spans = _parity(_pdf_oc(
+        "<< /P9 6 0 R >>",  # content names /P0 — unknown
+        "/OCProperties << /D << /OFF [6 0 R] >> >>", _OCG6,
+    ))
+    assert len(spans) == 3
+    spans2 = _parity(_pdf_oc(
+        "<< /P0 6 0 R >>",
+        "/OCProperties << /D << /OFF [97 0 R] >> >>", _OCG6,
+    ))  # /OFF lists a dangling ref only: 6 is ON
+    assert len(spans2) == 3
+    spans3 = _parity(_pdf_oc(
+        "<< /P0 6 0 R >>",
+        "/OCProperties << /D << /OFF [6 0 R] >> >>", _OCG6,
+        ops="/OC << /Type /OCG >> BDC BT /F1 12 Tf 72 700 Td"
+        " (inline dict renders fine) Tj ET EMC\n"
+        "/OC BMC BT /F1 12 Tf 72 650 Td (bmc has no property) Tj ET EMC",
+    ))
+    assert [s[2] for s in spans3] == [
+        "inline dict renders fine", "bmc has no property"
+    ]
+
+
+def test_v36_nested_oc_and_artifact_interplay():
+    """A visible layer nested inside a hidden one stays suppressed (the
+    v24 stack rule); EMC restores the outer level."""
+    spans = _parity(_pdf_oc(
+        "<< /P0 6 0 R /P1 8 0 R >>",
+        "/OCProperties << /D << /OFF [6 0 R] >> >>",
+        _OCG6 + "8 0 obj\n<< /Type /OCG >>\nendobj\n",
+        ops="/OC /P1 BDC BT /F1 12 Tf 72 700 Td (visible layer text here) Tj ET\n"
+        "/OC /P0 BDC BT /F1 10 Tf 72 650 Td (hidden inner layer) Tj ET EMC\n"
+        "BT /F1 12 Tf 72 600 Td (outer continues fine) Tj ET EMC",
+    ))
+    assert [s[2] for s in spans] == [
+        "visible layer text here", "outer continues fine"
+    ]
+
+
+def test_v36_corpus_fuzz_parity():
+    n_oc = n_refd = n_md = n_trap = 0
+    for seed in range(17400, 18200):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/OCProperties" in doc:
+            n_oc += 1
+        if "/OCProperties 59 0 R" in doc:
+            n_refd += 1
+        if "/OC /MD BDC" in doc:
+            n_md += 1
+        if "/OC /Zq BDC" in doc or "/OC << /Type /OCG >> BDC" in doc or "/OC BMC" in doc:
+            n_trap += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_oc >= 25 and n_refd >= 3 and n_md >= 3 and n_trap >= 3
+
+
+def test_v36_truncation_fuzz_oc():
+    doc = None
+    for seed in range(17400, 19000):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/OCProperties" in d and "/OC /WM BDC" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
