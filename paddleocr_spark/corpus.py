@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 36  # v36: optional-content (OCG/OCMD) layers
+CORPUS_VERSION = 37  # v37: table sections (caption/thead/tfoot)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -66,6 +66,11 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     v35: ruby annotations (SPEC §2.2) — <rp> fallback parens never
     render (UA stylesheet), <rt> gloss text renders inline; multi-
     segment ruby, table interplay and stray-close traps.
+    v37: table sections (SPEC §2.3) — caption text as the table's
+    first line (incl. unclosed/linked captions), thead/tfoot row groups
+    emitting header-first/footer-last regardless of source order (the
+    legacy tfoot-before-tbody form), bare-tr implicit tbody, and a
+    second thead behaving as a plain row group.
     v34: open-gated elements (SPEC §2.2) — closed <details> hide their
     body while the first direct-child <summary> shows; every boolean
     `open` form (bare/empty/case/valued — open="false" is OPEN) renders;
@@ -383,7 +388,35 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
         for _ in range(rng.randint(2, 3)):
             cells = "".join(f"<td>{_sent(rng, words, 2)}</td>" for _ in range(rng.randint(2, 3)))
             rows.append(f"<tr>{cells}</tr>")
-        parts.append("<table>" + "".join(rows) + "</table>")
+        if rng.random() < 0.45:  # v37: table sections + caption
+            r37 = rng.random()
+            cap = (
+                f"<caption>{_sent(rng, words, 3)} caption</caption>"
+                if rng.random() < 0.6
+                else ""
+            )
+            head = f"<thead><tr><th>{w()} col</th><th>{w()} col</th></tr></thead>"
+            foot = f"<tfoot><tr><td>{w()} total</td><td>{w()} sum</td></tr></tfoot>"
+            body = "<tbody>" + "".join(rows) + "</tbody>"
+            if r37 < 0.35:  # legacy HTML4 order: tfoot BEFORE tbody
+                parts.append(f"<table>{cap}{head}{foot}{body}</table>")
+            elif r37 < 0.60:  # modern order
+                parts.append(f"<table>{cap}{head}{body}{foot}</table>")
+            elif r37 < 0.75:  # bare trs after a closed thead (implicit tbody)
+                parts.append(f"<table>{cap}{head}" + "".join(rows) + "</table>")
+            elif r37 < 0.88:  # second thead behaves as a row group
+                parts.append(
+                    f"<table>{head}" + "".join(rows)
+                    + f"<thead><tr><td>{w()} again</td></tr></thead></table>"
+                )
+            else:  # caption traps: unclosed caption / linked caption
+                capt = rng.choice((
+                    f"<caption>{w()} unclosed caption",
+                    f'<caption><a href="/{w()}">{w()} linked</a></caption>',
+                ))
+                parts.append(f"<table>{capt}" + "".join(rows) + "</table>")
+        else:
+            parts.append("<table>" + "".join(rows) + "</table>")
     parts.append("</ARTICLE>" if upper else "</article>")
     parts.append(f"<footer><p>copyright {w()} <a href='/{w()}'>{w()}</a></p></footer>")
     parts.append("</body></html>")

@@ -292,7 +292,15 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
 
     # table mode state
     table_depth = 0
-    table_rows: List[List[str]] = []
+    # v37: rows land in CSS row groups — header rows emit first, footer
+    # rows last, body (incl. implicit tbody) between, each in document
+    # order. Only the FIRST thead/tfoot is the header/footer group.
+    table_secs: dict = {"h": [], "b": [], "f": []}
+    table_sec = "b"
+    table_seen_head = False
+    table_seen_foot = False
+    table_cap: List[str] = []  # v37: caption text pieces
+    in_caption = False
     cell_pieces: Optional[List[str]] = None
     table_link_chars = 0
     table_boiler = False
@@ -344,15 +352,19 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         cur_boiler = False
 
     def flush_table():
-        nonlocal table_rows, table_link_chars, table_boiler, table_hide
-        rows = [" | ".join(r) for r in table_rows if r]
-        t = "\n".join(rows)
+        nonlocal table_secs, table_cap, table_link_chars, table_boiler, table_hide
+        all_rows = table_secs["h"] + table_secs["b"] + table_secs["f"]
+        rows = [" | ".join(r) for r in all_rows if r]
+        cap = collapse_ws("".join(table_cap))  # v37: caption = first line
+        t = "\n".join(([cap] if cap else []) + rows)
         if t.strip() and not table_hide:  # v29: a hidden table renders nothing
             candidates.append(
-                ("table", t, sum(len(c) for r in table_rows for c in r),
+                ("table", t,
+                 sum(len(c) for r in all_rows for c in r) + len(cap),
                  table_link_chars, table_boiler)
             )
-        table_rows = []
+        table_secs = {"h": [], "b": [], "f": []}
+        table_cap = []
         table_link_chars = 0
         table_boiler = False
         table_hide = False
@@ -375,6 +387,10 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             if table_depth > 0:
                 if cell_pieces is not None:
                     cell_pieces.append(piece)
+                    if link_depth > 0:
+                        table_link_chars += len(collapse_ws(piece))
+                elif in_caption:  # v37: caption text collects
+                    table_cap.append(piece)
                     if link_depth > 0:
                         table_link_chars += len(collapse_ws(piece))
                 continue
@@ -413,31 +429,59 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                     if name == "table":
                         table_depth += 1
                     elif name == "tr":
-                        table_rows.append([])
+                        in_caption = False  # v37: implicit caption end
+                        table_secs[table_sec].append([])
                     elif name in ("td", "th") and not self_closing:
+                        in_caption = False
                         cell_pieces = []
-                        if not table_rows:
-                            table_rows.append([])
+                        if not table_secs[table_sec]:
+                            table_secs[table_sec].append([])
                     elif name == "a":
                         link_depth += 1
+                    elif name == "thead":
+                        # v37: only the FIRST thead is the header group
+                        in_caption = False
+                        table_sec = "b" if table_seen_head else "h"
+                        table_seen_head = True
+                    elif name == "tfoot":
+                        in_caption = False
+                        table_sec = "b" if table_seen_foot else "f"
+                        table_seen_foot = True
+                    elif name == "tbody":
+                        in_caption = False
+                        table_sec = "b"
+                    elif name == "caption":
+                        in_caption = True
                 else:
                     if name == "table":
                         table_depth -= 1
                         if table_depth == 0:
                             cell_pieces = None
+                            in_caption = False
                             flush_table()
                     elif name in ("td", "th"):
                         if cell_pieces is not None:
-                            table_rows[-1].append(collapse_ws("".join(cell_pieces)))
+                            rows = table_secs[table_sec]
+                            if not rows:  # section switched mid-cell
+                                rows.append([])
+                            rows[-1].append(collapse_ws("".join(cell_pieces)))
                             cell_pieces = None
                     elif name == "a" and link_depth > 0:
                         link_depth -= 1
+                    elif name in ("thead", "tbody", "tfoot"):
+                        table_sec = "b"  # v37: back to the implicit tbody
+                    elif name == "caption":
+                        in_caption = False
                 continue
 
             if not closing and name == "table" and not self_closing:
                 if cur_pieces:
                     flush()
                 table_depth = 1
+                table_sec = "b"  # v37: fresh section state per table
+                table_seen_head = False
+                table_seen_foot = False
+                in_caption = False
                 table_boiler = boiler_depth > 0
                 table_hide = tag_hidden  # v29 (interior table tags: pinned no-op)
                 continue

@@ -210,14 +210,17 @@ def _oracle_html(text: str, cfg: ExtractConfig):
         blk["boiler_hit"] = False
 
     def end_table():
-        rows = [" | ".join(r) for r in tbl["rows"] if r]
-        joined = "\n".join(rows)
+        # v37: header rows first, footer rows last; caption = first line
+        allr = tbl["secs"]["h"] + tbl["secs"]["b"] + tbl["secs"]["f"]
+        rows = [" | ".join(r) for r in allr if r]
+        cap = _norm("".join(tbl["cap"]))
+        joined = "\n".join(([cap] if cap else []) + rows)
         if joined.strip() and not tbl["hide"]:
             candidates.append(
                 {
                     "kind": "table",
                     "text": joined,
-                    "total": sum(len(c) for r in tbl["rows"] for c in r),
+                    "total": sum(len(c) for r in allr for c in r) + len(cap),
                     "link": tbl["link"],
                     "boiler": tbl["boiler"],
                 }
@@ -252,13 +255,28 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     if name == "table":
                         tbl["depth"] += 1
                     elif name == "tr":
-                        tbl["rows"].append([])
+                        tbl["incap"] = False  # v37: implicit caption end
+                        tbl["secs"][tbl["sec"]].append([])
                     elif name in ("td", "th") and not selfclose:
+                        tbl["incap"] = False
                         tbl["cell"] = []
-                        if not tbl["rows"]:
-                            tbl["rows"].append([])
+                        if not tbl["secs"][tbl["sec"]]:
+                            tbl["secs"][tbl["sec"]].append([])
                     elif name == "a":
                         depth["a"] += 1
+                    elif name == "thead":  # v37: FIRST thead = header group
+                        tbl["incap"] = False
+                        tbl["sec"] = "b" if tbl["sh"] else "h"
+                        tbl["sh"] = True
+                    elif name == "tfoot":
+                        tbl["incap"] = False
+                        tbl["sec"] = "b" if tbl["sf"] else "f"
+                        tbl["sf"] = True
+                    elif name == "tbody":
+                        tbl["incap"] = False
+                        tbl["sec"] = "b"
+                    elif name == "caption":
+                        tbl["incap"] = True
                 else:
                     if name == "table":
                         tbl["depth"] -= 1
@@ -266,10 +284,17 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                             end_table()
                             tbl = None
                     elif name in ("td", "th") and tbl["cell"] is not None:
-                        tbl["rows"][-1].append(_norm("".join(tbl["cell"])))
+                        rows = tbl["secs"][tbl["sec"]]
+                        if not rows:  # section switched mid-cell
+                            rows.append([])
+                        rows[-1].append(_norm("".join(tbl["cell"])))
                         tbl["cell"] = None
                     elif name == "a" and depth["a"] > 0:
                         depth["a"] -= 1
+                    elif name in ("thead", "tbody", "tfoot"):
+                        tbl["sec"] = "b"  # v37: back to the implicit tbody
+                    elif name == "caption":
+                        tbl["incap"] = False
                 continue
 
             if not closing and name == "table" and not selfclose:
@@ -277,7 +302,12 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 low = tok.lower()
                 tbl = {
                     "depth": 1,
-                    "rows": [],
+                    "secs": {"h": [], "b": [], "f": []},  # v37 row groups
+                    "sec": "b",
+                    "sh": False,
+                    "sf": False,
+                    "cap": [],
+                    "incap": False,
                     "cell": None,
                     "link": 0,
                     "boiler": depth["boiler"] > 0,
@@ -357,6 +387,10 @@ def _oracle_html(text: str, cfg: ExtractConfig):
         if tbl is not None:
             if tbl["cell"] is not None:
                 tbl["cell"].append(piece)
+                if depth["a"] > 0:
+                    tbl["link"] += len(_norm(piece))
+            elif tbl["incap"]:  # v37: caption text collects
+                tbl["cap"].append(piece)
                 if depth["a"] > 0:
                     tbl["link"] += len(_norm(piece))
             continue

@@ -1062,3 +1062,90 @@ def test_v35_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_ruby >= 25 and n_rp >= 15 and n_cell >= 2
+
+
+# ---------------------------------------------------------------------------
+# v37: table sections (SPEC §2.3 Table sections)
+# ---------------------------------------------------------------------------
+
+
+def test_v37_caption_is_first_line():
+    texts = _html_parity(_H34.format(
+        "<table><caption>quarterly results table</caption>"
+        "<tr><td>alpha one</td><td>beta two</td></tr></table>"
+    ))
+    assert texts == ["quarterly results table\nalpha one | beta two"]
+
+
+def test_v37_tfoot_before_tbody_renders_last():
+    """The legacy HTML4 source order (tfoot before tbody) still renders
+    footer-last — exactly what browsers lay out."""
+    texts = _html_parity(_H34.format(
+        "<table><thead><tr><th>colA</th><th>colB</th></tr></thead>"
+        "<tfoot><tr><td>total x</td><td>total y</td></tr></tfoot>"
+        "<tbody><tr><td>row one</td><td>row two</td></tr></tbody></table>"
+    ))
+    assert texts == ["colA | colB\nrow one | row two\ntotal x | total y"]
+
+
+def test_v37_bare_tr_after_thead_is_body():
+    texts = _html_parity(_H34.format(
+        "<table><thead><tr><th>hdr cell</th></tr></thead>"
+        "<tr><td>body cell</td></tr></table>"
+    ))
+    assert texts == ["hdr cell\nbody cell"]
+
+
+def test_v37_second_thead_is_a_row_group():
+    """Only the FIRST thead is the header group (CSS table-header-group,
+    the Chrome behavior); a second thead stays in document order."""
+    texts = _html_parity(_H34.format(
+        "<table><thead><tr><td>first head</td></tr></thead>"
+        "<tr><td>mid body</td></tr>"
+        "<thead><tr><td>late head stays put</td></tr></thead></table>"
+    ))
+    assert texts == ["first head\nmid body\nlate head stays put"]
+
+
+def test_v37_caption_implicit_end_and_empty():
+    texts = _html_parity(_H34.format(
+        "<table><caption>implicit caption end<tr><td>cell text</td></tr>"
+        "</table>"
+    ))
+    assert texts == ["implicit caption end\ncell text"]
+    texts2 = _html_parity(_H34.format(
+        "<table><caption>  </caption><tr><td>only cell</td></tr></table>"
+    ))
+    assert texts2 == ["only cell"]
+
+
+def test_v37_caption_link_counts():
+    """A fully-linked caption contributes link chars — an all-link
+    single-cell table with a linked caption must drop on link density."""
+    k, spans, drop = extract_payload(_H34.format(
+        '<table><caption><a href="/x">linked caption text</a></caption>'
+        '<tr><td><a href="/y">linked cell text</a></td></tr></table>'
+    ))
+    o = _ora(_H34.format(
+        '<table><caption><a href="/x">linked caption text</a></caption>'
+        '<tr><td><a href="/y">linked cell text</a></td></tr></table>'
+    ))
+    assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"])
+    assert spans == [] and drop == 1
+
+
+def test_v37_corpus_fuzz_parity():
+    n_cap = n_foot_first = n_head = 0
+    for seed in range(18200, 19000):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<caption>" in doc:
+            n_cap += 1
+        if "</tfoot><tbody>" in doc:
+            n_foot_first += 1
+        if "<thead>" in doc:
+            n_head += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_cap >= 10 and n_foot_first >= 5 and n_head >= 15
