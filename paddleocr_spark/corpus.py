@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 37  # v37: table sections (caption/thead/tfoot)
+CORPUS_VERSION = 38  # v38: Tw single-byte-32 rule (ISO 9.3.3)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -810,6 +810,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     applies to every glyph), range and run group forms, ref'd /W and
     ref'd /DescendantFonts arrays, /DW2 noise, and refusal traps that
     must fall back to any v25 table on the same font.
+    v38: Type0 pages draw a large-Tw block whose 2-byte 0x0020 codes
+    must take no word spacing (ISO §9.3.3 — Tw is single-byte-32 only).
     v36: ~12% of payloads carry optional-content machinery (ISO 32000
     §8.11) — a catalog /OCProperties (inline or ref'd) whose /D /OFF
     lists the watermark OCG, page-resource /Properties naming OFF/ON
@@ -1301,6 +1303,17 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     )),
                     "ET",
                 ]
+        if scheme and scheme[0] in ("id2", "cid") and rng.random() < 0.30:
+            # v38: word spacing vs multi-byte codes — a large Tw must NOT
+            # widen 2-byte 0x0020 codes (ISO §9.3.3); the widths regime
+            # (v33 descendants ride these schemes) makes it observable
+            ops += [
+                "BT",
+                f"{body_font} {fs} Tf {rng.choice((4, 6, 9))} Tw"
+                f" 72 {rng.randint(150, 230)} Td",
+                show(_sent(rng, words, rng.randint(3, 5)), scheme),
+                "ET",
+            ]
         if use_mc and rng.random() < 0.22:
             # v24: a mid-page watermark artifact — unlike the header band
             # (which the y-band rule drops anyway) this would otherwise be

@@ -2321,8 +2321,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         else (wtab[code] if code <= 0xFF else miss)
                     )
                     acc_g += 1
-                    if code == 32:
-                        acc_s += 1
+                    # v38: a 2-byte 0x0020 takes NO word spacing (§9.3.3)
                     i3 += 2
                 else:
                     out2.append(raw[i3])
@@ -2366,7 +2365,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                             else (wtab[code] if code <= 0xFF else miss)
                         )
                         acc_g += 1
-                        if code == 32:
+                        # v38: Tw applies to SINGLE-byte code 32 only
+                        if code == 32 and nb == 1:
                             acc_s += 1
                         i2 += nb
                         break

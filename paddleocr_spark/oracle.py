@@ -2350,8 +2350,7 @@ def _rpdf_show_decode(s: str, entry, wd):
                 out.append("�" if 0xD800 <= code < 0xE000 else chr(code))
                 u += _w(code)
                 g += 1
-                if code == 32:
-                    sp += 1
+                # v38: a 2-byte 0x0020 takes NO word spacing (§9.3.3)
                 i += 2
             else:
                 o0 = ord(s[i])
@@ -2382,7 +2381,8 @@ def _rpdf_show_decode(s: str, entry, wd):
                     out.append(hit)
                     u += _w(acc)
                     g += 1
-                    if acc == 32:
+                    # v38: Tw applies to SINGLE-byte code 32 only
+                    if acc == 32 and nb == 1:
                         sp += 1
                     i += nb
                     break

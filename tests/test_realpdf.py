@@ -3836,3 +3836,94 @@ def test_v36_truncation_fuzz_oc():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v38: word spacing vs multi-byte codes (SPEC §3b; ISO 32000 §9.3.3)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_tw(tw, ops_body, fbody, extra=""):
+    ops = f"BT /F9 10 Tf {tw} Tw 72 700 Td {ops_body} ET"
+    return (
+        "%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(ops)} >>\nstream\n{ops}\nendstream\nendobj\n"
+        f"5 0 obj\n{fbody}\nendobj\n"
+        f"{extra}trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_v38_tw_ignores_two_byte_space_codes():
+    """For a pure 2-byte Identity font in the widths regime, Tw has no
+    effect at all — the §9.3.3 single-byte rule."""
+    body = f"<{_hex16('hello wide world')}> Tj"
+    font = (
+        "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+        " /DescendantFonts [8 0 R] >>"
+    )
+    desc = "8 0 obj\n<< /DW 600 >>\nendobj\n"
+    a = _parity(_pdf_tw(0, body, font, desc))
+    b = _parity(_pdf_tw(9, body, font, desc))
+    assert a == b and a[0][4] == [94, 104, 220, 116]
+
+
+def test_v38_tw_applies_to_single_byte_code_32():
+    """A simple 1-byte font with a width table: each single-byte space
+    takes the full Tw."""
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        " /FirstChar 32 /Widths [" + " ".join(["500"] * 96) + "] >>"
+    )
+    a = _parity(_pdf_tw(0, "(hello wide world) Tj", font))
+    b = _parity(_pdf_tw(6, "(hello wide world) Tj", font))
+    # 16 codes @ .5 -> adv 80; +2 spaces x 6 = +12 -> 92
+    assert a[0][4][2] == round((72 + 80) * 800 / 612)
+    assert b[0][4][2] == round((72 + 92) * 800 / 612)
+
+
+def test_v38_mixed_cmap_one_byte_hit_takes_tw():
+    """A mixed-length CMap where (32,1) maps: the 1-byte space code DOES
+    take Tw while 2-byte codes never do."""
+    cm = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "2 beginbfchar\n<20> <0020>\n<0041> <0042>\nendbfchar\n"
+        "endcmap\nend"
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R"
+        " /DescendantFonts [8 0 R] >>"
+    )
+    extra = (
+        f"6 0 obj\n<< /Length {len(cm)} >>\nstream\n{cm}\nendstream\nendobj\n"
+        "8 0 obj\n<< /DW 500 >>\nendobj\n"
+    )
+    # show: A-pair, 1-byte space, A-pair => 3 glyphs, 1 single-byte space
+    body = "<0041200041> Tj"
+    a = _parity(_pdf_tw(0, body, font, extra))
+    b = _parity(_pdf_tw(8, body, font, extra))
+    assert [s[2] for s in a] == ["B B"] == [s[2] for s in b]
+    # 3 glyphs @ .5 -> 15; one single-byte space x 8 -> +8
+    assert a[0][4][2] == round((72 + 15) * 800 / 612)
+    assert b[0][4][2] == round((72 + 23) * 800 / 612)
+    body2 = "<0041200041200041200041200041> Tj"
+    a2 = _parity(_pdf_tw(0, body2, font, extra))
+    b2 = _parity(_pdf_tw(8, body2, font, extra))
+    # 9 glyphs @ .5 -> 45; 4 single-byte spaces x 8 = +32
+    assert a2[0][4][2] == round((72 + 45) * 800 / 612)
+    assert b2[0][4][2] == round((72 + 77) * 800 / 612)
+
+
+def test_v38_corpus_fuzz_parity():
+    n_tw = 0
+    for seed in range(19000, 19800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if " Tw 72 " in doc:
+            n_tw += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_tw >= 10
