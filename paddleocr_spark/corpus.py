@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 38  # v38: Tw single-byte-32 rule (ISO 9.3.3)
+CORPUS_VERSION = 39  # v39: media fallback content hides
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -66,6 +66,10 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     v35: ruby annotations (SPEC §2.2) — <rp> fallback parens never
     render (UA stylesheet), <rt> gloss text renders inline; multi-
     segment ruby, table interplay and stray-close traps.
+    v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
+    vanish (supporting browsers never render them); inline canvas keeps
+    its paragraph whole; object fallback renders (pinned); traps for
+    self-closing and stray-close forms.
     v37: table sections (SPEC §2.3) — caption text as the table's
     first line (incl. unclosed/linked captions), thead/tfoot row groups
     emitting header-first/footer-last regardless of source order (the
@@ -340,6 +344,37 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 # details INSIDE table mode: intercepted, content extracts
                 f"<table><tr><td><details><summary>{dw} kept</summary>"
                 f"</details></td><td>{w()} cell</td></tr></table>",
+            )))
+    if rng.random() < 0.09:  # v39: media fallback content — must vanish
+        r39 = rng.random()
+        mw = f"{w()} {w()}"
+        if r39 < 0.30:  # video with track/source voids + fallback text
+            parts.append(
+                f'<video controls><source src="/{w()}.mp4">'
+                f'<track kind="captions">'
+                f"<p>{mw} your browser does not support video</p></video>"
+                f"<p>{w()} after media text</p>"
+            )
+        elif r39 < 0.50:  # audio fallback
+            parts.append(
+                f'<audio><source src="/{w()}.ogg">{mw} fallbackgone</audio>'
+            )
+        elif r39 < 0.72:  # inline canvas must NOT split the paragraph
+            parts.append(
+                f"<p>{_sent(rng, words, 3)} <canvas>{mw} unsupported"
+                f"</canvas> {_sent(rng, words, 3)}</p>"
+            )
+        elif r39 < 0.88:  # object fallback RENDERS (pinned)
+            parts.append(
+                f'<object data="/{w()}.svg"><p>{mw} object fallback'
+                f" kept</p></object>"
+            )
+        else:  # traps: self-closing video (inert), stray close, nesting
+            parts.append(rng.choice((
+                f"<video/><p>{mw} selfclosed renders</p>",
+                f"</canvas><p>{mw} stray close renders</p>",
+                f"<video><canvas>{mw} doubly gone</canvas></video>"
+                f"<p>{w()} tail text</p>",
             )))
     if rng.random() < 0.08:  # v35: ruby annotations — rp hides, rt renders
         r35 = rng.random()

@@ -76,6 +76,10 @@ SKIP_TAGS = frozenset(
 )
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+# v39: media elements whose DESCENDANTS are legacy fallback a supporting
+# browser never renders as page content (track/source are void)
+_MEDIA_HIDDEN = frozenset({"audio", "video", "canvas"})
+
 # v29: hidden-content detection (SPEC §2.2). An element is hidden iff its
 # attributes carry the HTML5 boolean `hidden` (any or no value), or an
 # inline `style` whose declarations include display:none or
@@ -506,10 +510,15 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 # disclosure widget (renders).
                 if name == "dialog" and not tag_open:
                     tag_hidden = True
-                elif name == "rp":
+                elif name == "rp" or name in _MEDIA_HIDDEN:
                     # v35: ruby fallback parens — the HTML5 UA stylesheet
                     # hides rp in ruby-supporting rendering (rt stays
-                    # inline, the innerText behavior)
+                    # inline, the innerText behavior).
+                    # v39: audio/video/canvas descendants are fallback a
+                    # supporting browser never renders; inline-hidden (no
+                    # flush) so a paragraph around an inline canvas stays
+                    # whole. <object> fallback RENDERS (load state
+                    # unknowable — pinned).
                     tag_hidden = True
                 is_cdet = name == "details" and not tag_open
                 is_vsum = False

@@ -337,7 +337,9 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 # first-summary bit is the visible disclosure widget
                 if name == "dialog" and not _o_open_tag(low):
                     hid = True
-                elif name == "rp":  # v35: ruby fallback parens never render
+                elif name == "rp" or name in (
+                    "audio", "video", "canvas",
+                ):  # v35: ruby parens; v39: media fallback never renders
                     hid = True
                 cdet = name == "details" and not _o_open_tag(low)
                 vsum = False

@@ -1149,3 +1149,70 @@ def test_v37_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_cap >= 10 and n_foot_first >= 5 and n_head >= 15
+
+
+# ---------------------------------------------------------------------------
+# v39: media fallback content (SPEC §2.2 Media fallback content)
+# ---------------------------------------------------------------------------
+
+
+def test_v39_video_audio_fallback_vanishes():
+    texts = _html_parity(_H34.format(
+        '<video controls><source src="/x.mp4"><track kind="captions">'
+        "<p>your browser does not support video</p></video>"
+        "<audio><source src='/y.ogg'>audio fallback gone</audio>"
+        "<p>after the media renders</p>"
+    ))
+    assert texts == ["after the media renders"]
+
+
+def test_v39_inline_canvas_keeps_paragraph_whole():
+    """canvas is inline-hidden, not a skip-set member: ONE candidate."""
+    k, spans, drop = extract_payload(_H34.format(
+        "<p>alpha <canvas>fallback chart text</canvas> beta gamma delta</p>"
+    ))
+    assert len(spans) == 1 and spans[0][2] == "alpha beta gamma delta"
+
+
+def test_v39_object_fallback_renders():
+    texts = _html_parity(_H34.format(
+        '<object data="/x.svg"><p>object fallback kept here</p></object>'
+    ))
+    assert texts == ["object fallback kept here"]
+
+
+def test_v39_selfclose_and_stray_close_inert():
+    texts = _html_parity(_H34.format(
+        "<video/><p>selfclosed renders fine here</p>"
+        "</canvas><p>stray close renders too</p>"
+    ))
+    assert texts == [
+        "selfclosed renders fine here", "stray close renders too"
+    ]
+
+
+def test_v39_nested_media_and_block_flush_inside():
+    """Interior block tags still flush (the v29 rule) but contribute no
+    text; nesting media hides once each, closes restore."""
+    texts = _html_parity(_H34.format(
+        "<video><canvas><p>doubly hidden text</p></canvas>"
+        "<p>still hidden text</p></video><p>visible tail text</p>"
+    ))
+    assert texts == ["visible tail text"]
+
+
+def test_v39_corpus_fuzz_parity():
+    n_vid = n_canvas = n_obj = 0
+    for seed in range(19800, 20600):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<video" in doc:
+            n_vid += 1
+        if "<canvas>" in doc:
+            n_canvas += 1
+        if "<object" in doc:
+            n_obj += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_vid >= 10 and n_canvas >= 8 and n_obj >= 5

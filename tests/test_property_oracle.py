@@ -79,7 +79,16 @@ def test_html_spans_invariants(payload):
     _kind, spans, _d = extract_payload(html)
     for i, (idx, kind, text, score, bbox) in enumerate(spans):
         assert idx == i                      # dense span ranks
-        assert text == " ".join(text.split())  # normalized whitespace
+        if kind == "code":
+            # v32: code blocks are whitespace-verbatim (outer strip, CR-free)
+            assert text == text.strip() and "\r" not in text
+        elif kind == "table":
+            # rows joined by \n, each line internally normalized
+            assert text == "\n".join(
+                " ".join(ln.split()) for ln in text.split("\n")
+            )
+        else:
+            assert text == " ".join(text.split())  # normalized whitespace
         assert 0.0 <= score <= 1.0
         assert kind in ("para", "title", "code", "list", "table")
 
