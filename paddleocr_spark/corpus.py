@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 39  # v39: media fallback content hides
+CORPUS_VERSION = 40  # v40: PDF 2.0 UTF-8-BOM text strings
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -845,6 +845,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     applies to every glyph), range and run group forms, ref'd /W and
     ref'd /DescendantFonts arrays, /DW2 noise, and refusal traps that
     must fall back to any v25 table on the same font.
+    v40: /ActualText operands and FreeText /Contents draw PDF 2.0
+    UTF-8-BOM text-string forms (EF BB BF; hex and raw/octal literal),
+    ISO 32000-2 §7.9.2.2.1.
     v38: Type0 pages draw a large-Tw block whose 2-byte 0x0020 codes
     must take no word spacing (ISO §9.3.3 — Tw is single-byte-32 only).
     v36: ~12% of payloads carry optional-content machinery (ISO 32000
@@ -1041,10 +1044,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if rng.random() < 0.25:  # non-ASCII replacement text
             sent = rng.choice(("café ", "naïve ", "“quoted” ")) + sent
         r = rng.random()
-        if r < 0.40:
+        if r < 0.35:
             at = f"({_pdf_str(sent)})"
-        elif r < 0.75:
+        elif r < 0.60:
             at = "<FEFF" + "".join(f"{ord(c):04X}" for c in sent) + ">"
+        elif r < 0.80:  # v40: PDF 2.0 UTF-8 BOM hex form
+            at = "<EFBBBF" + sent.encode("utf-8").hex().upper() + ">"
         else:
             at = (
                 "(\\376\\377"
@@ -1099,14 +1104,28 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             )
         if kind == "freetext":
             enc = rng.random()
-            if enc < 0.60:
+            if enc < 0.50:
                 val = f"({_pdf_str(txt + ' note')})"
-            elif enc < 0.80:  # UTF-16BE BOM hex form
+            elif enc < 0.70:  # UTF-16BE BOM hex form
                 val = (
                     "<FEFF"
                     + "".join(f"{ord(c):04X}" for c in (txt + " nóte"))
                     + ">"
                 )
+            elif enc < 0.88:  # v40: PDF 2.0 UTF-8 BOM form (hex or literal)
+                u8 = (txt + " ünicode nøte").encode("utf-8")
+                if rng.random() < 0.5:
+                    val = "<EFBBBF" + u8.hex().upper() + ">"
+                else:
+                    val = (
+                        "(\357\273\277"
+                        + "".join(
+                            chr(b) if 0x20 <= b <= 0x7E and chr(b) not in "()\\"
+                            else f"\\{b:03o}"
+                            for b in u8
+                        )
+                        + ")"
+                    )
             else:  # plain hex form
                 val = "<" + "".join(f"{ord(c):02X}" for c in (txt + " note")) + ">"
             return (

@@ -2091,8 +2091,22 @@ def _atext_decode(s: str) -> str:
     """/ActualText replacement text (SPEC §3b Marked content, v24; ISO
     32000 §14.8.2.2): a UTF-16BE-BOM string decodes byte pairs to code
     units with surrogate pairs combined; odd byte count, a lone
-    surrogate, or a char above U+00FF degrades to the raw string. No BOM
-    = PDFDocEncoded, used as-is (subset rule)."""
+    surrogate, or a char above U+00FF degrades to the raw string. v40:
+    a UTF-8-BOM string (EF BB BF — ISO 32000-2 §7.9.2.2.1, the PDF 2.0
+    text-string form) decodes its remaining bytes as UTF-8; any char
+    above U+00FF or an invalid byte sequence degrades to the raw
+    string. No BOM = PDFDocEncoded, used as-is (subset rule)."""
+    if s.startswith("\xef\xbb\xbf"):  # v40: PDF 2.0 UTF-8 text string
+        bs = bytearray()
+        for c in s[3:]:
+            o = ord(c)
+            if o > 0xFF:
+                return s
+            bs.append(o)
+        try:
+            return bytes(bs).decode("utf-8")
+        except UnicodeDecodeError:
+            return s
     if not s.startswith("\xfe\xff"):
         return s
     body = s[2:]

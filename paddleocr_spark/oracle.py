@@ -2563,7 +2563,14 @@ def _rpdf_atext(s: str):
     independent mirror of the kernel's hand-rolled unit combiner: the
     stdlib utf-16-be codec rejects odd lengths and lone surrogates, and
     latin-1 encoding rejects chars above U+00FF, so every degrade case
-    falls back to the raw string exactly like the kernel's."""
+    falls back to the raw string exactly like the kernel's. v40: the
+    PDF 2.0 UTF-8-BOM form decodes through the stdlib utf-8 codec with
+    the same latin-1 byte-validity degrade."""
+    if s.startswith("\xef\xbb\xbf"):  # v40: PDF 2.0 UTF-8 text string
+        try:
+            return s[3:].encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
     if not s.startswith("\xfe\xff"):
         return s
     try:

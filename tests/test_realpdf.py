@@ -3927,3 +3927,87 @@ def test_v38_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_tw >= 10
+
+
+# ---------------------------------------------------------------------------
+# v40: PDF 2.0 UTF-8-BOM text strings (SPEC §3b; ISO 32000-2 §7.9.2.2.1)
+# ---------------------------------------------------------------------------
+
+
+def test_v40_utf8_bom_actualtext():
+    """A UTF-8-BOM /ActualText operand decodes; the replacement shows."""
+    sent = "café — naïve 数据"
+    at = "<EFBBBF" + sent.encode("utf-8").hex().upper() + ">"
+    doc = _pdf(
+        "BT /F1 12 Tf 72 700 Td"
+        f" /Span << /ActualText {at} >> BDC (raw-) Tj (frag) Tj EMC ET"
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == [sent]
+
+
+def test_v40_utf8_bom_annotation_contents():
+    sent = "ünicode nøte body"
+    val = "<EFBBBF" + sent.encode("utf-8").hex().upper() + ">"
+    doc = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Type /Annot /Subtype /FreeText"
+        f" /Rect [100 300 250 320] /Contents {val} >>\nendobj\n",
+    )
+    spans = _parity(doc)
+    assert sent in [s[2] for s in spans]
+
+
+def test_v40_utf8_bom_raw_literal_form():
+    """Raw BOM bytes + octal escapes inside a literal string decode the
+    same way (the form real writers emit)."""
+    sent = "héllo wörld"
+    u8 = sent.encode("utf-8")
+    lit = "(\xef\xbb\xbf" + "".join(
+        chr(b) if 0x20 <= b <= 0x7E and chr(b) not in "()\\" else f"\\{b:03o}"
+        for b in u8
+    ) + ")"
+    doc = _pdf(
+        "BT /F1 12 Tf 72 700 Td"
+        f" /Span << /ActualText {lit} >> BDC (x-) Tj (y) Tj EMC ET"
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == [sent]
+
+
+def test_v40_invalid_utf8_degrades_to_raw():
+    """An invalid byte sequence after the BOM keeps the raw string —
+    BOM included (the pinned degrade)."""
+    doc = _pdf(
+        "BT /F1 12 Tf 72 700 Td"
+        " /Span << /ActualText <EFBBBFFFFE41424344> >> BDC"
+        " (a-) Tj (b) Tj EMC ET"
+    )
+    spans = _parity(doc)
+    # \xff\xfe is not valid UTF-8: raw string survives, BOM chars and all
+    assert [s[2] for s in spans] == ["\xef\xbb\xbf\xff\xfeABCD"]
+
+
+def test_v40_utf16_bom_still_wins_its_own_prefix():
+    """FE FF strings keep the v24 UTF-16BE rule (prefix dispatch)."""
+    sent = "pair text"
+    at = "<FEFF" + "".join(f"{ord(c):04X}" for c in sent) + ">"
+    doc = _pdf(
+        "BT /F1 12 Tf 72 700 Td"
+        f" /Span << /ActualText {at} >> BDC (z-) Tj (w) Tj EMC ET"
+    )
+    spans = _parity(doc)
+    assert [s[2] for s in spans] == [sent]
+
+
+def test_v40_corpus_fuzz_parity():
+    n_u8 = 0
+    for seed in range(20600, 21400):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "EFBBBF" in doc or "\xef\xbb\xbf" in doc:
+            n_u8 += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_u8 >= 10
