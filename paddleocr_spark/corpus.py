@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 40  # v40: PDF 2.0 UTF-8-BOM text strings
+CORPUS_VERSION = 41  # v41: UA display:block set (dl/figure/form/...)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -66,6 +66,10 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     v35: ruby annotations (SPEC §2.2) — <rp> fallback parens never
     render (UA stylesheet), <rt> gloss text renders inline; multi-
     segment ruby, table interplay and stray-close traps.
+    v41: the UA display:block set (SPEC §2.3) — definition lists,
+    figure/figcaption, fieldset/legend inside forms, address, and the
+    legacy/rare block elements (hgroup center menu dir search); each
+    must start its own block, never glue to the neighbour text.
     v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
     vanish (supporting browsers never render them); inline canvas keeps
     its paragraph whole; object fallback renders (pinned); traps for
@@ -344,6 +348,47 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 # details INSIDE table mode: intercepted, content extracts
                 f"<table><tr><td><details><summary>{dw} kept</summary>"
                 f"</details></td><td>{w()} cell</td></tr></table>",
+            )))
+    if rng.random() < 0.10:  # v41: UA display:block elements segment
+        r41 = rng.random()
+        if r41 < 0.28:  # definition list: each dt/dd is its own block
+            items = "".join(
+                f"<dt>{w()} term</dt><dd>{_sent(rng, words, 4)}</dd>"
+                for _ in range(rng.randint(2, 3))
+            )
+            parts.append(f"<dl>{items}</dl>")
+        elif r41 < 0.50:  # figure + figcaption split from prose
+            parts.append(
+                f"<p>{_sent(rng, words, 4)}</p>"
+                f'<figure><img src="/{w()}.png" alt="{w()} plot">'
+                f"<figcaption>figure {w()} caption</figcaption></figure>"
+                f"<p>{w()} after figure</p>"
+            )
+        elif r41 < 0.68:  # form/fieldset/legend: rendered text segments
+            parts.append(
+                f"<form><fieldset><legend>{w()} settings</legend>"
+                f"<p>{_sent(rng, words, 3)}</p></fieldset>"
+                f'<button type="submit">{w()} apply</button></form>'
+            )
+        elif r41 < 0.84:  # address + legacy blocks (center/menu/dir)
+            parts.append(rng.choice((
+                f"<address>{w()} street {rng.randint(1, 99)}, {w()} city"
+                f"</address><p>{w()} body text</p>",
+                f"<center>{w()} centered notice</center>"
+                f"<p>{w()} following text</p>",
+                f"<menu><li>{w()} entry</li><li>{w()} entry</li></menu>",
+                f"<dir><li>{w()} legacy item</li></dir>",
+            )))
+        else:  # hgroup/search + traps: self-close still flushes (like
+            # br), stray close renders, dt inside table mode intercepted
+            parts.append(rng.choice((
+                f"<hgroup><h2>{w()} title</h2><p>{w()} tagline</p>"
+                f"</hgroup>",
+                f"<search><p>{w()} results for {w()}</p></search>",
+                f"{w()} before<dd/>{w()} after the selfclose split",
+                f"</dl><p>{w()} stray close renders</p>",
+                f"<table><tr><td>cell <dt>{w()} joins</dt></td></tr>"
+                f"</table>",
             )))
     if rng.random() < 0.09:  # v39: media fallback content — must vanish
         r39 = rng.random()

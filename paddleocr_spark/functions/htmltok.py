@@ -62,7 +62,13 @@ def _class_value(m) -> str:
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li tr pre blockquote article section main nav "
     "header footer aside ul ol table title br hr td th "
-    "details summary dialog".split()  # v34: all render as blocks
+    "details summary dialog "  # v34: all render as blocks
+    # v41: the rest of the UA-stylesheet display:block set (HTML5
+    # "Rendering" §15.3.2 + Chrome html.css) — each starts a new line
+    # in every browser, so gluing its text to the neighbour block is a
+    # rendering error.  dt/dd keep kind 'para' (no li counter — pinned).
+    "dl dt dd figure figcaption address fieldset legend form hgroup "
+    "menu dir center search".split()
 )
 # void tags: never pushed on the open-tag stack
 VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())

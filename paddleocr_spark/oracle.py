@@ -45,7 +45,9 @@ HTML_SNIFF_RE = re.compile(
 _BLOCK = set(
     "p div h1 h2 h3 h4 h5 h6 li tr pre blockquote article section main nav "
     "header footer aside ul ol table title br hr td th "
-    "details summary dialog".split()  # v34
+    "details summary dialog "  # v34
+    "dl dt dd figure figcaption address fieldset legend form hgroup "
+    "menu dir center search".split()  # v41: UA display:block set
 )
 _VOID = set("br hr img input meta link source wbr area base col embed".split())
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}

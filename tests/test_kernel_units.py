@@ -1216,3 +1216,96 @@ def test_v39_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_vid >= 10 and n_canvas >= 8 and n_obj >= 5
+
+
+# --- v41: UA display:block set (SPEC §2.3) ------------------------------
+
+
+def test_v41_definition_list_segments():
+    """Each dt/dd is its own block (UA stylesheet: dt/dd display:block);
+    kind stays para (pinned — no li-style counter for definition items)."""
+    texts = _html_parity(_H34.format(
+        "<dl><dt>HTML</dt><dd>markup language</dd>"
+        "<dt>CSS</dt><dd>style sheets</dd></dl>"
+    ))
+    assert texts == ["HTML", "markup language", "CSS", "style sheets"]
+    k, spans, _ = extract_payload(_H34.format("<dl><dt>Term</dt></dl>"))
+    assert [s[1] for s in spans if s[2] == "Term"] == ["para"]
+
+
+def test_v41_figure_figcaption_split_from_prose():
+    texts = _html_parity(_H34.format(
+        "<p>before text</p><figure><img src='/x.png' alt='alt gone'>"
+        "<figcaption>the caption</figcaption></figure><p>after text</p>"
+    ))
+    assert texts == ["before text", "the caption", "after text"]
+
+
+def test_v41_form_fieldset_legend_render_as_blocks():
+    """Form text renders (only select/textarea/datalist are skipped);
+    legend and the button's inline text segment at block edges."""
+    texts = _html_parity(_H34.format(
+        "<form><fieldset><legend>Settings</legend><p>body text</p>"
+        "</fieldset><button>apply now</button></form><p>tail</p>"
+    ))
+    assert texts == ["Settings", "body text", "apply now", "tail"]
+
+
+def test_v41_address_center_menu_blocks():
+    texts = _html_parity(_H34.format(
+        "intro<address>main street 5</address>"
+        "<center>centered note</center>"
+        "<menu><li>first</li><li>second</li></menu>outro"
+    ))
+    assert texts == [
+        "intro", "main street 5", "centered note", "first", "second",
+        "outro",
+    ]
+
+
+def test_v41_selfclose_flushes_stray_close_renders():
+    """A self-closing <dd/> is a block boundary exactly like <br/> (the
+    flush precedes the void/self-closing skip); a stray </dl> outside
+    any list is a lenient no-op pop but still flushes."""
+    assert _html_parity(_H34.format("left part<dd/>right part")) == [
+        "left part", "right part",
+    ]
+    assert _html_parity(_H34.format("</dl><p>still here</p>")) == [
+        "still here",
+    ]
+
+
+def test_v41_table_mode_intercepts_new_blocks():
+    """dt/figure/etc inside table mode are interior no-ops: the cell
+    text joins (the v29/v34 interception rule, pinned)."""
+    texts = _html_parity(_H34.format(
+        "<table><tr><td>cell <dt>joined words</dt></td></tr></table>"
+    ))
+    assert texts == ["cell joined words"]
+
+
+def test_v41_inline_stay_inline():
+    """button/label/output/marquee are NOT blocks (Chrome renders them
+    inline/inline-block) — their text glues to the paragraph."""
+    texts = _html_parity(_H34.format(
+        "<p>press <button>go</button> or <label>name</label> "
+        "<output>42</output> <marquee>scrolls</marquee> end</p>"
+    ))
+    assert texts == ["press go or name 42 scrolls end"]
+
+
+def test_v41_corpus_fuzz_parity():
+    n_dl = n_fig = n_form = 0
+    for seed in range(21400, 22200):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<dl>" in doc:
+            n_dl += 1
+        if "<figure>" in doc:
+            n_fig += 1
+        if "<fieldset>" in doc:
+            n_form += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_dl >= 8 and n_fig >= 6 and n_form >= 5
