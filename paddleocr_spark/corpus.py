@@ -39,7 +39,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 41  # v41: UA display:block set (dl/figure/form/...)
+CORPUS_VERSION = 42  # v42: rawtext elements (xmp/plaintext/listing)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -70,6 +70,9 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     figure/figcaption, fieldset/legend inside forms, address, and the
     legacy/rare block elements (hgroup center menu dir search); each
     must start its own block, never glue to the neighbour text.
+    v42: legacy rawtext elements (SPEC §2.2) — <xmp> renders tags and
+    entity refs literally until its close tag, <plaintext> to EOF,
+    <listing> is a pre-like block with normal tag parsing.
     v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
     vanish (supporting browsers never render them); inline canvas keeps
     its paragraph whole; object fallback renders (pinned); traps for
@@ -348,6 +351,43 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 # details INSIDE table mode: intercepted, content extracts
                 f"<table><tr><td><details><summary>{dw} kept</summary>"
                 f"</details></td><td>{w()} cell</td></tr></table>",
+            )))
+    if rng.random() < 0.08:  # v42: rawtext — tags/entities render raw
+        r42 = rng.random()
+        if r42 < 0.30:  # xmp: markup sample renders literally
+            parts.append(
+                f"<p>{w()} example markup:</p>"
+                f"<xmp><div class=\"{w()}\">\n  <p>{w()} {w()}</p>\n"
+                f"</div> &amp; {w()}</xmp>"
+                f"<p>{w()} after the sample</p>"
+            )
+        elif r42 < 0.48:  # xmp traps: comment token, skip-tag text, ws
+            parts.append(rng.choice((
+                f"<xmp><!-- {w()} stays raw --></xmp><p>{w()} tail</p>",
+                f"<xmp><script>var {w()}=1;</script></xmp>"
+                f"<p>{w()} renders</p>",
+                f"<xmp>  {w()} keeps\n   indent  </xmp>",
+            )))
+        elif r42 < 0.62:  # plaintext: consumes to end of payload
+            parts.append(
+                f"<p>{w()} before cutoff</p>"
+                f"<plaintext>{w()} rest is raw <b>{w()}</b>"
+                f" </plaintext> still raw {w()}"
+            )
+        elif r42 < 0.82:  # listing: pre-like block, tags parse normally
+            parts.append(
+                f"<listing>{w()} {rng.randint(0, 99)}\n"
+                f"  {w()} {rng.randint(0, 99)}</listing>"
+                f"<p>{w()} next block</p>"
+            )
+        else:  # traps: self-close inert, stray close, hidden, table cell
+            parts.append(rng.choice((
+                f"<xmp/>{w()} selfclosed renders parsed",
+                f"</xmp><p>{w()} stray close ok</p>",
+                f"<div hidden><xmp>{w()} hidden raw</xmp></div>"
+                f"<p>{w()} seen</p>",
+                f"<table><tr><td>cell <xmp>{w()} joins</xmp></td></tr>"
+                f"</table>",
             )))
     if rng.random() < 0.10:  # v41: UA display:block elements segment
         r41 = rng.random()

@@ -68,7 +68,12 @@ BLOCK_TAGS = frozenset(
     # in every browser, so gluing its text to the neighbour block is a
     # rendering error.  dt/dd keep kind 'para' (no li counter — pinned).
     "dl dt dd figure figcaption address fieldset legend form hgroup "
-    "menu dir center search".split()
+    "menu dir center search "
+    # v42: legacy pre-formatted block elements (HTML Rendering §15.3.4:
+    # listing/plaintext/xmp render display:block + white-space:pre).
+    # xmp/plaintext additionally switch the tokenizer to RAWTEXT /
+    # PLAINTEXT state — tag-looking content inside renders literally.
+    "listing xmp plaintext".split()
 )
 # void tags: never pushed on the open-tag stack
 VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())
@@ -379,7 +384,34 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         table_boiler = False
         table_hide = False
 
+    # v42: rawtext rendering state — inside <xmp> every token (tags,
+    # comments, text) is literal page text until a genuine closing xmp
+    # tag token; <plaintext> never exits (the HTML PLAINTEXT tokenizer
+    # state has no exit). Entity references do NOT decode in rawtext.
+    rawtext = None
+
     for tok in _TOKEN_RE.findall(text):
+        if rawtext is not None:
+            if rawtext == "xmp" and tok[0] == "<" and tok[1] != "!":
+                pc, pn = parse_tag(tok)[:2]
+                if pc and pn == "xmp":
+                    rawtext = None
+                    # fall through: the close tag flushes (BLOCK_TAGS)
+                    # and pops the xmp stack entry leniently
+            if rawtext is not None:
+                if skip_depth > 0 or hidden_depth > 0 or cdet_depth > vsum_depth:
+                    continue
+                piece = strip_invisible(tok)  # raw: no entity decode
+                if not piece:
+                    continue
+                if cur_kind is None and not piece.isspace():
+                    cur_kind = current_kind()
+                cur_pieces.append(piece)
+                if link_depth > 0:
+                    cur_link += len(collapse_ws(piece))
+                if boiler_depth > 0 and not cur_boiler and not piece.isspace():
+                    cur_boiler = True
+                continue
         if tok[0] != "<":
             # --- text token (fast path: the most common token kind) ---
             if skip_depth > 0 or hidden_depth > 0 or cdet_depth > vsum_depth:
@@ -507,7 +539,8 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 )
                 is_a = name == "a"
                 is_h = name in HEADING_TAGS
-                is_pre = name in ("pre", "code")
+                # v42: listing/xmp/plaintext are white-space:pre blocks
+                is_pre = name in ("pre", "code", "listing", "xmp", "plaintext")
                 is_li = name == "li"
                 # v34: open-gated elements. A closed <dialog> hides like a
                 # v29 hidden element; a closed <details> opens a cdet
@@ -545,6 +578,10 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                     cdet_depth += 1
                     cdet_seen.append(False)
                 vsum_depth += is_vsum
+                if name == "xmp" or name == "plaintext":
+                    # v42: switch to rawtext (self-closing forms were
+                    # already skipped above — inert, the v34/v39 pin)
+                    rawtext = name
             else:
                 # lenient close: pop until matching tag name (if present)
                 idx = None

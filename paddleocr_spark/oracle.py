@@ -47,7 +47,8 @@ _BLOCK = set(
     "header footer aside ul ol table title br hr td th "
     "details summary dialog "  # v34
     "dl dt dd figure figcaption address fieldset legend form hgroup "
-    "menu dir center search".split()  # v41: UA display:block set
+    "menu dir center search "  # v41: UA display:block set
+    "listing xmp plaintext".split()  # v42: legacy pre blocks
 )
 _VOID = set("br hr img input meta link source wbr area base col embed".split())
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
@@ -228,8 +229,34 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 }
             )
 
+    raw = None  # v42: rawtext state — xmp exits on a real close tag,
+    # plaintext never exits; entities do NOT decode in rawtext
+
     for m in tokens:
         tok = m.group(0)
+        if raw is not None:
+            if raw == "xmp" and tok[0] == "<" and tok[1] != "!":
+                nm2 = TAG_NAME_RE.match(tok)
+                if (
+                    nm2 is not None
+                    and nm2.group(1) == "/"
+                    and nm2.group(2).lower() == "xmp"
+                ):
+                    raw = None  # fall through: close flushes and pops
+            if raw is not None:
+                if in_script or depth["hid"] > 0 or depth["cdet"] > depth["vsum"]:
+                    continue
+                piece = _o_strip_invis(tok)  # raw token, no entity decode
+                if not piece:
+                    continue
+                if blk["kind"] is None and piece.strip():
+                    blk["kind"] = ctx_kind()
+                blk["pieces"].append(piece)
+                if depth["a"] > 0:
+                    blk["link"] += len(_norm(piece))
+                if depth["boiler"] > 0 and piece.strip():
+                    blk["boiler_hit"] = True
+                continue
         if tok.startswith("<!--"):
             continue
         if tok[0] == "<":
@@ -358,7 +385,9 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     or bool(cm and cfg.boiler_class in _class_val(cm).split()),
                     "a": name == "a",
                     "heading": name in _HEADINGS,
-                    "pre": name in ("pre", "code"),
+                    "pre": name in (
+                        "pre", "code", "listing", "xmp", "plaintext",
+                    ),  # v42: legacy white-space:pre blocks
                     "li": name == "li",
                     "hid": hid,
                     "cdet": cdet,
@@ -369,6 +398,8 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     depth[k] += int(v)
                 if cdet:
                     cdet_seen.append(False)
+                if name in ("xmp", "plaintext"):
+                    raw = name  # v42 (self-closing forms skipped above)
             else:
                 for i in range(len(stack) - 1, -1, -1):
                     if stack[i][0] == name:

@@ -1309,3 +1309,107 @@ def test_v41_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_dl >= 8 and n_fig >= 6 and n_form >= 5
+
+
+# --- v42: legacy rawtext elements (SPEC §2.2) ---------------------------
+
+
+def test_v42_xmp_renders_tags_and_entities_literally():
+    """Inside <xmp> tag-looking runs and entity references are literal
+    page text (the HTML RAWTEXT tokenizer state); kind is code and the
+    v32 verbatim-whitespace flush applies."""
+    texts = _html_parity(_H34.format(
+        "<p>before</p><xmp><div class=\"x\">\n  <p>inner</p>\n</div>"
+        " &amp; raw</xmp><p>after</p>"
+    ))
+    assert texts == [
+        "before",
+        '<div class="x">\n  <p>inner</p>\n</div> &amp; raw',
+        "after",
+    ]
+    k, spans, _ = extract_payload(_H34.format("<xmp>raw sample</xmp>"))
+    assert [s[1] for s in spans if s[2] == "raw sample"] == ["code"]
+
+
+def test_v42_xmp_close_tolerates_ws_and_case():
+    assert _html_parity(_H34.format(
+        "<xmp>raw bit</ XMP ><p>parsed tail</p>"
+    )) == ["raw bit", "parsed tail"]
+
+
+def test_v42_plaintext_never_exits():
+    """PLAINTEXT has no exit state: even a literal </plaintext> renders,
+    and everything to end of input is one raw code block."""
+    texts = _html_parity(
+        "<html><body><p>head</p><plaintext>rest <b>raw</b>"
+        "</plaintext> still raw</body></html>"
+    )
+    assert texts == [
+        "head",
+        "rest <b>raw</b></plaintext> still raw</body></html>",
+    ]
+
+
+def test_v42_listing_is_pre_block_with_normal_parsing():
+    """listing renders white-space:pre (kind code, verbatim) but the
+    tokenizer has no rawtext state for it — tags inside parse."""
+    texts = _html_parity(_H34.format(
+        "<listing>alpha 1\n  beta 2<b>bold joins</b></listing><p>next</p>"
+    ))
+    assert texts == ["alpha 1\n  beta 2bold joins", "next"]
+
+
+def test_v42_script_inside_xmp_renders_raw():
+    """Skip-set tags are literal text in rawtext — a <script> inside
+    <xmp> shows its source instead of vanishing."""
+    texts = _html_parity(_H34.format(
+        "<xmp><script>var a=1;</script></xmp><p>tail</p>"
+    ))
+    assert texts == ["<script>var a=1;</script>", "tail"]
+
+
+def test_v42_comment_token_stays_raw():
+    """A comment token inside xmp renders raw; a </xmp> swallowed INTO
+    a comment token does not exit (pinned — the v17 comment-alternative
+    consumed it whole)."""
+    assert _html_parity(_H34.format(
+        "<xmp><!-- note --></xmp><p>tail text</p>"
+    )) == ["<!-- note -->", "tail text"]
+    assert _html_parity(_H34.format(
+        "<xmp><!-- a </xmp> b -->never exits here"
+    )) == ["<!-- a </xmp> b -->never exits here</article></body></html>"]
+
+
+def test_v42_suppression_and_interception_pins():
+    """v29 hidden suppresses rawtext pieces; table mode intercepts the
+    xmp tag (cell text parses normally); self-close inert; stray close
+    is a lenient no-op."""
+    assert _html_parity(_H34.format(
+        "<div hidden><xmp>gone raw</xmp></div><p>seen</p>"
+    )) == ["seen"]
+    assert _html_parity(_H34.format(
+        "<table><tr><td>cell <xmp>joined</xmp></td></tr></table>"
+    )) == ["cell joined"]
+    assert _html_parity(_H34.format("<xmp/>parses <b>fine</b>")) == [
+        "parses fine",
+    ]
+    assert _html_parity(_H34.format("</xmp><p>stray ok</p>")) == [
+        "stray ok",
+    ]
+
+
+def test_v42_corpus_fuzz_parity():
+    n_xmp = n_plain = n_listing = 0
+    for seed in range(22200, 23000):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<xmp" in doc:
+            n_xmp += 1
+        if "<plaintext>" in doc:
+            n_plain += 1
+        if "<listing>" in doc:
+            n_listing += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_xmp >= 8 and n_plain >= 4 and n_listing >= 4
