@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+import re
 from datetime import datetime, timedelta, timezone
 from typing import List
 
@@ -39,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 42  # v42: rawtext elements (xmp/plaintext/listing)
+CORPUS_VERSION = 43  # v43: Type3 FontMatrix widths; Tr clip modes
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -949,6 +950,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     /MissingWidth fallback); inline and ref'd array forms, optional
     /FontDescriptor /MissingWidth, and no-table traps (missing
     /FirstChar, junk array token).
+    v43: ~30% of the scheme-less widths fonts are /Type3 — widths in
+    the glyph space /FontMatrix defines (ISO §9.6.5), with degrade
+    traps (missing matrix, degenerate a=0, 5-number array → 1/1000);
+    the v9 OCR layer sometimes draws clip-only mode 7 Tr (invisible,
+    §9.3.6) and the visible-mode draw covers 4-6.
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -1280,7 +1286,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if rng.random() < 0.12:  # v9: scanned-OCR page — image + Tr 3 layer
             ops.append(_inline_img(rng))
             ops.append("BT")
-            ops.append(f"/F1 {fs} Tf {ll} TL 3 Tr 72 {mb_h - 120} Td")
+            # v43: the OCR layer draws mode 3 or the clip-only mode 7 —
+            # both paint nothing (ISO §9.3.6)
+            ops.append(
+                f"/F1 {fs} Tf {ll} TL {rng.choice((3, 3, 7))} Tr"
+                f" 72 {mb_h - 120} Td"
+            )
             for li in range(rng.randint(2, 5)):
                 if li:
                     ops.append("T*")
@@ -1316,7 +1327,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     ops.append(_inline_img(rng))
                 if li == 1 and rng.random() < 0.08:
                     # v9: a visible render mode — extraction unchanged
-                    ops.append(f"{rng.choice((0, 1, 2))} Tr")
+                    # (v43: 4-6 fill/stroke AND clip — still visible)
+                    ops.append(f"{rng.choice((0, 1, 2, 4, 5, 6))} Tr")
                 if li == 1 and rng.random() < 0.10:
                     # v11: char/word spacing feed the advance estimate
                     ops.append(
@@ -1847,10 +1859,41 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         else:
             wdecl = f" /FirstChar {fc0} /Widths [{wvals}]{fd_extra}"
         if scheme is None:
-            parts.append(
-                "50 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont"
-                f" /Helvetica{wdecl} >>\nendobj"
-            )
+            if rng.random() < 0.30:
+                # v43: Type3 font — widths live in the glyph space the
+                # /FontMatrix defines (ISO §9.6.5). The corpus draws a
+                # matrix scale and re-scales the width values so the
+                # rendered advances stay in the simple-font range;
+                # traps: a missing matrix and a degenerate a=0 (both
+                # degrade to the 1/1000 scale), a 5-number array
+                # (malformed → same degrade).
+                t3r = rng.random()
+                if t3r < 0.55:
+                    a = rng.choice((0.01, 0.002, 0.0005))
+                    sc = 0.001 / a
+                    wdecl_t3 = re.sub(
+                        r"\b(\d+)\b",
+                        lambda m: str(round(int(m.group(1)) * sc))
+                        if int(m.group(1)) >= 250
+                        else m.group(1),
+                        wdecl,
+                    )
+                    fm = f" /FontMatrix [{a} 0 0 {a} 0 0]"
+                elif t3r < 0.75:  # missing matrix → 1/1000 degrade
+                    wdecl_t3, fm = wdecl, ""
+                elif t3r < 0.90:  # degenerate a=0 → 1/1000 degrade
+                    wdecl_t3, fm = wdecl, " /FontMatrix [0 0 0 0.001 0 0]"
+                else:  # malformed (5 numbers) → 1/1000 degrade
+                    wdecl_t3, fm = wdecl, " /FontMatrix [0.01 0 0 0.01 0]"
+                parts.append(
+                    "50 0 obj\n<< /Type /Font /Subtype /Type3"
+                    f"{fm}{wdecl_t3} >>\nendobj"
+                )
+            else:
+                parts.append(
+                    "50 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont"
+                    f" /Helvetica{wdecl} >>\nendobj"
+                )
     # v33: descendant CIDFont /W + /DW width arrays (ISO 32000 §9.7.4.3)
     # on the Type0 schemes (Identity and ToUnicode-CMap fonts). Forms:
     # DW-only / bare descendants, range groups `c1 c2 w`, run groups

@@ -1404,6 +1404,19 @@ def _widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
         if len(ws) > 4096:
             return None
         j = m.end()
+    # v43: Type3 glyph space is defined by /FontMatrix (ISO 32000
+    # §9.6.5), not the simple-font 1/1000 convention — the horizontal
+    # advance of a glyph of width w is w·a (the matrix's first element;
+    # b/c skews do not move the advance point horizontally in the
+    # common upright case and are ignored, pinned). A missing or
+    # degenerate (a == 0) FontMatrix degrades to the 1/1000 scale.
+    # /MissingWidth is a FontDescriptor glyph-space quantity (§9.8.1)
+    # and takes the same scale.
+    scale = 0.001
+    if _key_name(fbody, "/Subtype") == "Type3":
+        fm = _key_num_array(fbody, "/FontMatrix", 6)
+        if fm is not None and fm[0] != 0.0:
+            scale = fm[0]
     miss = 0.0
     fd = _key_ref(fbody, "/FontDescriptor")
     if fd is not None:
@@ -1411,12 +1424,12 @@ def _widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
         if fdb is not None:
             mw = _key_int(fdb, "/MissingWidth")
             if mw is not None:
-                miss = mw / 1000.0
+                miss = mw * scale
     wtab = [miss] * 256
     for i, w in enumerate(ws):
         c = fc + i
         if 0 <= c <= 255:
-            wtab[c] = w / 1000.0
+            wtab[c] = w * scale
     return tuple(wtab), miss
 
 
@@ -2175,7 +2188,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     x = y = 0.0
     leading = 0.0
     fontsize = 12.0
-    mode = 0.0  # text render mode (Tr, v9); 3 = invisible
+    mode = 0.0  # text render mode (Tr, v9); 3 and 7 paint nothing (v43)
     charspace = 0.0  # Tc (v11); persists across BT like fontsize
     wordspace = 0.0  # Tw (v11)
     hscale = 100.0  # Tz percent (v12); scales the whole advance, ISO §9.3.4
@@ -2620,7 +2633,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 y -= leading
             elif tok == "Tj":
                 if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
-                    if cfg.drop_invisible_text and mode == 3:
+                    if cfg.drop_invisible_text and (mode == 3 or mode == 7):
                         suppressed += 1
                     elif art_depth and not cfg.keep_artifact_text:
                         suppressed += 1  # v24: /Artifact suppression
@@ -2648,7 +2661,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         charspace = stack[-2]
                     flush()
                     y -= leading
-                    if cfg.drop_invisible_text and mode == 3:
+                    if cfg.drop_invisible_text and (mode == 3 or mode == 7):
                         suppressed += 1
                     elif art_depth and not cfg.keep_artifact_text:
                         suppressed += 1  # v24: /Artifact suppression
@@ -2666,7 +2679,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                         isinstance(el, tuple) and el[0] == "s"
                         for el in stack[-1][1]
                     )
-                    if cfg.drop_invisible_text and mode == 3:
+                    if cfg.drop_invisible_text and (mode == 3 or mode == 7):
                         if has_str:
                             suppressed += 1
                     elif art_depth and not cfg.keep_artifact_text:

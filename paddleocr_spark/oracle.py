@@ -1388,6 +1388,15 @@ def _rpdf_inherited_resources(text, objs, vobjs, body):
 
 
 _RPDF_WIDTHSKEY_RE = re.compile(r"/Widths" + _RPDF_NAMEEND)
+# v43: /FontMatrix [a b c d e f] — only a (group 1) scales the advance
+_RPDF_FONTMATRIX_RE = re.compile(
+    r"/FontMatrix(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)[\x00\t\n\x0c\r ]*\[" +
+    r"[\x00\t\n\x0c\r ]*".join(
+        r"([+-]?(?:\d+\.?\d*|\.\d+))(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+        for _ in range(6)
+    )
+    + r"[\x00\t\n\x0c\r ]*\]"
+)
 _RPDF_ARROPEN_RE = re.compile(r"[\x00\t\n\x0c\r ]*\[")
 _RPDF_ARRTOK_RE = re.compile(
     r"[\x00\t\n\x0c\r ]*(\]|[^\x00\t\n\x0c\r ()<>\[\]{}/%]+|.)"
@@ -1434,6 +1443,17 @@ def _rpdf_widths(text: str, objs: dict, vobjs: dict, fbody: str):
         if len(ws) > 4096:
             return None
         j = tm.end()
+    # v43: Type3 widths are glyph-space quantities scaled by the first
+    # /FontMatrix element (ISO 32000 §9.6.5); missing/degenerate matrix
+    # degrades to the simple-font 1/1000 scale — regex closed form of
+    # the kernel's _key_num_array walk.
+    scale = 0.001
+    if _rpdf_key_name(fbody, "/Subtype") == "Type3":
+        k3 = fbody.find("/FontMatrix")
+        if k3 >= 0:
+            fm = _RPDF_FONTMATRIX_RE.match(fbody, k3)
+            if fm is not None and float(fm.group(1)) != 0.0:
+                scale = float(fm.group(1))
     miss = 0.0
     fd = _rpdf_key_ref(fbody, "/FontDescriptor")
     if fd is not None:
@@ -1441,11 +1461,11 @@ def _rpdf_widths(text: str, objs: dict, vobjs: dict, fbody: str):
         if fdb is not None:
             mw = _rpdf_key_int(fdb, "/MissingWidth")
             if mw is not None:
-                miss = mw / 1000.0
+                miss = mw * scale
     wtab = [miss] * 256
     for i, w in enumerate(ws):
         if 0 <= fc + i <= 255:
-            wtab[fc + i] = w / 1000.0
+            wtab[fc + i] = w * scale
     return tuple(wtab), miss
 
 
@@ -2660,7 +2680,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     arr = None
 
     def invisible():
-        return cfg.drop_invisible_text and state["mode"] == 3
+        return cfg.drop_invisible_text and state["mode"] in (3, 7)
 
     def flush():
         txt = "".join(buf)

@@ -4011,3 +4011,128 @@ def test_v40_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_u8 >= 10
+
+
+# ---------------------------------------------------------------------------
+# v43: Type3 FontMatrix glyph space (ISO 32000 §9.6.5) + Tr clip modes
+# (§9.3.6 Table 106)
+# ---------------------------------------------------------------------------
+
+
+def test_v43_type3_fontmatrix_scales_widths():
+    """A Type3 font with /FontMatrix [0.01 ...] and widths 100/50 lays
+    out identically to a Type1 with 1000/500 at the 1/1000 scale."""
+    t1 = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (ABA) Tj ET",
+        "<< /Type /Font /Subtype /Type1 /FirstChar 65 /Widths [1000 500] >>",
+    )
+    t3 = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (ABA) Tj ET",
+        "<< /Type /Font /Subtype /Type3 /FontMatrix [0.01 0 0 0.01 0 0]"
+        " /FirstChar 65 /Widths [100 50] >>",
+    )
+    assert _parity(t1) == _parity(t3)
+    assert _parity(t3)[0][4] == [94, 104, 127, 116]
+
+
+def test_v43_type3_missingwidth_takes_matrix_scale():
+    """/MissingWidth is a glyph-space FontDescriptor quantity — the
+    Type3 matrix scales it exactly like the /Widths entries."""
+    t1 = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (AZA) Tj ET",
+        "<< /Type /Font /Subtype /Type1 /FirstChar 65 /Widths [1000]"
+        " /FontDescriptor 6 0 R >>",
+        "6 0 obj\n<< /Type /FontDescriptor /MissingWidth 400 >>\nendobj\n",
+    )
+    t3 = _pdfw(
+        "BT /F5 10 Tf 72 700 Td (AZA) Tj ET",
+        "<< /Type /Font /Subtype /Type3 /FontMatrix [0.002 0 0 0.002 0 0]"
+        " /FirstChar 65 /Widths [500] /FontDescriptor 6 0 R >>",
+        "6 0 obj\n<< /Type /FontDescriptor /MissingWidth 200 >>\nendobj\n",
+    )
+    assert _parity(t1) == _parity(t3)
+
+
+def test_v43_type3_matrix_degrades_to_thousandth():
+    """Missing /FontMatrix, degenerate a=0, or a 5-number array → the
+    1/1000 scale (never no-table): identical to the Type1 layout."""
+    ref = _parity(_pdfw(
+        "BT /F5 10 Tf 72 700 Td (ABA) Tj ET",
+        "<< /Type /Font /Subtype /Type1 /FirstChar 65 /Widths [1000 500] >>",
+    ))
+    for fobj in (
+        "<< /Type /Font /Subtype /Type3 /FirstChar 65 /Widths [1000 500] >>",
+        "<< /Type /Font /Subtype /Type3 /FontMatrix [0 0 0 0.001 0 0]"
+        " /FirstChar 65 /Widths [1000 500] >>",
+        "<< /Type /Font /Subtype /Type3 /FontMatrix [0.01 0 0 0.01 0]"
+        " /FirstChar 65 /Widths [1000 500] >>",
+    ):
+        doc = _pdfw("BT /F5 10 Tf 72 700 Td (ABA) Tj ET", fobj)
+        assert _parity(doc) == ref, fobj
+
+
+def test_v43_tr7_clip_only_is_invisible():
+    """Mode 7 adds glyphs to the clip path and paints nothing — with
+    drop_invisible_text it suppresses exactly like mode 3; by default
+    the OCR-layer analog extracts it."""
+    from paddleocr_spark.config import ExtractConfig
+
+    doc = _pdfw(
+        "BT /F5 12 Tf 7 Tr 72 700 Td (clip only line) Tj"
+        " 0 Tr 1 0 0 1 72 600 Tm (visible line text) Tj ET",
+        "<< /Type /Font /Subtype /Type1 >>",
+    )
+    cfg = ExtractConfig(drop_invisible_text=True)
+    k, sp, d = extract_payload(doc, cfg)
+    o = oracle_extract(doc, cfg)
+    assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in sp] == ["visible line text"] and d == 1
+    assert [s[2] for s in _parity(doc)] == [
+        "clip only line", "visible line text",
+    ]
+
+
+def test_v43_tr_modes_4_to_6_stay_visible():
+    """Modes 4-6 fill/stroke AND clip — painted, never suppressed."""
+    from paddleocr_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(drop_invisible_text=True)
+    for m in (4, 5, 6):
+        doc = _pdfw(
+            f"BT /F5 12 Tf {m} Tr 72 700 Td (mode stays shown) Tj ET",
+            "<< /Type /Font /Subtype /Type1 >>",
+        )
+        k, sp, d = extract_payload(doc, cfg)
+        o = oracle_extract(doc, cfg)
+        assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+        assert [s[2] for s in sp] == ["mode stays shown"] and d == 0
+
+
+def test_v43_corpus_fuzz_parity():
+    n3 = n7 = 0
+    for seed in range(23000, 23800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Type3" in doc:
+            n3 += 1
+        if "7 Tr" in doc:
+            n7 += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n3 >= 6 and n7 >= 8
+
+
+def test_v43_truncation_fuzz_type3():
+    doc = None
+    for seed in range(23000, 24400):
+        d = _make_realpdf(random.Random(seed), WORDS)
+        if "/Type3" in d and "/FontMatrix" in d:
+            doc = d
+            break
+    assert doc is not None
+    for cut in range(0, len(doc), 7):
+        d = doc[:cut]
+        k, spans, drop = extract_payload(d)
+        o = oracle_extract(d)
+        assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
