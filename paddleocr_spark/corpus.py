@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 43  # v43: Type3 FontMatrix widths; Tr clip modes
+CORPUS_VERSION = 44  # v44: cell-internal block boundaries separate
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -74,6 +74,9 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     v42: legacy rawtext elements (SPEC §2.2) — <xmp> renders tags and
     entity refs literally until its close tag, <plaintext> to EOF,
     <listing> is a pre-like block with normal tag parsing.
+    v44: cell-internal block boundaries (SPEC §2.3) — <br>/<p>/<hr>
+    inside table cells and captions separate text runs (the innerText
+    newline, one space after the cell collapse); inline tags glue.
     v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
     vanish (supporting browsers never render them); inline canvas keeps
     its paragraph whole; object fallback renders (pinned); traps for
@@ -509,6 +512,29 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
         for _ in range(rng.randint(2, 3)):
             cells = "".join(f"<td>{_sent(rng, words, 2)}</td>" for _ in range(rng.randint(2, 3)))
             rows.append(f"<tr>{cells}</tr>")
+        if rng.random() < 0.30:  # v44: cell-internal block boundaries
+            r44 = rng.random()
+            if r44 < 0.40:  # address lines broken by <br>
+                rows.append(
+                    f"<tr><td>{w()} street<br>{w()} city<br>{w()} zip"
+                    f"</td><td>{w()} plain</td></tr>"
+                )
+            elif r44 < 0.65:  # inner block elements divide runs
+                rows.append(
+                    f"<tr><td>{w()} top<p>{w()} middle</p>{w()} bottom"
+                    f"</td></tr>"
+                )
+            elif r44 < 0.85:  # hr divider + inline tags must still glue
+                rows.append(
+                    f"<tr><td>{w()}<hr>{w()} after</td>"
+                    f"<td><b>{w()}</b><i>glued</i></td></tr>"
+                )
+            else:  # caption with a br (collapses to one space)
+                parts.append(
+                    f"<table><caption>{w()} cap<br>{w()} line</caption>"
+                    + "".join(rows) + "</table>"
+                )
+                rows = [f"<tr><td>{w()} extra</td></tr>"]
         if rng.random() < 0.45:  # v37: table sections + caption
             r37 = rng.random()
             cap = (

@@ -78,6 +78,10 @@ BLOCK_TAGS = frozenset(
 # void tags: never pushed on the open-tag stack
 VOID_TAGS = frozenset("br hr img input meta link source wbr area base col embed".split())
 
+# v44: table-structure tags keep their own table-mode dispatch — they are
+# never cell-internal block boundaries
+_TBL_STRUCT_TAGS = frozenset("table tr td th thead tbody tfoot caption".split())
+
 # v26: subtrees a browser does not render as page content (script/style as
 # before, plus form controls and non-rendered embedded/fallback content —
 # the Boilerpipe/trafilatura form-strip rule; SPEC §2.2)
@@ -467,6 +471,19 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
 
             # --- table mode handling ---
             if table_depth > 0:
+                # v44: a block boundary INSIDE a cell or caption separates
+                # the text runs it divides (the innerText newline —
+                # `a<br>b` in a cell renders "a\nb", never "ab"); the
+                # cell's collapse_ws turns it into a single space. Table
+                # structure tags keep their own dispatch below; inline
+                # tags separate nothing. Open and close both inject
+                # (collapse merges) — the v29/v34 interior semantic
+                # no-ops (hiding, gating) are unchanged.
+                if name in BLOCK_TAGS and name not in _TBL_STRUCT_TAGS:
+                    if cell_pieces is not None:
+                        cell_pieces.append("\n")
+                    elif in_caption:
+                        table_cap.append("\n")
                 if not closing:
                     if name == "table":
                         table_depth += 1

@@ -51,6 +51,7 @@ _BLOCK = set(
     "listing xmp plaintext".split()  # v42: legacy pre blocks
 )
 _VOID = set("br hr img input meta link source wbr area base col embed".split())
+_TBL_STRUCT = set("table tr td th thead tbody tfoot caption".split())  # v44
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
 
@@ -280,6 +281,14 @@ def _oracle_html(text: str, cfg: ExtractConfig):
             if tbl is not None:
                 # inside a table only table/tr/td/th/a tags matter; 'a' is
                 # tracked by counter only (no stack push) per SPEC §2.3
+                # v44: a non-structure block tag dividing cell/caption
+                # text injects a separator (the innerText newline; the
+                # cell collapse renders it as one space)
+                if name in _BLOCK and name not in _TBL_STRUCT:
+                    if tbl["cell"] is not None:
+                        tbl["cell"].append("\n")
+                    elif tbl["incap"]:
+                        tbl["cap"].append("\n")
                 if not closing:
                     if name == "table":
                         tbl["depth"] += 1

@@ -1413,3 +1413,78 @@ def test_v42_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_xmp >= 8 and n_plain >= 4 and n_listing >= 4
+
+
+# --- v44: cell-internal block boundaries (SPEC §2.3) --------------------
+
+
+def test_v44_br_separates_cell_lines():
+    """`a<br>b` in a cell renders "a\\nb" in a browser — the single-line
+    cell collapse makes it one space, never a glued word."""
+    texts = _html_parity(_H34.format(
+        "<table><tr><td>line one<br>line two</td><td>plain cell</td>"
+        "</tr></table>"
+    ))
+    assert texts == ["line one line two | plain cell"]
+
+
+def test_v44_inner_block_elements_divide_runs():
+    texts = _html_parity(_H34.format(
+        "<table><tr><td>top run<p>middle run</p>bottom run</td></tr>"
+        "</table>"
+    ))
+    assert texts == ["top run middle run bottom run"]
+
+
+def test_v44_inline_tags_still_glue():
+    """b/i/span/code are inline — no boundary, the browser glues."""
+    texts = _html_parity(_H34.format(
+        "<table><tr><td><b>bold</b><i>italic</i><span>span</span></td>"
+        "</tr></table>"
+    ))
+    assert texts == ["bolditalicspan"]
+
+
+def test_v44_caption_br_collapses_to_space():
+    texts = _html_parity(_H34.format(
+        "<table><caption>cap one<br>cap two</caption>"
+        "<tr><td>cell text</td></tr></table>"
+    ))
+    assert texts == ["cap one cap two\ncell text"]
+
+
+def test_v44_structure_tags_inject_nothing_extra():
+    """tr/td/th/section tags keep their own dispatch — a plain
+    two-cell row is byte-identical to the pre-v44 join."""
+    texts = _html_parity(_H34.format(
+        "<table><tr><td>alpha beta</td><td>gamma delta</td></tr></table>"
+    ))
+    assert texts == ["alpha beta | gamma delta"]
+
+
+def test_v44_hidden_cell_content_still_suppressed():
+    """v29 pin: a table inside a hidden subtree accumulates no text —
+    injected separators collapse to nothing (empty skeleton dropped)."""
+    k, spans, drop = extract_payload(_H34.format(
+        "<div hidden><table><tr><td>gone<br>text</td></tr></table></div>"
+        "<p>visible tail</p>"
+    ))
+    o = _ora(_H34.format(
+        "<div hidden><table><tr><td>gone<br>text</td></tr></table></div>"
+        "<p>visible tail</p>"
+    ))
+    assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in spans] == ["visible tail"]
+
+
+def test_v44_corpus_fuzz_parity():
+    n_br = 0
+    for seed in range(23800, 24600):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<br>" in doc and "<table" in doc:
+            n_br += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_br >= 5
