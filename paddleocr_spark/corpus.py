@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 44  # v44: cell-internal block boundaries separate
+CORPUS_VERSION = 45  # v45: Widget /V inheritance via /Parent fields
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -981,6 +981,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     traps (missing matrix, degenerate a=0, 5-number array → 1/1000);
     the v9 OCR layer sometimes draws clip-only mode 7 Tr (invisible,
     §9.3.6) and the visible-mode draw covers 4-6.
+    v45: ~45% of Widget draws store the field value on an ancestor
+    (ISO §12.7.3.3 /Parent inheritance) — direct parent, two-level
+    chain, nearest-/V-is-/Off (appearance state, no text), dangling
+    parent and cycle traps.
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -1728,6 +1732,43 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else:
                 extra += f" /Annots [{' '.join(arefs)}]"
             for a, kind in enumerate(kinds):
+                if kind == "widget" and rng.random() < 0.45:
+                    # v45: the field VALUE lives on an ancestor (ISO
+                    # §12.7.3.3 — radio groups / multi-widget fields);
+                    # forms: direct parent, two-level chain, nearest-/V-
+                    # is-/Off (no text), dangling parent, cycle trap
+                    wx0, wy0 = rng.randint(60, 380), rng.randint(120, 600)
+                    wrect = (
+                        f"[{wx0} {wy0} {wx0 + rng.randint(80, 200)}"
+                        f" {wy0 + rng.randint(14, 40)}]"
+                    )
+                    wtxt = _pdf_str(_sent(rng, words, rng.randint(2, 4)))
+                    pnum = 140 + 4 * i + a
+                    gnum = 180 + 4 * i + a
+                    wdict = (
+                        f"<< /Type /Annot /Subtype /Widget /Rect {wrect}"
+                        f" /Parent {pnum} 0 R >>"
+                    )
+                    r45 = rng.random()
+                    if r45 < 0.40:
+                        annot_objs.append((pnum, (
+                            f"<< /FT /Tx /T (fld{a}) /V ({wtxt} inherited)"
+                            f" /Kids [{base + a} 0 R] >>"
+                        )))
+                    elif r45 < 0.60:
+                        annot_objs.append((gnum, f"<< /FT /Tx /V ({wtxt} rootval) >>"))
+                        annot_objs.append((pnum, f"<< /Parent {gnum} 0 R /T (mid{a}) >>"))
+                    elif r45 < 0.78:  # appearance state: decides, no text
+                        annot_objs.append((pnum, "<< /FT /Btn /V /Off >>"))
+                    elif r45 < 0.90:  # dangling parent ref
+                        wdict = (
+                            f"<< /Type /Annot /Subtype /Widget /Rect {wrect}"
+                            f" /Parent 97 0 R >>"
+                        )
+                    else:  # cycle: parent points back at the widget
+                        annot_objs.append((pnum, f"<< /Parent {base + a} 0 R >>"))
+                    annot_objs.append((base + a, wdict))
+                    continue
                 popup_ref = (
                     f" /Popup {base + 3} 0 R"
                     if use_popup and a == n_an - 1

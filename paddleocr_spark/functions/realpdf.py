@@ -1280,6 +1280,33 @@ def _page_annots(text: str, objs: dict, vobjs: dict, body: str) -> tuple:
             txt = _key_string(ab, "/Contents")
         elif st == "Widget":
             txt = _key_string(ab, "/V")
+            if txt is None and not _has_key(ab, "/V"):
+                # v45: /V is an inheritable field attribute (ISO 32000
+                # §12.7.3.3) — a kid widget without its own takes the
+                # NEAREST ancestor's via the /Parent chain (radio groups
+                # and multi-widget text fields store the value on the
+                # parent field). Bounded depth 8, cycle-guarded; only
+                # the string form inherits (name values like /Off are
+                # appearance states, not text — the v27 pin). The
+                # widget's own /Rect and /F stay: annotation attributes
+                # never inherit.
+                seen = {num}
+                pb = ab
+                for _ in range(8):
+                    pn = _key_ref(pb, "/Parent")
+                    if pn is None or pn in seen:
+                        break
+                    seen.add(pn)
+                    pb = _obj_body(text, objs, vobjs, pn)
+                    if pb is None:
+                        break
+                    if _has_key(pb, "/V"):
+                        # the NEAREST /V-bearing ancestor decides: a
+                        # string is the field text; a name (/Off) or
+                        # other form is an appearance state → no text,
+                        # and farther ancestors never apply
+                        txt = _key_string(pb, "/V")
+                        break
         else:
             continue
         if txt is None:

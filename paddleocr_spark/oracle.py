@@ -2121,6 +2121,19 @@ def _rpdf_string_at(s: str, i: int):
     return None
 
 
+def _rpdf_has_key(body: str, key: str) -> bool:
+    """Token-exact presence at the key's FIRST literal occurrence — the
+    kernel _has_key mirror (v45): a first occurrence failing the name
+    boundary (e.g. /V inside /Value) is absence, later hits ignored."""
+    k = body.find(key)
+    if k < 0:
+        return False
+    after = k + len(key)
+    return after >= len(body) or bool(
+        re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", body[after])
+    )
+
+
 def _rpdf_key_string(body: str, key: str):
     """Inline string value after the key's FIRST token-exact occurrence
     (SPEC §3b Annotations, v27)."""
@@ -2181,6 +2194,26 @@ def _rpdf_page_annots(text: str, objs: dict, vobjs: dict, body: str):
             txt = _rpdf_key_string(ab, "/Contents")
         elif st == "Widget":
             txt = _rpdf_key_string(ab, "/V")
+            if txt is None and not _rpdf_has_key(ab, "/V"):
+                # v45 mirror: inherit /V up the /Parent field chain
+                # (§12.7.3.3) — the NEAREST /V-bearing ancestor decides
+                # (a /Off name is an appearance state, no text, and
+                # farther ancestors never apply); depth ≤ 8, cycle-
+                # guarded; a dict carrying any token-exact /V stops the
+                # walk whether or not it is a string
+                seen = {num}
+                pb = ab
+                for _ in range(8):
+                    pn = _rpdf_key_ref(pb, "/Parent")
+                    if pn is None or pn in seen:
+                        break
+                    seen.add(pn)
+                    pb = _rpdf_obj_body(text, objs, vobjs, pn)
+                    if pb is None:
+                        break
+                    if _rpdf_has_key(pb, "/V"):
+                        txt = _rpdf_key_string(pb, "/V")
+                        break
         else:
             continue
         if txt is None:

@@ -4136,3 +4136,103 @@ def test_v43_truncation_fuzz_type3():
         k, spans, drop = extract_payload(d)
         o = oracle_extract(d)
         assert (k, spans, drop) == (o["kind"], o["spans"], o["n_dropped"]), cut
+
+
+# ---------------------------------------------------------------------------
+# v45: Widget /V inheritance via the /Parent field chain (ISO 32000
+# §12.7.3.3)
+# ---------------------------------------------------------------------------
+
+
+def test_v45_widget_inherits_parent_value():
+    doc = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /Parent 6 0 R >>\nendobj\n"
+        "6 0 obj\n<< /FT /Tx /T (name1) /V (inherited field value)"
+        " /Kids [5 0 R] >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(doc)] == [
+        "page body text", "inherited field value",
+    ]
+
+
+def test_v45_two_level_chain_and_cycle_guard():
+    doc = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /Parent 6 0 R >>\nendobj\n"
+        "6 0 obj\n<< /Parent 7 0 R >>\nendobj\n"
+        "7 0 obj\n<< /V (grandparent value) /Parent 5 0 R >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(doc)] == [
+        "page body text", "grandparent value",
+    ]
+
+
+def test_v45_own_value_wins_and_name_form_blocks():
+    """A widget's own /V — string OR name — decides; the walk never
+    starts. A /V /On appearance state yields no text even when the
+    parent carries a string."""
+    own = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /V (own value) /Parent 6 0 R >>\nendobj\n"
+        "6 0 obj\n<< /V (parent value) >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(own)] == ["page body text", "own value"]
+    name_form = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /V /On /Parent 6 0 R >>\nendobj\n"
+        "6 0 obj\n<< /V (parent value) >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(name_form)] == ["page body text"]
+
+
+def test_v45_nearest_v_bearing_ancestor_decides():
+    """The first ancestor WITH /V stops the walk: /Off there means no
+    text even when a farther ancestor has a string; a /Value red
+    herring is absence under the first-literal-occurrence key rule."""
+    off = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /Parent 6 0 R >>\nendobj\n"
+        "6 0 obj\n<< /V /Off /Parent 7 0 R >>\nendobj\n"
+        "7 0 obj\n<< /V (root value) >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(off)] == ["page body text"]
+    herring = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /Parent 6 0 R >>\nendobj\n"
+        "6 0 obj\n<< /Value 3 /V (shadowed) /Parent 7 0 R >>\nendobj\n"
+        "7 0 obj\n<< /V (root wins here) >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(herring)] == [
+        "page body text", "root wins here",
+    ]
+
+
+def test_v45_dangling_parent_skips():
+    doc = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /Widget /Rect [100 100 300 120]"
+        " /Parent 66 0 R >>\nendobj\n",
+    )
+    assert [s[2] for s in _parity(doc)] == ["page body text"]
+
+
+def test_v45_corpus_fuzz_parity():
+    ni = noff = 0
+    for seed in range(24600, 25400):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "inherited)" in doc or "rootval)" in doc:
+            ni += 1
+        if "/V /Off" in doc:
+            noff += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert ni >= 4 and noff >= 2
