@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 45  # v45: Widget /V inheritance via /Parent fields
+CORPUS_VERSION = 46  # v46: foreign content (svg hides, MathML renders)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -77,6 +77,10 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     v44: cell-internal block boundaries (SPEC §2.3) — <br>/<p>/<hr>
     inside table cells and captions separate text runs (the innerText
     newline, one space after the cell collapse); inline tags glue.
+    v46: foreign content (SPEC §2.2) — inline svg subtrees vanish
+    without splitting their paragraph (icon svgs, charts with <text>
+    labels, nested svg, interior fake-HTML traps); MathML renders
+    inline with <annotation>/<annotation-xml> hidden.
     v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
     vanish (supporting browsers never render them); inline canvas keeps
     its paragraph whole; object fallback renders (pinned); traps for
@@ -355,6 +359,44 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 # details INSIDE table mode: intercepted, content extracts
                 f"<table><tr><td><details><summary>{dw} kept</summary>"
                 f"</details></td><td>{w()} cell</td></tr></table>",
+            )))
+    if rng.random() < 0.09:  # v46: foreign content — svg hides, math shows
+        r46 = rng.random()
+        fw = f"{w()} {w()}"
+        if r46 < 0.30:  # icon svg inline in a paragraph — stays whole
+            parts.append(
+                f"<p>{_sent(rng, words, 3)} <svg viewBox=\"0 0 24 24\">"
+                f"<title>{w()} icon</title><path d=\"M{rng.randint(1, 9)}"
+                f" 0h24v24\"/></svg> {_sent(rng, words, 3)}</p>"
+            )
+        elif r46 < 0.50:  # chart svg with text labels — all vanish
+            parts.append(
+                f'<svg width="300"><text x="0" y="10">{fw} label</text>'
+                f"<rect/><text>{w()} axis</text></svg>"
+                f"<p>{w()} after chart</p>"
+            )
+        elif r46 < 0.68:  # MathML renders; annotations hide
+            parts.append(
+                f"<p>{w()} equation <math><mi>x</mi><mo>+</mo>"
+                f"<mn>{rng.randint(2, 9)}</mn><semantics><mrow><mi>y</mi>"
+                f"</mrow><annotation encoding=\"application/x-tex\">"
+                f"{fw} tex gone</annotation></semantics></math>"
+                f" {w()} tail</p>"
+            )
+        elif r46 < 0.86:  # nested svg + interior fake-HTML traps
+            parts.append(rng.choice((
+                f"<p>{w()} pre<svg><svg><text>{fw} deep</text></svg>"
+                f"<p>{fw} fake para</p></svg>post {w()}</p>",
+                f"<svg><style>.x{{fill:red}}</style><script>var "
+                f"{w()}=1;</script></svg><p>{w()} after scripts</p>",
+                f"<table><tr><td>{w()} cell <svg><text>{fw}</text>"
+                f"</svg>kept</td></tr></table>",
+            )))
+        else:  # traps: self-close inert, stray close, unclosed to EOF
+            parts.append(rng.choice((
+                f"<svg/><p>{fw} selfclosed renders</p>",
+                f"</svg><p>{fw} stray close renders</p>",
+                f"<p>{fw} before cutoff</p><svg><text>{w()} swallowed",
             )))
     if rng.random() < 0.08:  # v42: rawtext — tags/entities render raw
         r42 = rng.random()

@@ -89,11 +89,28 @@ SKIP_TAGS = frozenset(
     "script style select datalist textarea iframe noscript noframes"
     " noembed template".split()
 )
+# v46: inline SVG is foreign graphics — its <text>/<title>/<desc> content
+# is canvas labeling, excluded from innerText by every browser (the
+# traversal covers HTML elements only) and stripped by Readability/
+# trafilatura alike. Unlike the skip set, svg is INLINE: entering and
+# leaving it never flushes (an icon svg must not split its paragraph),
+# and EVERY interior tag is inert until the matching close — interior
+# structure is a foreign document, not HTML (<foreignObject> HTML is
+# dropped with it, pinned degrade). Tracked by a dedicated nesting
+# counter, not the skip counter.
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 # v39: media elements whose DESCENDANTS are legacy fallback a supporting
 # browser never renders as page content (track/source are void)
-_MEDIA_HIDDEN = frozenset({"audio", "video", "canvas"})
+_MEDIA_HIDDEN = frozenset({
+    "audio", "video", "canvas",
+    # v46: MathML renders inline (x+2 IS page text) but the UA
+    # stylesheet hides <annotation> and <annotation-xml> (they carry
+    # TeX/XML duplicates of the rendered presentation). The tag-name
+    # scan stops at the hyphen, so "annotation" covers annotation-xml
+    # too (pinned).
+    "annotation",
+})
 
 # v29: hidden-content detection (SPEC §2.2). An element is hidden iff its
 # attributes carry the HTML5 boolean `hidden` (any or no value), or an
@@ -296,6 +313,7 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     boiler_depth = 0
     link_depth = 0
     skip_depth = 0  # inside a skipped (non-rendered) subtree
+    svg_depth = 0  # v46: inside a foreign svg subtree (inline, no flush)
     hidden_depth = 0  # v29: inside a hidden element (attr/display:none)
     heading_depth = 0
     pre_depth = 0
@@ -418,7 +436,12 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 continue
         if tok[0] != "<":
             # --- text token (fast path: the most common token kind) ---
-            if skip_depth > 0 or hidden_depth > 0 or cdet_depth > vsum_depth:
+            if (
+                skip_depth > 0
+                or svg_depth > 0
+                or hidden_depth > 0
+                or cdet_depth > vsum_depth
+            ):
                 continue
             piece = (
                 decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
@@ -455,6 +478,18 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             if name is None:
                 continue  # malformed tag → ignored
 
+            # v46: inside a foreign svg subtree EVERY tag is inert except
+            # svg itself (nesting counted; self-closing opens don't
+            # deepen). Entering svg inside a skip subtree is impossible
+            # (skip intercepts first, below), so the states are disjoint.
+            if svg_depth > 0:
+                if name == "svg":
+                    if closing:
+                        svg_depth -= 1
+                    elif not self_closing:
+                        svg_depth += 1
+                continue
+
             if not closing and name in SKIP_TAGS and not self_closing:
                 skip_depth += 1
                 if cur_pieces:
@@ -467,6 +502,15 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                     flush()
                 continue
             if skip_depth > 0:
+                continue
+
+            # v46: svg entry/stray-close — INLINE (no flush), works
+            # everywhere including table mode (a cell's icon svg hides
+            # without ending the cell); self-closing inert, stray close
+            # clamped
+            if name == "svg":
+                if not closing and not self_closing:
+                    svg_depth = 1
                 continue
 
             # --- table mode handling ---

@@ -232,6 +232,7 @@ def _oracle_html(text: str, cfg: ExtractConfig):
 
     raw = None  # v42: rawtext state — xmp exits on a real close tag,
     # plaintext never exits; entities do NOT decode in rawtext
+    svg = 0  # v46: foreign svg subtree — inline, every interior tag inert
 
     for m in tokens:
         tok = m.group(0)
@@ -267,6 +268,14 @@ def _oracle_html(text: str, cfg: ExtractConfig):
             closing, name = nm.group(1) == "/", nm.group(2).lower()
             selfclose = tok.rstrip().endswith("/>")
 
+            if svg > 0:  # v46: interior tags inert, svg nesting counted
+                if name == "svg":
+                    if closing:
+                        svg -= 1
+                    elif not selfclose:
+                        svg += 1
+                continue
+
             if not closing and name in _ORACLE_SKIP and not selfclose:
                 in_script += 1
                 end_block()
@@ -276,6 +285,11 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 end_block()
                 continue
             if in_script:
+                continue
+
+            if name == "svg":  # v46: inline entry (no end_block), works
+                if not closing and not selfclose:  # in table mode too
+                    svg = 1
                 continue
 
             if tbl is not None:
@@ -377,6 +391,7 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     hid = True
                 elif name == "rp" or name in (
                     "audio", "video", "canvas",
+                    "annotation",  # v46: MathML annotation/annotation-xml
                 ):  # v35: ruby parens; v39: media fallback never renders
                     hid = True
                 cdet = name == "details" and not _o_open_tag(low)
@@ -423,7 +438,12 @@ def _oracle_html(text: str, cfg: ExtractConfig):
             continue
 
         # text token
-        if in_script or depth["hid"] > 0 or depth["cdet"] > depth["vsum"]:
+        if (
+            in_script
+            or svg > 0
+            or depth["hid"] > 0
+            or depth["cdet"] > depth["vsum"]
+        ):
             continue
         piece = _o_strip_invis(_decode(tok))  # v30: strip after decode
         if not piece:  # v30: strips to nothing → contributes nothing

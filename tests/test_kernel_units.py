@@ -1488,3 +1488,79 @@ def test_v44_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_br >= 5
+
+
+# --- v46: foreign content (SPEC §2.2) -----------------------------------
+
+
+def test_v46_icon_svg_keeps_paragraph_whole():
+    """innerText excludes SVG content (the traversal covers HTML
+    elements only) and the inline svg never splits its paragraph."""
+    texts = _html_parity(_H34.format(
+        "<p>alpha before <svg viewBox=\"0 0 24 24\"><title>Close</title>"
+        "<text>SVGTEXT</text><path d=\"M0 0\"/></svg> omega after</p>"
+    ))
+    assert texts == ["alpha before omega after"]
+
+
+def test_v46_interior_tags_are_inert():
+    """Inside svg NOTHING is HTML: fake <p>, skip-set members, block
+    tags — all inert until the matching close; nesting counted."""
+    texts = _html_parity(_H34.format(
+        "<p>alpha<svg><svg><text>deep</text></svg><style>.x{}</style>"
+        "<p>fake para</p></svg>beta</p><p>tail text</p>"
+    ))
+    assert texts == ["alphabeta", "tail text"]
+
+
+def test_v46_mathml_renders_annotations_hide():
+    texts = _html_parity(_H34.format(
+        "<p>eq <math><mi>x</mi><mo>+</mo><mn>2</mn><semantics><mrow>"
+        "<mi>y</mi></mrow><annotation encoding=\"application/x-tex\">"
+        "y^2 tex</annotation><annotation-xml><mi>zz</mi>"
+        "</annotation-xml></semantics></math> rest text</p>"
+    ))
+    assert texts == ["eq x+2y rest text"]
+
+
+def test_v46_svg_inside_cell_and_skip_and_rawtext():
+    """Cell icon svg hides without ending the cell; an <svg> inside a
+    script string never enters (skip wins); inside <xmp> it renders
+    literally (rawtext wins)."""
+    assert _html_parity(_H34.format(
+        "<table><tr><td>cell <svg><text>gone</text></svg>text</td></tr>"
+        "</table>"
+    )) == ["cell text"]
+    assert _html_parity(_H34.format(
+        "<script>var s = \"<svg>\";</script><p>after script text</p>"
+    )) == ["after script text"]
+    assert _html_parity(_H34.format(
+        "<xmp><svg>raw literal</svg></xmp><p>tail here</p>"
+    )) == ["<svg>raw literal</svg>", "tail here"]
+
+
+def test_v46_svg_traps():
+    assert _html_parity(_H34.format(
+        "<svg/><p>selfclosed svg renders</p>"
+    )) == ["selfclosed svg renders"]
+    assert _html_parity(_H34.format(
+        "</svg><p>stray close fine</p>"
+    )) == ["stray close fine"]
+    assert _html_parity(_H34.format(
+        "<p>head text</p><svg><text>never closed"
+    )) == ["head text"]
+
+
+def test_v46_corpus_fuzz_parity():
+    n_svg = n_math = 0
+    for seed in range(25400, 26200):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "<svg" in doc:
+            n_svg += 1
+        if "<math>" in doc:
+            n_math += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_svg >= 15 and n_math >= 5
