@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 46  # v46: foreign content (svg hides, MathML renders)
+CORPUS_VERSION = 47  # v47: literal-string EOL semantics (ISO 7.3.4.2)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1027,6 +1027,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     (ISO §12.7.3.3 /Parent inheritance) — direct parent, two-level
     chain, nearest-/V-is-/Off (appearance state, no text), dangling
     parent and cycle traps.
+    v47: literal-string EOL semantics (ISO §7.3.4.2) — pages drawing
+    raw CR/CRLF EOLs inside literals (read as LF), backslash-EOL
+    continuations in all three forms (read as nothing), and escaped
+    \r / octal \015 CR bytes (kept).
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -1373,6 +1377,22 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     f"0 Tr 0 -{ll * 2} Td"
                     f" ({_pdf_str(_sent(rng, words, 3))} caption) Tj"
                 )
+            ops.append("ET")
+        elif rng.random() < 0.10:  # v47: literal-string EOL semantics
+            # (ISO §7.3.4.2): raw CR/CRLF inside a literal reads as LF;
+            # a backslash before any EOL form is a continuation (reads
+            # as nothing); escaped \r / octal \015 stay CR bytes
+            a47, b47, c47 = (rng.choice(words) for _ in range(3))
+            r47 = rng.random()
+            if r47 < 0.35:  # raw EOLs split words at whitespace
+                body47 = f"({a47} split\r\n{b47} lines\r{c47} here) Tj"
+            elif r47 < 0.70:  # continuations join the halves seamlessly
+                half = rng.choice(("\\\r\n", "\\\r", "\\\n"))
+                body47 = f"({a47} conti{half}nued {b47} text) Tj"
+            else:  # escape forms keep their CR bytes (assembly spaces)
+                body47 = f"({a47} cr\\rhere {b47} oct\\015there) Tj"
+            ops.append("BT")
+            ops.append(f"/F1 {fs} Tf 72 {mb_h - 92} Td {body47}")
             ops.append("ET")
         elif rng.random() < 0.35:  # two columns, one BT block each, Tm-positioned
             for col, x in enumerate((72, 330)):

@@ -2028,11 +2028,17 @@ def _read_literal(s: str, i: int) -> Tuple[str, int, bool]:
     while i < n:
         m = search(s, i)
         if m is None:
-            out.append(s[i:])
+            tail = s[i:]
+            if "\r" in tail:  # v47: raw EOLs read as LF (ISO §7.3.4.2)
+                tail = tail.replace("\r\n", "\n").replace("\r", "\n")
+            out.append(tail)
             break
         j = m.start()
         if j > i:
-            out.append(s[i:j])
+            run = s[i:j]
+            if "\r" in run:  # v47: raw EOLs read as LF (ISO §7.3.4.2)
+                run = run.replace("\r\n", "\n").replace("\r", "\n")
+            out.append(run)
         ch = s[j]
         if ch == "\\":
             if j + 1 >= n:
@@ -2046,6 +2052,13 @@ def _read_literal(s: str, i: int) -> Tuple[str, int, bool]:
                 i = j + 2
             elif nxt == "\n":
                 i = j + 2  # line continuation
+            elif nxt == "\r":
+                # v47: \CR and \CRLF are line continuations too (ISO
+                # §7.3.4.2 — the EOL after a backslash may be CR, LF,
+                # or CRLF); the escaped \r ESC_MAP form above still
+                # yields a literal CR byte, untouched by the raw-EOL
+                # normalization (it never sits in a plain run).
+                i = j + 2 + (1 if s[j + 2 : j + 3] == "\n" else 0)
             elif "0" <= nxt <= "7":
                 k = j + 1
                 while k < min(j + 4, n) and "0" <= s[k] <= "7":

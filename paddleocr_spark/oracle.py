@@ -639,7 +639,9 @@ RPDF_MEDIABOX_RE = re.compile(  # format-spec literal (shared by definition)
 _RPDF_STREAM_RE = re.compile(r"stream\r?\n")
 _RPDF_NUM_RE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)\Z")
 _RPDF_RUN_RE = re.compile(r"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
-_RPDF_STRCHUNK_RE = re.compile(r"\\([0-7]{1,3}|\n|.)|([()])|([^\\()]+)", re.DOTALL)
+_RPDF_STRCHUNK_RE = re.compile(
+    r"\\([0-7]{1,3}|\r\n?|\n|.)|([()])|([^\\()]+)", re.DOTALL
+)  # v47: \CR and \CRLF are continuations like \LF (ISO §7.3.4.2)
 _RPDF_HEXBODY_RE = re.compile(r"[^>]*")
 _RPDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\x08", "f": "\x0c"}
 _RPDF_WS = "\x00\t\n\x0c\r "
@@ -2114,6 +2116,8 @@ def _rpdf_string_at(s: str, i: int):
             i = m.end()
             esc, paren, plain = m.groups()
             if plain is not None:
+                if "\r" in plain:  # v47: raw EOLs read as LF
+                    plain = plain.replace("\r\n", "\n").replace("\r", "\n")
                 parts.append(plain)
             elif paren == "(":
                 depth += 1
@@ -2123,8 +2127,8 @@ def _rpdf_string_at(s: str, i: int):
                 if depth == 0:
                     return "".join(parts)
                 parts.append(")")
-            elif esc == "\n":
-                pass
+            elif esc in ("\n", "\r", "\r\n"):
+                pass  # v47: any-EOL line continuation
             elif esc[0] in "01234567":
                 parts.append(chr(int(esc, 8) % 256))
             else:
@@ -2595,6 +2599,10 @@ def _rpdf_tokens(content: str):
                 i = m.end()
                 esc, paren, plain = m.groups()
                 if plain is not None:
+                    if "\r" in plain:  # v47: raw EOLs read as LF
+                        plain = plain.replace("\r\n", "\n").replace(
+                            "\r", "\n"
+                        )
                     parts.append(plain)
                 elif paren == "(":
                     depth += 1
@@ -2605,8 +2613,8 @@ def _rpdf_tokens(content: str):
                         terminated = True
                         break
                     parts.append(")")
-                elif esc == "\n":
-                    pass  # line continuation
+                elif esc in ("\n", "\r", "\r\n"):
+                    pass  # v47: any-EOL line continuation
                 elif esc[0] in "01234567":
                     parts.append(chr(int(esc, 8) % 256))
                 else:

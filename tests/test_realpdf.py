@@ -4236,3 +4236,67 @@ def test_v45_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert ni >= 4 and noff >= 2
+
+
+# ---------------------------------------------------------------------------
+# v47: literal-string end-of-line semantics (ISO 32000 §7.3.4.2)
+# ---------------------------------------------------------------------------
+
+
+def test_v47_raw_eols_read_as_lf():
+    """Raw CR and CRLF inside a literal are EOLs — each reads as one LF
+    (whitespace at assembly), never as a CR byte or a glued word."""
+    doc = _pdfw(
+        "BT /F5 12 Tf 72 700 Td (alpha\r\nbeta\rgamma) Tj ET",
+        "<< /Type /Font /Subtype /Type1 >>",
+    )
+    sp = _parity(doc)
+    assert sp[0][2] == "alpha beta gamma"
+
+
+def test_v47_backslash_eol_continuations():
+    """\\LF, \\CR and \\CRLF are all line continuations — they read as
+    NOTHING, joining the halves seamlessly."""
+    for eol in ("\\\n", "\\\r", "\\\r\n"):
+        doc = _pdfw(
+            f"BT /F5 12 Tf 72 700 Td (conti{eol}nued word here) Tj ET",
+            "<< /Type /Font /Subtype /Type1 >>",
+        )
+        sp = _parity(doc)
+        assert sp[0][2] == "continued word here", repr(eol)
+
+
+def test_v47_escaped_cr_bytes_survive_the_reader():
+    """The \\r escape and octal \\015 still produce CR BYTES (the
+    §7.3.4.2 EOL rules cover raw EOLs and backslash-EOL pairs only);
+    assembly renders them as separators, proving the byte existed."""
+    doc = _pdfw(
+        "BT /F5 12 Tf 72 700 Td (a\\rb\\015c) Tj ET",
+        "<< /Type /Font /Subtype /Type1 >>",
+    )
+    sp = _parity(doc)
+    assert sp[0][2] == "a b c"
+
+
+def test_v47_annotation_strings_share_the_rules():
+    doc = _pdfa(
+        "[5 0 R]",
+        "5 0 obj\n<< /Subtype /FreeText /Rect [100 100 300 120]"
+        " /Contents (line\r\nbroken conti\\\r\nnued) >>\nendobj\n",
+    )
+    assert any(s[2] == "line broken continued" for s in _parity(doc))
+
+
+def test_v47_corpus_fuzz_parity():
+    nr = nc = 0
+    for seed in range(26200, 27000):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if " split\r\n" in doc:
+            nr += 1
+        if "conti\\" in doc:
+            nc += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert nr >= 6 and nc >= 4
