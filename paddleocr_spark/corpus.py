@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 47  # v47: literal-string EOL semantics (ISO 7.3.4.2)
+CORPUS_VERSION = 48  # v48: #XX name escapes (ISO 7.3.5)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1031,6 +1031,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     raw CR/CRLF EOLs inside literals (read as LF), backslash-EOL
     continuations in all three forms (read as nothing), and escaped
     \r / octal \015 CR bytes (kept).
+    v48: #XX name escapes (ISO §7.3.5) — resource keys and Tf
+    operands draw their escape independently (any mix must match);
+    ~6% of pages write their /Type value as /Pa#67e.
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -1323,7 +1326,12 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         # FreeText with no /Contents string
         return f"<< /Type /Annot /Subtype /FreeText /Rect {rect} >>"
 
-    body_font = "/F9" if scheme else "/F1"
+    # v48: #XX name escapes (ISO §7.3.5) — an escaped Tf operand must
+    # match its plain resource key and vice versa, so the operand and
+    # the key draw their escape INDEPENDENTLY
+    esc48_key = rng.random() < 0.10
+    esc48_op = rng.random() < 0.10
+    body_font = ("/F#39" if esc48_op else "/F9") if scheme else "/F1"
     streams = []
     for _page in range(n_pages):
         fs = rng.choice((9, 10, 12))
@@ -1670,13 +1678,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     xbase = font1 + 5  # v9 form/image XObject objects live after the ObjStm
     res_inner = []
     if scheme:
-        ents = f"/F9 {font1} 0 R"
+        ents = f"{'/F#39' if esc48_key else '/F9'} {font1} 0 R"  # v48
         if scheme2:
             ents += f" /F8 {font1 + 2} 0 R"
         res_inner.append(f"/Font << {ents} >>")
     elif use_widths:
         # v25: widths ride the identity /F1 (body + header/footer font)
-        res_inner.append("/Font << /F1 50 0 R >>")
+        res_inner.append(
+            f"/Font << {'/F#31' if esc48_key else '/F1'} 50 0 R >>"  # v48
+        )
     if use_forms:
         res_inner.append(
             f"/XObject << /Fx {xbase} 0 R /Im {xbase + 2} 0 R"
@@ -1837,8 +1847,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     else ""
                 )
                 annot_objs.append((base + a, _annot_body(kind, popup_ref)))
+        # v48: an escaped /Type VALUE (/Pa#67e) must still detect as a
+        # page when the object scan runs
+        tname48 = "/Pa#67e" if rng.random() < 0.06 else "/Page"
         objs.append(
-            f"<< /Type /Page /Parent {parents[i]} /Contents {contents_val[i]}"
+            f"<< /Type {tname48} /Parent {parents[i]} /Contents {contents_val[i]}"
             f"{res}{res_page_broken}{extra} >>"
         )
 

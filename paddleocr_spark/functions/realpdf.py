@@ -586,13 +586,28 @@ def _skip_ws(s: str, i: int) -> int:
     return i
 
 
+_NAMEHEX_RE = re.compile(r"#([0-9a-fA-F]{2})")
+
+
+def _name_unescape(nm: str) -> str:
+    """#XX hex escapes in a name token → their byte (ISO 32000 §7.3.5,
+    v48): ``F#31`` ≡ ``F1``, ``A#20B`` is the name "A B". A ``#`` not
+    followed by exactly two hex digits stays literal (the Acrobat
+    degrade). Applies to every name read as a VALUE, dict key, or
+    operand; key-anchored finds (``/Subtype`` …) and filter names match
+    literally — a #-escaped STANDARD key is a pinned no-match."""
+    if "#" not in nm:
+        return nm
+    return _NAMEHEX_RE.sub(lambda m: chr(int(m.group(1), 16)), nm)
+
+
 def _read_name_token(s: str, i: int) -> Tuple[str, int]:
-    """Name body starting after the ``/`` at ``i``."""
+    """Name body starting after the ``/`` at ``i`` (#XX decoded, v48)."""
     j = i + 1
     n = len(s)
     while j < n and s[j] not in _WS and s[j] not in _DELIM:
         j += 1
-    return s[i + 1 : j], j
+    return _name_unescape(s[i + 1 : j]), j
 
 
 def _read_ref(s: str, i: int) -> Tuple[Optional[int], int]:
@@ -2499,7 +2514,9 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             continue
         if ch == "/":
             j = _RUN_RE.match(content, i + 1).end()
-            (arr if arr is not None else stack).append(("n", content[i + 1 : j]))
+            (arr if arr is not None else stack).append(
+                ("n", _name_unescape(content[i + 1 : j]))  # v48
+            )
             i = j
             continue
         # regular-character run: number or operator

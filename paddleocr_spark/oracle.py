@@ -644,6 +644,15 @@ _RPDF_STRCHUNK_RE = re.compile(
 )  # v47: \CR and \CRLF are continuations like \LF (ISO §7.3.4.2)
 _RPDF_HEXBODY_RE = re.compile(r"[^>]*")
 _RPDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\x08", "f": "\x0c"}
+_RPDF_NAMEHEX_RE = re.compile(r"#([0-9a-fA-F]{2})")
+
+
+def _rpdf_name_unescape(nm: str) -> str:
+    """#XX hex escapes decode to their byte (ISO 32000 §7.3.5, v48) —
+    kernel _name_unescape mirror; an invalid ``#`` run stays literal."""
+    if "#" not in nm:
+        return nm
+    return _RPDF_NAMEHEX_RE.sub(lambda m: chr(int(m.group(1), 16)), nm)
 _RPDF_WS = "\x00\t\n\x0c\r "
 # /Filter value matched AT the first occurrence (same anchor the kernel
 # scans from): one name or a whitespace-separated name array
@@ -1008,15 +1017,17 @@ def _rpdf_key_int(body: str, key: str):
     return int(m.group(1)) if m else None
 
 
+_RPDF_TYPEVAL_RE = re.compile(
+    r"/Type[\x00\t\n\x0c\r ]*/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
+
+
 def _rpdf_first_type_is(body: str, name: str) -> bool:
     k = body.find("/Type")
     if k < 0:
         return False
-    return bool(
-        re.compile(
-            r"/Type[\x00\t\n\x0c\r ]*/" + re.escape(name) + _RPDF_NAMEEND
-        ).match(body, k)
-    )
+    m = _RPDF_TYPEVAL_RE.match(body, k)
+    return bool(m) and _rpdf_name_unescape(m.group(1)) == name  # v48
 
 
 def _rpdf_objstm_bodies(text: str, objs: dict):
@@ -1342,7 +1353,7 @@ def _rpdf_key_name(body: str, key: str):
     ):
         return None
     m = _RPDF_KEYNAME_RE.match(body, after)
-    return m.group(1) if m and m.group(1) else None
+    return _rpdf_name_unescape(m.group(1)) if m and m.group(1) else None
 
 
 def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
@@ -1375,7 +1386,7 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
             break
         if m.group(1) is not None:
             if 0 <= code <= 0xFF:
-                uni = _rpdf_glyph_name_uni(m.group(1))
+                uni = _rpdf_glyph_name_uni(_rpdf_name_unescape(m.group(1)))
                 if uni is not None:
                     cmap[(code, 1)] = uni
             code += 1
@@ -1660,7 +1671,7 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
         if wd is None and "/Widths" in fbody:
             wd = _rpdf_widths(text, objs, vobjs, fbody)
         if cm is not None or wd is not None:
-            fonts[fm.group(1)] = (cm, wd)
+            fonts[_rpdf_name_unescape(fm.group(1))] = (cm, wd)
     return fonts
 
 
@@ -1671,7 +1682,10 @@ def _rpdf_xobject_table(text: str, objs: dict, vobjs: dict, res):
     xdict = _rpdf_key_dict(res, "/XObject", text, objs, vobjs)
     if xdict is None:
         return {}
-    return {fm.group(1): int(fm.group(2)) for fm in _RPDF_FONTENT_RE.finditer(xdict)}
+    return {
+        _rpdf_name_unescape(fm.group(1)): int(fm.group(2))
+        for fm in _RPDF_FONTENT_RE.finditer(xdict)
+    }
 
 
 _RPDF_SUBTYPE_RE = re.compile(
@@ -1694,7 +1708,7 @@ def _rpdf_subtype_is(params: str, name: str) -> bool:
     if k < 0:
         return False
     m = _RPDF_SUBTYPE_RE.match(params, k)
-    return bool(m) and m.group(1) == name
+    return bool(m) and _rpdf_name_unescape(m.group(1)) == name
 
 
 def _rpdf_subtype_name(params: str):
@@ -1703,7 +1717,7 @@ def _rpdf_subtype_name(params: str):
     if k < 0:
         return None
     m = _RPDF_SUBTYPE_RE.match(params, k)
-    return m.group(1) if m else None
+    return _rpdf_name_unescape(m.group(1)) if m else None
 
 
 # /Contents-bearing annotation subtypes (SPEC §3b Annotations v28):
@@ -2657,9 +2671,10 @@ def _rpdf_tokens(content: str):
             continue
         if ch == "/":
             m = _RPDF_RUN_RE.match(content, i + 1)
-            toks.append(("name", m.group(0) if m else ""))
+            nmv = _rpdf_name_unescape(m.group(0)) if m else ""  # v48
+            toks.append(("name", nmv))
             if not arr_open:
-                since.append(("name", m.group(0) if m else ""))
+                since.append(("name", nmv))
             i = i + 1 + (len(m.group(0)) if m else 0)
             continue
         m = _RPDF_RUN_RE.match(content, i)

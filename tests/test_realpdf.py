@@ -4300,3 +4300,75 @@ def test_v47_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert nr >= 6 and nc >= 4
+
+
+# ---------------------------------------------------------------------------
+# v48: #XX name escapes (ISO 32000 §7.3.5)
+# ---------------------------------------------------------------------------
+
+
+def _pdfn48(ops: str, fontdecl: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        f" /Resources << /Font << {fontdecl} >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{ops}\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /FirstChar 65"
+        " /Widths [1000 500] >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_v48_escaped_key_matches_plain_operand_and_vice_versa():
+    ref = _parity(_pdfn48("BT /F1 10 Tf 72 700 Td (ABA) Tj ET", "/F1 5 0 R"))
+    assert ref[0][4] == [94, 104, 127, 116]  # the widths table resolved
+    for ops_f, key_f in (("/F1", "/F#31"), ("/F#31", "/F1"), ("/F#31", "/F#31")):
+        doc = _pdfn48(f"BT {ops_f} 10 Tf 72 700 Td (ABA) Tj ET", f"{key_f} 5 0 R")
+        assert _parity(doc) == ref, (ops_f, key_f)
+
+
+def test_v48_space_in_name_and_invalid_escape():
+    ref = _parity(_pdfn48("BT /F1 10 Tf 72 700 Td (ABA) Tj ET", "/F1 5 0 R"))
+    doc = _pdfn48("BT /A#20B 10 Tf 72 700 Td (ABA) Tj ET", "/A#20B 5 0 R")
+    assert _parity(doc) == ref
+    # a '#' not followed by two hex digits stays literal — still matches
+    # its byte-identical self
+    doc2 = _pdfn48("BT /F#3 10 Tf 72 700 Td (ABA) Tj ET", "/F#3 5 0 R")
+    assert _parity(doc2) == ref
+
+
+def test_v48_escaped_type_value_detects_page():
+    ref = _parity(_pdfn48("BT /F1 10 Tf 72 700 Td (ABA) Tj ET", "/F1 5 0 R"))
+    doc = _pdfn48("BT /F1 10 Tf 72 700 Td (ABA) Tj ET", "/F1 5 0 R").replace(
+        "/Type /Page ", "/Type /Pa#67e ", 1
+    )
+    assert _parity(doc) == ref
+
+
+def test_v48_standard_keys_match_literally():
+    """Pinned scope: a #-escaped standard KEY (/Wi#64ths) is a no-match
+    — the widths table must NOT form (the average rule applies)."""
+    now = _parity(_pdfn48(
+        "BT /F1 10 Tf 72 700 Td (ABA) Tj ET", "/F1 5 0 R"
+    ).replace("/Widths", "/Wi#64ths"))
+    avg = _parity(_pdfn48(
+        "BT /F1 10 Tf 72 700 Td (ABA) Tj ET", "/F1 5 0 R"
+    ).replace(" /FirstChar 65 /Widths [1000 500]", ""))
+    assert now == avg
+
+
+def test_v48_corpus_fuzz_parity():
+    ne = nt = 0
+    for seed in range(27000, 27800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "#3" in doc:
+            ne += 1
+        if "/Pa#67e" in doc:
+            nt += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert ne >= 40 and nt >= 20
