@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 48  # v48: #XX name escapes (ISO 7.3.5)
+CORPUS_VERSION = 49  # v49: form /BBox clipping (ISO 8.10.1)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1034,6 +1034,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     v48: #XX name escapes (ISO §7.3.5) — resource keys and Tf
     operands draw their escape independently (any mix must match);
     ~6% of pages write their /Type value as /Pa#67e.
+    v49: ~40% of form XObjects carry a /BBox (ISO §8.10.1) —
+    generous, tight (clips the 2nd+ letterhead lines), reversed
+    corners, and malformed (no clip) forms.
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -2303,13 +2306,29 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             content_a.append("/Fy Do")
             resources_a = f" /Resources << /XObject << /Fy {xbase + 1} 0 R >> >>"
         ca = "\n".join(content_a)
+        # v49: ~40% of forms carry a /BBox (ISO §8.10.1 required entry) —
+        # generous (covers everything), tight (clips the 2nd+ letterhead
+        # lines, which sit 14 units below the first), reversed corners
+        # (normalize), or malformed (no clip)
+        bbox_a = ""
+        if rng.random() < 0.40:
+            b49 = rng.random()
+            if b49 < 0.35:
+                bbox_a = f" /BBox [0 0 {mb_w} {mb_h}]"
+            elif b49 < 0.65:
+                bbox_a = f" /BBox [0 {mb_h - 207} {mb_w} {mb_h - 185}]"
+            elif b49 < 0.85:  # reversed corner order normalizes
+                bbox_a = f" /BBox [{mb_w} {mb_h - 185} 0 {mb_h - 207}]"
+            else:  # malformed → no clipping
+                bbox_a = f" /BBox [0 0 zz {mb_h}]"
         if rng.random() < 0.3:  # form content behind a filter chain
             body_a = _a85body(zlib.compress(ca.encode("latin-1"), 6))
             fdecl_a = " /Filter [/ASCII85Decode /FlateDecode]"
         else:
             body_a, fdecl_a = ca, ""
         parts.append(
-            f"{xbase} 0 obj\n<< /Type /XObject /Subtype /Form{mat_a}{resources_a}"
+            f"{xbase} 0 obj\n<< /Type /XObject /Subtype /Form{mat_a}{bbox_a}"
+            f"{resources_a}"
             f" /Length {len(body_a)}{fdecl_a} >>\n"
             f"stream\n{body_a}\nendstream\nendobj"
         )

@@ -1944,12 +1944,23 @@ def _make_form_resolver(
             if content is None:
                 return None
         res_f = _key_dict_body(params, "/Resources", text, objs, vobjs)
+        # v49: the form /BBox clips its content (ISO §8.10.1 — BBox is a
+        # required form entry; content outside it never paints). Stored
+        # normalized; absent/malformed → None → no clipping (degrade).
+        bb = _key_num_array(params, "/BBox", 4)
+        bbox = (
+            (min(bb[0], bb[2]), min(bb[1], bb[3]),
+             max(bb[0], bb[2]), max(bb[1], bb[3]))
+            if bb is not None
+            else None
+        )
         entry = (
             content,
             _font_table(text, objs, vobjs, res_f),
             _xobject_table(text, objs, vobjs, res_f),
             _matrix6(params),
             _oc_hidden_names(text, objs, vobjs, res_f, off),
+            bbox,
         )
         cache[num] = entry
         return entry
@@ -2212,7 +2223,9 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                rot: int = 0,
                crop: Tuple[float, float] = (0.0, 0.0),
                ctm: Tuple[float, ...] = _IDENT,
-               ocnames: frozenset = frozenset()) -> Tuple[List[Box], int]:
+               ocnames: frozenset = frozenset(),
+               bbox: Optional[Tuple[float, float, float, float]] = None,
+               ) -> Tuple[List[Box], int]:
     """One content stream → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts`` maps font names to CMap
     entries (SPEC §3b Fonts, v6): ``Tf`` switches the active map and
@@ -2279,9 +2292,27 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     stack: list = []
     arr: list | None = None  # open [ ... ] capture
 
+    # v49: form /BBox clipping (ISO §8.10.1) — a line whose baseline
+    # START lies outside the form's BBox paints nothing. The test runs
+    # in FORM space, i.e. only while the interior CTM is still the
+    # entry CTM (an interior cm re-binds the tuple and disables the
+    # test for lines drawn under it — pinned approximation; q/Q restore
+    # the identical tuple, so balanced state save re-enables it).
+    ctm0 = ctm
+
     def flush() -> None:
         nonlocal buf, acc_u, acc_g, acc_s
         txt = "".join(buf)
+        if (
+            bbox is not None
+            and ctm is ctm0
+            and txt.strip()
+            and not (
+                bbox[0] <= x <= bbox[2] and bbox[1] <= y + rise <= bbox[3]
+            )
+        ):
+            txt = ""  # clipped: paints nothing (not counted — geometry,
+            # not a render mode; the buffer still resets below)
         if txt.strip():
             # v25: with no active width table the per-show accounting sums
             # telescope to the flush-time length formula EXACTLY (0.5 and
@@ -2554,12 +2585,13 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        fc, ff, fx, fmat, focn = form
+                        fc, ff, fx, fmat, focn, fbb = form
                         _b, sup = _interpret(
                             fc, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
                             ctm=_compose(fmat, ctm), ocnames=focn,
+                            bbox=fbb,  # v49: the form clips to its BBox
                         )  # crop already folded into (ox, oy); the form
                         # /Matrix composes with the CTM at Do (v20)
                         suppressed += sup

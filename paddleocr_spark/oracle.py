@@ -1933,6 +1933,22 @@ def _rpdf_oc_hidden(
     return frozenset(hidden)
 
 
+def _rpdf_form_bbox(params: str):
+    """Normalized form /BBox (v49, ISO §8.10.1): first token-exact key
+    with an inline 4-number array; absent/malformed -> None (no clip)."""
+    k = params.find("/BBox")
+    if k < 0 or (
+        k + 5 < len(params)
+        and not re.match(r"[\x00\t\n\x0c\r ()<>\[\]{}/%]", params[k + 5])
+    ):
+        return None
+    m = _RPDF_RECTVAL_RE.match(params, k + 5)
+    if m is None:
+        return None
+    a, b, c, d = (float(m.group(g)) for g in range(1, 5))
+    return (min(a, c), min(b, d), max(a, c), max(b, d))
+
+
 def _rpdf_form_resolver(
     text: str, objs: dict, vobjs: dict, off: frozenset = frozenset()
 ):
@@ -1981,6 +1997,7 @@ def _rpdf_form_resolver(
                 _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
                 off,
             ),
+            _rpdf_form_bbox(params),  # v49: the form clips to its BBox
         )
         cache[num] = entry
         return entry
@@ -2720,7 +2737,8 @@ def _rpdf_atext(s: str):
 def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
                     depth=0, chain=frozenset(), boxes=None, rot=0,
-                    crop=(0.0, 0.0), ctm=_RPDF_IDENT, ocnames=frozenset()):
+                    crop=(0.0, 0.0), ctm=_RPDF_IDENT, ocnames=frozenset(),
+                    bbox=None):
     """Pass 2: token list → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
     switches the active map (SPEC §3b Fonts, v6) and show-strings decode
@@ -2767,8 +2785,21 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     def invisible():
         return cfg.drop_invisible_text and state["mode"] in (3, 7)
 
+    ctm0 = ctm  # v49: form-space clip runs only while the interior CTM
+    # is still the entry tuple (cm re-binds; q/Q restore the same object)
+
     def flush():
         txt = "".join(buf)
+        if (
+            bbox is not None
+            and ctmb[0] is ctm0
+            and txt.strip()
+            and not (
+                bbox[0] <= state["x"] <= bbox[2]
+                and bbox[1] <= state["y"] + state["rise"] <= bbox[3]
+            )
+        ):
+            txt = ""  # v49: clipped — paints nothing, not counted
         if txt.strip():
             # v25: accumulated per-code accounting (identical to the old
             # length formula when no font carries /Widths)
@@ -2875,12 +2906,13 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        ftoks, ff, fx, fmat, focn = form
+                        ftoks, ff, fx, fmat, focn, fbb = form
                         _b, sup = _rpdf_interpret(
                             ftoks, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
                             ctm=_rpdf_compose(fmat, ctmb[0]), ocnames=focn,
+                            bbox=fbb,  # v49
                         )
                         state["sup"] += sup
         elif op == "q":

@@ -4372,3 +4372,91 @@ def test_v48_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert ne >= 40 and nt >= 20
+
+
+# ---------------------------------------------------------------------------
+# v49: form XObject /BBox clipping (ISO 32000 §8.10.1)
+# ---------------------------------------------------------------------------
+
+
+def _pdff49(form_extra: str, form_ops: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /XObject << /Fx 5 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\nBT /F1 10 Tf 72 700 Td (page body line)"
+        " Tj ET\n/Fx Do\nendstream\nendobj\n"
+        f"5 0 obj\n<< /Subtype /Form{form_extra} >>\nstream\n{form_ops}"
+        "\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+_OPS49 = (
+    "BT /F1 10 Tf 50 50 Td (inside the box) Tj"
+    " 1 0 0 1 300 300 Tm (outside gone) Tj ET"
+)
+
+
+def test_v49_bbox_clips_outside_lines():
+    sp = _parity(_pdff49(" /BBox [0 0 200 100]", _OPS49))
+    texts = [s[2] for s in sp]
+    assert any("inside the box" in t for t in texts)
+    assert not any("outside gone" in t for t in texts)
+
+
+def test_v49_reversed_corners_normalize():
+    a = _parity(_pdff49(" /BBox [0 0 200 100]", _OPS49))
+    b = _parity(_pdff49(" /BBox [200 100 0 0]", _OPS49))
+    assert a == b
+
+
+def test_v49_missing_or_malformed_bbox_never_clips():
+    ref = _parity(_pdff49("", _OPS49))
+    assert any("outside gone" in s[2] for s in ref)
+    assert _parity(_pdff49(" /BBox [0 0 zz 100]", _OPS49)) == ref
+    assert _parity(_pdff49(" /BBox [0 0 200]", _OPS49)) == ref
+
+
+def test_v49_interior_cm_disables_q_restores():
+    """An interior cm re-binds the CTM and disables the form-space test
+    (pinned); a balanced q...Q restores the entry tuple and re-enables."""
+    moved = _parity(_pdff49(
+        " /BBox [0 0 200 100]",
+        "BT /F1 10 Tf ET 2 0 0 2 0 0 cm"
+        " BT /F1 10 Tf 300 300 Td (cm moved text) Tj ET",
+    ))
+    assert any("cm moved text" in s[2] for s in moved)
+    requenched = _parity(_pdff49(
+        " /BBox [0 0 200 100]",
+        "BT /F1 10 Tf 50 50 Td (kept early line) Tj ET"
+        " q 2 0 0 2 0 0 cm Q"
+        " BT /F1 10 Tf 1 0 0 1 300 300 Tm (post q clipped) Tj ET",
+    ))
+    texts = [s[2] for s in requenched]
+    assert any("kept early line" in t for t in texts)
+    assert not any("post q clipped" in t for t in texts)
+
+
+def test_v49_page_content_never_clips():
+    """Only forms carry a BBox — page streams are never clipped even
+    when the page object carries a stray /BBox key."""
+    doc = _pdff49(" /BBox [0 0 200 100]", _OPS49).replace(
+        "/Type /Page /Parent", "/BBox [0 0 10 10] /Type /Page /Parent"
+    )
+    assert any("page body line" in s[2] for s in _parity(doc))
+
+
+def test_v49_corpus_fuzz_parity():
+    nb = 0
+    for seed in range(27800, 28600):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/BBox" in doc:
+            nb += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert nb >= 40
