@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 49  # v49: form /BBox clipping (ISO 8.10.1)
+CORPUS_VERSION = 50  # v50: declarative shadow DOM renders
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -81,6 +81,10 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     without splitting their paragraph (icon svgs, charts with <text>
     labels, nested svg, interior fake-HTML traps); MathML renders
     inline with <annotation>/<annotation-xml> hidden.
+    v50: declarative shadow DOM (SPEC §2.2) — <template
+    shadowrootmode="open|closed"> content renders (SSR'd web
+    components); invalid/valueless modes stay inert templates; traps
+    for nesting inside plain templates and near-miss attributes.
     v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
     vanish (supporting browsers never render them); inline canvas keeps
     its paragraph whole; object fallback renders (pinned); traps for
@@ -191,6 +195,34 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
         )
     if rng.random() < 0.05:  # v26: template subtree — never rendered
         parts.append(f"<template><li>{w()} row</li></template>")
+    if rng.random() < 0.07:  # v50: declarative shadow DOM — renders
+        r50 = rng.random()
+        sw = f"{w()} {w()}"
+        if r50 < 0.40:  # SSR'd web component: shadow content is page text
+            parts.append(
+                f'<template shadowrootmode="open"><p>{sw} shadow body'
+                f"</p><style>.s{{color:red}}</style></template>"
+                f"<p>{w()} light text</p>"
+            )
+        elif r50 < 0.60:  # closed mode renders identically
+            parts.append(
+                f"<template shadowrootmode=closed><p>{sw} closed renders"
+                f"</p></template>"
+            )
+        elif r50 < 0.80:  # invalid / valueless modes: ordinary template
+            parts.append(rng.choice((
+                f'<template shadowrootmode="maybe"><p>{sw} stays hidden'
+                f"</p></template><p>{w()} tail</p>",
+                f"<template shadowrootmode><p>{sw} also hidden</p>"
+                f"</template><p>{w()} tail two</p>",
+            )))
+        else:  # traps: nested in plain template (inert), near-miss attr
+            parts.append(rng.choice((
+                f'<template><template shadowrootmode="open"><p>{sw} gone'
+                f"</p></template></template><p>{w()} after</p>",
+                f'<template data-shadowrootmode="open"><p>{sw} datum'
+                f" hidden</p></template><p>{w()} tail three</p>",
+            )))
     if rng.random() < 0.06:  # v26 traps: stray close (clamped), self-closing
         # member (no skip), cross-member close ending the skip early
         r26 = rng.random()

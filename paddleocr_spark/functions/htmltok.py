@@ -237,6 +237,55 @@ def _open_in_tag(low: str) -> bool:
     return False
 
 
+def _shadowroot_in_tag(low: str) -> bool:
+    """v50: an attribute named ``shadowrootmode`` whose value is exactly
+    ``open`` or ``closed`` (the HTML streaming-parser rule — any other
+    value leaves an ordinary inert template). Same attribute walk as
+    ``_hidden_in_tag``; a valueless ``shadowrootmode`` does not match."""
+    m = _TAG_NAME_RE.match(low)
+    if m is None:
+        return False
+    i = m.end()
+    n = len(low)
+    while i < n:
+        c = low[i]
+        if c in " \t\n\r\x0c/":
+            i += 1
+            continue
+        if c == ">":
+            return False
+        j = i
+        while j < n and low[j] not in _ATTR_NAME_END:
+            j += 1
+        if j == i:
+            i += 1
+            continue
+        name = low[i:j]
+        i = j
+        k = i
+        while k < n and low[k] in " \t\n\r\x0c":
+            k += 1
+        val = None
+        if k < n and low[k] == "=":
+            k += 1
+            while k < n and low[k] in " \t\n\r\x0c":
+                k += 1
+            if k < n and (low[k] == '"' or low[k] == "'"):
+                e = low.find(low[k], k + 1)
+                if e < 0:
+                    val, i = low[k + 1 :], n
+                else:
+                    val, i = low[k + 1 : e], e + 1
+            else:
+                e = k
+                while e < n and low[e] not in " \t\n\r\x0c>":
+                    e += 1
+                val, i = low[k:e], e
+        if name == "shadowrootmode" and val in ("open", "closed"):
+            return True
+    return False
+
+
 def _is_sidebar(tag_token: str, boiler_class: str) -> bool:
     if "=" not in tag_token:  # a class attr requires '='; skip the regex
         return False
@@ -286,6 +335,11 @@ def _parse_tag(tok: str):
                 # v34: the `open` walk only matters on the gated tags
                 if lname in ("details", "dialog") and "open" in low:
                     has_open = _open_in_tag(low)
+                # v50: a template whose shadowrootmode is open/closed is
+                # a declarative shadow root — content renders. The slot
+                # is shared with v34's has_open (disjoint tag sets).
+                elif lname == "template" and "shadowrootmode" in low:
+                    has_open = _shadowroot_in_tag(low)
             info = (
                 closing,
                 lname,
@@ -491,6 +545,18 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
                 continue
 
             if not closing and name in SKIP_TAGS and not self_closing:
+                # v50: a declarative shadow root (<template
+                # shadowrootmode="open|closed">) RENDERS its content —
+                # browsers parse it straight into the host's shadow tree.
+                # Only at top level (inside an active skip the subtree is
+                # inert and the open must keep the skip balance). The
+                # close's clamped decrement is then a no-op; both
+                # boundaries flush (shadow roots are layout boundaries,
+                # and the close flush is shared with the skip handler).
+                if name == "template" and tag_open and skip_depth == 0:
+                    if cur_pieces:
+                        flush()
+                    continue
                 skip_depth += 1
                 if cur_pieces:
                     flush()

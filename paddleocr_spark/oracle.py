@@ -166,6 +166,32 @@ def _o_open_tag(low: str) -> bool:
     return False
 
 
+def _o_shadowroot_tag(low: str) -> bool:
+    """v50 mirror: attribute named `shadowrootmode` with value exactly
+    open/closed (the streaming-parser rule); valueless never matches."""
+    m = TAG_NAME_RE.match(low)
+    if m is None:
+        return False
+    i, n = m.end(), len(low)
+    while i < n:
+        c = low[i]
+        if c in _O_HWS or c == "/":
+            i += 1
+            continue
+        if c == ">":
+            return False
+        am = _O_ATTR_RE.match(low, i)
+        if am is None or am.end() == i:
+            i += 1
+            continue
+        if am.group(1) == "shadowrootmode":
+            val = next((g for g in am.groups()[1:] if g is not None), None)
+            if val in ("open", "closed"):
+                return True
+        i = am.end()
+    return False
+
+
 def _oracle_html(text: str, cfg: ExtractConfig):
     tokens = list(TOKEN_RE.finditer(text))
     # context state: stack of (name, flags-dict) + clamped depth counters (SPEC §2.2)
@@ -277,6 +303,16 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 continue
 
             if not closing and name in _ORACLE_SKIP and not selfclose:
+                # v50: declarative shadow root renders (top level only;
+                # inside a skip the open keeps the balance)
+                if (
+                    name == "template"
+                    and in_script == 0
+                    and "shadowrootmode" in tok.lower()
+                    and _o_shadowroot_tag(tok.lower())
+                ):
+                    end_block()
+                    continue
                 in_script += 1
                 end_block()
                 continue

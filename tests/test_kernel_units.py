@@ -1564,3 +1564,57 @@ def test_v46_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_svg >= 15 and n_math >= 5
+
+
+# --- v50: declarative shadow DOM (SPEC §2.2) ----------------------------
+
+
+def test_v50_shadowroot_content_renders():
+    texts = _html_parity(_H34.format(
+        '<template shadowrootmode="open"><p>shadow para text</p>'
+        "<style>.s{color:red}</style></template><p>light text</p>"
+    ))
+    assert texts == ["shadow para text", "light text"]
+    assert _html_parity(_H34.format(
+        "<template shadowrootmode=closed><p>closed also renders</p>"
+        "</template>"
+    )) == ["closed also renders"]
+
+
+def test_v50_invalid_modes_stay_inert():
+    """The streaming-parser rule: only open/closed create a shadow
+    root; anything else is an ordinary (skipped) template."""
+    assert _html_parity(_H34.format(
+        '<template shadowrootmode="maybe"><p>still hidden</p></template>'
+        "<p>tail text</p>"
+    )) == ["tail text"]
+    assert _html_parity(_H34.format(
+        "<template shadowrootmode><p>hidden here</p></template>"
+        "<p>tail two</p>"
+    )) == ["tail two"]
+    assert _html_parity(_H34.format(
+        '<template data-shadowrootmode="open"><p>near miss</p>'
+        "</template><p>tail three</p>"
+    )) == ["tail three"]
+
+
+def test_v50_nested_inside_plain_template_is_inert():
+    """Inside an active skip the shadow open deepens the counter (the
+    subtree is inert and the closes stay balanced)."""
+    assert _html_parity(_H34.format(
+        '<template><template shadowrootmode="open"><p>inner gone</p>'
+        "</template></template><p>after all</p>"
+    )) == ["after all"]
+
+
+def test_v50_corpus_fuzz_parity():
+    n_sr = 0
+    for seed in range(28600, 29400):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "shadowrootmode" in doc:
+            n_sr += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n_sr >= 10
