@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 50  # v50: declarative shadow DOM renders
+CORPUS_VERSION = 51  # v51: clipping paths (re W n)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1069,6 +1069,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     v49: ~40% of form XObjects carry a /BBox (ISO §8.10.1) —
     generous, tight (clips the 2nd+ letterhead lines), reversed
     corners, and malformed (no clip) forms.
+    v51: ~10% of pages draw clipping paths (ISO §8.5.4) — page-wide
+    re W n (all visible), q-scoped band clips with one line kept and
+    one clipped, and traps (rect-less W, plain fill, W*).
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -1385,6 +1388,30 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else:
                 ops += [f"/F1 8 Tf 72 {mb_h - 26} Td", hdr]
         ops.append("ET")
+        if rng.random() < 0.10:  # v51: clipping paths (re W n)
+            r51 = rng.random()
+            if r51 < 0.35:  # page-wide clip: everything stays visible
+                ops.append(f"0 0 {mb_w} {mb_h} re W n")
+            elif r51 < 0.75:  # q-scoped band clip: one line in, one out
+                ops.append("q")
+                ops.append(f"40 {mb_h - 150} {mb_w - 80} 120 re W n")
+                ops.append("BT")
+                ops.append(
+                    f"/F1 {fs} Tf 72 {mb_h - 100} Td"
+                    f" ({_pdf_str(_sent(rng, words, 3))} banner kept) Tj"
+                )
+                ops.append(
+                    f"1 0 0 1 72 {mb_h // 2} Tm"
+                    f" ({_pdf_str(_sent(rng, words, 3))} clipped away) Tj"
+                )
+                ops.append("ET")
+                ops.append("Q")
+            else:  # traps: rect-less W, plain fill, W* form
+                ops.append(rng.choice((
+                    "W n",
+                    "30 30 80 40 re f",
+                    f"0 0 {mb_w} {mb_h} re W* n",
+                )))
         if rng.random() < 0.2:  # v8: inline image between text objects
             ops.append(_inline_img(rng))
         if use_forms:  # v9: letterhead form + hostile Do targets

@@ -2299,20 +2299,36 @@ def _interpret(content: str, mb_w: float, mb_h: float,
     # test for lines drawn under it — pinned approximation; q/Q restore
     # the identical tuple, so balanced state save re-enables it).
     ctm0 = ctm
+    # v51: clipping-path state (ISO §8.5.4) — ``x y w h re`` records the
+    # path rect (LAST re of a path wins, pinned), ``W``/``W*`` marks
+    # clip intent, and the path-painting operator that ends the path
+    # (``n`` in the standard idiom, any painting op otherwise)
+    # intersects the current clip. Rects drawn under a changed CTM are
+    # unknown-space → None (the v49 entry-CTM rule). The clip is
+    # graphics state: q/Q save/restore it. Fresh per interpretation —
+    # the invoker's clip does not enter form space (pinned).
+    clip = None
+    path_rect = None
+    clip_pending = False
 
     def flush() -> None:
         nonlocal buf, acc_u, acc_g, acc_s
         txt = "".join(buf)
         if (
-            bbox is not None
+            (bbox is not None or clip is not None)
             and ctm is ctm0
             and txt.strip()
-            and not (
-                bbox[0] <= x <= bbox[2] and bbox[1] <= y + rise <= bbox[3]
-            )
         ):
-            txt = ""  # clipped: paints nothing (not counted — geometry,
-            # not a render mode; the buffer still resets below)
+            _px, _py = x, y + rise
+            if (
+                bbox is not None
+                and not (bbox[0] <= _px <= bbox[2] and bbox[1] <= _py <= bbox[3])
+            ) or (
+                clip is not None
+                and not (clip[0] <= _px <= clip[2] and clip[1] <= _py <= clip[3])
+            ):
+                txt = ""  # clipped: paints nothing (not counted —
+                # geometry, not a render mode; the buffer still resets)
         if txt.strip():
             # v25: with no active width table the per-show accounting sums
             # telescope to the flush-time length formula EXACTLY (0.5 and
@@ -2601,7 +2617,8 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             # No flush: q itself changes nothing the flush reads.
             if len(gstack) < _GSTACK_MAX:
                 gstack.append((ctm, fontsize, cur_map, cur_wd, mode,
-                               charspace, wordspace, hscale, rise, leading))
+                               charspace, wordspace, hscale, rise, leading,
+                               clip))  # v51: the clip is graphics state
             else:
                 gskip += 1
         elif tok == "Q":
@@ -2611,7 +2628,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if in_text:
                     flush()  # restore changes what flush reads
                 (ctm, fontsize, cur_map, cur_wd, mode, charspace,
-                 wordspace, hscale, rise, leading) = gstack.pop()
+                 wordspace, hscale, rise, leading, clip) = gstack.pop()
             # unbalanced Q (empty stack): inert — the pinned degrade
         elif tok == "cm":
             v = nums(6)
@@ -2619,6 +2636,42 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                 if in_text:
                     flush()
                 ctm = _compose((v[0], v[1], v[2], v[3], v[4], v[5]), ctm)
+        elif tok == "re":
+            # v51: record the path rect (LAST re wins, pinned); a rect
+            # drawn under a changed CTM is unknown-space → None
+            v = nums(4)
+            if v:
+                if ctm is ctm0:
+                    rx, ry, rw, rh = v
+                    path_rect = (
+                        min(rx, rx + rw), min(ry, ry + rh),
+                        max(rx, rx + rw), max(ry, ry + rh),
+                    )
+                else:
+                    path_rect = None
+        elif tok == "W" or tok == "W*":
+            clip_pending = True  # v51: applied by the path-paint op
+        elif tok in ("n", "f", "F", "f*", "S", "s", "B", "B*", "b", "b*"):
+            # v51: the painting op ends the path; a pending W intersects
+            # the clip with the recorded rect (an empty intersection
+            # clips everything — the inside test fails for all points).
+            # W with no recorded rect: clip unchanged (pinned degrade).
+            if clip_pending:
+                if path_rect is not None:
+                    if in_text:
+                        flush()  # buffered text keeps ITS clip
+                    clip = (
+                        path_rect
+                        if clip is None
+                        else (
+                            max(clip[0], path_rect[0]),
+                            max(clip[1], path_rect[1]),
+                            min(clip[2], path_rect[2]),
+                            min(clip[3], path_rect[3]),
+                        )
+                    )
+                clip_pending = False
+            path_rect = None
         elif tok in ("BMC", "BDC"):
             # v24 marked content: tag = FIRST operand iff a name (inline
             # property-dict delimiters are invisible to the tokenizer, so

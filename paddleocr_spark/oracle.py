@@ -2823,19 +2823,27 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
 
     ctm0 = ctm  # v49: form-space clip runs only while the interior CTM
     # is still the entry tuple (cm re-binds; q/Q restore the same object)
+    clipb = [None]  # v51: current clip rect (graphics state)
+    pathb = [None, False]  # v51: [last re rect, W-pending]
 
     def flush():
         txt = "".join(buf)
         if (
-            bbox is not None
+            (bbox is not None or clipb[0] is not None)
             and ctmb[0] is ctm0
             and txt.strip()
-            and not (
-                bbox[0] <= state["x"] <= bbox[2]
-                and bbox[1] <= state["y"] + state["rise"] <= bbox[3]
-            )
         ):
-            txt = ""  # v49: clipped — paints nothing, not counted
+            _px = state["x"]
+            _py = state["y"] + state["rise"]
+            _cl = clipb[0]
+            if (
+                bbox is not None
+                and not (bbox[0] <= _px <= bbox[2] and bbox[1] <= _py <= bbox[3])
+            ) or (
+                _cl is not None
+                and not (_cl[0] <= _px <= _cl[2] and _cl[1] <= _py <= _cl[3])
+            ):
+                txt = ""  # v49/v51: clipped — paints nothing, not counted
         if txt.strip():
             # v25: accumulated per-code accounting (identical to the old
             # length formula when no font carries /Widths)
@@ -2957,7 +2965,8 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
             if len(gstack) < _RPDF_GSTACK_MAX:
                 gstack.append((ctmb[0], cmap[0], wdb[0], state["fs"],
                                state["mode"], state["tc"], state["tw"],
-                               state["tz"], state["rise"], state["lead"]))
+                               state["tz"], state["rise"], state["lead"],
+                               clipb[0]))  # v51
             else:
                 gskip[0] += 1
         elif op == "Q":
@@ -2967,7 +2976,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if state["in"]:
                     flush()
                 (ctmb[0], cmap[0], wdb[0], fs, mode, tc, tw, tz, rise,
-                 lead) = gstack.pop()
+                 lead, clipb[0]) = gstack.pop()
                 state.update(fs=fs, mode=mode, tc=tc, tw=tw, tz=tz,
                              rise=rise, lead=lead)
             # unbalanced Q: inert (pinned degrade)
@@ -2977,6 +2986,38 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if state["in"]:
                     flush()
                 ctmb[0] = _rpdf_compose(tuple(v), ctmb[0])
+        elif op == "re":
+            # v51: LAST re of the path wins; changed-CTM rects are
+            # unknown-space -> None (the v49 entry-CTM rule)
+            v = tail_nums(4)
+            if v:
+                if ctmb[0] is ctm0:
+                    rx, ry, rw, rh = v
+                    pathb[0] = (
+                        min(rx, rx + rw), min(ry, ry + rh),
+                        max(rx, rx + rw), max(ry, ry + rh),
+                    )
+                else:
+                    pathb[0] = None
+        elif op in ("W", "W*"):
+            pathb[1] = True
+        elif op in ("n", "f", "F", "f*", "S", "s", "B", "B*", "b", "b*"):
+            # v51: path-paint op applies a pending W and ends the path
+            if pathb[1]:
+                if pathb[0] is not None:
+                    if state["in"]:
+                        flush()  # buffered text keeps ITS clip
+                    c = clipb[0]
+                    clipb[0] = (
+                        pathb[0]
+                        if c is None
+                        else (
+                            max(c[0], pathb[0][0]), max(c[1], pathb[0][1]),
+                            min(c[2], pathb[0][2]), min(c[3], pathb[0][3]),
+                        )
+                    )
+                pathb[1] = False
+            pathb[0] = None
         elif op in ("BMC", "BDC"):
             # v24 marked content (SPEC §3b): tag = FIRST operand iff a
             # name; BDC replacement = string after the LAST ActualText
