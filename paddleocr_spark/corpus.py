@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 51  # v51: clipping paths (re W n)
+CORPUS_VERSION = 52  # v52: ExtGState /ca 0 invisible text
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1072,6 +1072,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     v51: ~10% of pages draw clipping paths (ISO §8.5.4) — page-wide
     re W n (all visible), q-scoped band clips with one line kept and
     one clipped, and traps (rect-less W, plain fill, W*).
+    v52: ~10% of payloads carry /ExtGState alpha states (ISO §8.4.5)
+    — q-scoped /ca-0 watermark layers, ghosted-then-restored lines,
+    and no-op traps (unknown name, no-/ca entry, bare gs).
     v27: ~10% of payloads carry /Annots (ISO 32000 §12.5) — FreeText
     sticky notes (literal, hex and UTF-16BE-BOM /Contents forms), filled
     Widget /V field values, ignored Link annotations, hidden/NoView /F
@@ -1099,6 +1102,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     use_widths = rng.random() < 0.14  # v25: per-code advance widths
     use_annots = rng.random() < 0.10  # v27: text-bearing annotations
     use_oc = rng.random() < 0.12  # v36: optional-content layers
+    use_egs = rng.random() < 0.10  # v52: ExtGState fill-alpha states
     annot_objs: List[tuple] = []
     # v21: page-tree ordering draws (see the docstring)
     shuffle_pages = n_pages >= 2 and rng.random() < 0.5
@@ -1388,6 +1392,29 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             else:
                 ops += [f"/F1 8 Tf 72 {mb_h - 26} Td", hdr]
         ops.append("ET")
+        if use_egs and rng.random() < 0.75:  # v52: gs alpha states
+            r52 = rng.random()
+            wm = _pdf_str(_sent(rng, words, rng.randint(2, 4)))
+            if r52 < 0.45:  # q-scoped alpha-0 watermark layer
+                ops.append(
+                    f"q /GA gs BT /F1 18 Tf 140 {mb_h // 2} Td"
+                    f" ({wm} watermark) Tj ET Q"
+                )
+            elif r52 < 0.70:  # explicit restore via a visible state
+                ops.append(
+                    f"BT /F1 {fs} Tf /GA gs 72 {mb_h - 180} Td"
+                    f" ({wm} ghosted) Tj /GB gs 0 -{ll} Td"
+                    f" ({wm} restored text) Tj ET"
+                )
+            else:  # traps: unknown name, /GM no-op, operandless gs
+                ops.append(rng.choice((
+                    f"BT /F1 {fs} Tf /Zz gs 72 {mb_h - 180} Td"
+                    f" ({wm} unknown noop) Tj ET",
+                    f"BT /F1 {fs} Tf /GM gs 72 {mb_h - 180} Td"
+                    f" ({wm} gm noop) Tj ET",
+                    f"BT /F1 {fs} Tf gs 72 {mb_h - 180} Td"
+                    f" ({wm} bare noop) Tj ET",
+                )))
         if rng.random() < 0.10:  # v51: clipping paths (re W n)
             r51 = rng.random()
             if r51 < 0.35:  # page-wide clip: everything stays visible
@@ -1758,6 +1785,10 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         # v36: named optional-content properties — /WM rides the OFF
         # OCG, /VIS the ON one, /MD an OCMD whose verdict varies
         res_inner.append("/Properties << /WM 56 0 R /VIS 57 0 R /MD 58 0 R >>")
+    if use_egs:
+        # v52: /GA = alpha 0 (hidden layer), /GB = visible alpha,
+        # /GM = a no-/ca or dangling entry (gs on it changes nothing)
+        res_inner.append("/ExtGState << /GA 44 0 R /GB 45 0 R /GM 46 0 R >>")
     res = f" /Resources << {' '.join(res_inner)} >>" if res_inner else ""
     # v15: ~25% of resource-bearing payloads hoist /Resources onto the
     # Pages node — every kid inherits it via the /Parent walk (ISO
@@ -2029,6 +2060,20 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     for anum, abody in annot_objs:
         parts.append(f"{anum} 0 obj\n{abody}\nendobj")
     wdecl = ""
+    if use_egs:
+        # v52: the graphics-state objects — /GA always alpha 0 (the
+        # hidden-watermark state), /GB visible, /GM a no-/ca entry or a
+        # dangling ref (not emitted)
+        parts.append(
+            f"44 0 obj\n<< /Type /ExtGState /ca {rng.choice(('0', '0.0'))}"
+            " >>\nendobj"
+        )
+        parts.append(
+            f"45 0 obj\n<< /Type /ExtGState /ca"
+            f" {rng.choice(('1', '0.5', '1.0'))} /BM /Normal >>\nendobj"
+        )
+        if rng.random() < 0.6:
+            parts.append("46 0 obj\n<< /Type /ExtGState /LW 2 >>\nendobj")
     if use_widths:
         # v25: per-code advance widths (ISO 32000 §9.7.4) — on the identity
         # /F1 (body + header/footer font) when no encoded scheme is drawn,

@@ -1969,6 +1969,33 @@ def _rpdf_oc_hidden(
     return frozenset(hidden)
 
 
+_RPDF_CAKEY_RE = re.compile(
+    r"/ca(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)[\x00\t\n\x0c\r ]*"
+    r"([+-]?(?:\d+\.?\d*|\.\d+))(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+)
+
+
+def _rpdf_egs_table(text: str, objs: dict, vobjs: dict, res):
+    """Mirror of the kernel /ExtGState rule (v52): name -> /ca fill
+    alpha for ref-valued entries whose body carries a token-exact /ca
+    number; other entries absent (a gs on them changes nothing)."""
+    gdict = _rpdf_key_dict(res, "/ExtGState", text, objs, vobjs) if res else None
+    if gdict is None:
+        return {}
+    out = {}
+    for fm in _RPDF_FONTENT_RE.finditer(gdict):
+        gb = _rpdf_obj_body(text, objs, vobjs, int(fm.group(2)))
+        if gb is None:
+            continue
+        k = gb.find("/ca")
+        if k < 0:
+            continue
+        m = _RPDF_CAKEY_RE.match(gb, k)
+        if m:
+            out[_rpdf_name_unescape(fm.group(1))] = float(m.group(1))
+    return out
+
+
 def _rpdf_form_bbox(params: str):
     """Normalized form /BBox (v49, ISO §8.10.1): first token-exact key
     with an inline 4-number array; absent/malformed -> None (no clip)."""
@@ -2394,6 +2421,7 @@ def _rpdf_content_resources(text: str):
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
+        and "/ExtGState" not in text  # v52: alpha-0 graphics states
         and text.count("/MediaBox") < 2
         and not _RPDF_CONTENTS_ARR_RE.search(text)
     ):
@@ -2440,7 +2468,12 @@ def _rpdf_content_resources(text: str):
             if want_oc
             else frozenset()
         )
-        entry = (fonts, xobjs, geo, annots, och)
+        egs = (
+            _rpdf_egs_table(text, objs, vobjs, res_p)
+            if "/ExtGState" in text
+            else {}
+        )
+        entry = (fonts, xobjs, geo, annots, och, egs)
         if len(refs) == 1:
             by_content[refs[0]] = entry
             keys_of_page[num] = refs[0]
@@ -2774,7 +2807,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                     fonts=None, xobjs=None, resolver=None, off=(0.0, 0.0),
                     depth=0, chain=frozenset(), boxes=None, rot=0,
                     crop=(0.0, 0.0), ctm=_RPDF_IDENT, ocnames=frozenset(),
-                    bbox=None):
+                    bbox=None, egs=None):
     """Pass 2: token list → (line boxes in canonical top-left coordinates,
     n suppressed invisible show ops). ``fonts``: name → CMap entry; Tf
     switches the active map (SPEC §3b Fonts, v6) and show-strings decode
@@ -2795,7 +2828,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     ox -= crop[0]
     oy -= crop[1]
     state = {"x": 0.0, "y": 0.0, "lead": 0.0, "fs": 12.0, "in": False,
-             "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0,
+             "mode": 0.0, "sup": 0, "tc": 0.0, "tw": 0.0, "a0": False,
              "tz": 100.0, "rise": 0.0,
              # v25 advance accounting: units / glyphs / space-codes
              "au": 0.0, "ag": 0, "asp": 0}
@@ -2819,7 +2852,9 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
     arr = None
 
     def invisible():
-        return cfg.drop_invisible_text and state["mode"] in (3, 7)
+        return cfg.drop_invisible_text and (
+            state["mode"] in (3, 7) or state["a0"]
+        )
 
     ctm0 = ctm  # v49: form-space clip runs only while the interior CTM
     # is still the entry tuple (cm re-binds; q/Q restore the same object)
@@ -2966,7 +3001,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 gstack.append((ctmb[0], cmap[0], wdb[0], state["fs"],
                                state["mode"], state["tc"], state["tw"],
                                state["tz"], state["rise"], state["lead"],
-                               clipb[0]))  # v51
+                               clipb[0], state["a0"]))  # v51 clip; v52
             else:
                 gskip[0] += 1
         elif op == "Q":
@@ -2976,9 +3011,9 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if state["in"]:
                     flush()
                 (ctmb[0], cmap[0], wdb[0], fs, mode, tc, tw, tz, rise,
-                 lead, clipb[0]) = gstack.pop()
+                 lead, clipb[0], a0) = gstack.pop()
                 state.update(fs=fs, mode=mode, tc=tc, tw=tw, tz=tz,
-                             rise=rise, lead=lead)
+                             rise=rise, lead=lead, a0=a0)
             # unbalanced Q: inert (pinned degrade)
         elif op == "cm":
             v = tail_nums(6)
@@ -2986,6 +3021,14 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if state["in"]:
                     flush()
                 ctmb[0] = _rpdf_compose(tuple(v), ctmb[0])
+        elif op == "gs":
+            # v52 mirror: /ca fill alpha via the page/form ExtGState
+            # table; alpha 0 = invisible like Tr 3; names without a
+            # /ca entry change nothing; /CA ignored (pinned)
+            if egs and stack and stack[-1][0] == "name":
+                ca = egs.get(stack[-1][1])
+                if ca is not None:
+                    state["a0"] = ca == 0.0
         elif op == "re":
             # v51: LAST re of the path wins; changed-CTM rects are
             # unknown-space -> None (the v49 entry-CTM rule)
@@ -3228,10 +3271,10 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
                 resolver is not None and "Do" in content
             ):
                 continue
-            fonts, xobjs, (pw, ph, rot, cx, cy), annots, och = entry
+            fonts, xobjs, (pw, ph, rot, cx, cy), annots, och, egs = entry
             boxes, sup = _rpdf_interpret(
                 _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs,
-                resolver, rot=rot, crop=(cx, cy), ocnames=och,
+                resolver, rot=rot, crop=(cx, cy), ocnames=och, egs=egs,
             )
             dropped += sup
             if annots:  # v27: annotation boxes follow the content boxes
@@ -3260,13 +3303,14 @@ def _oracle_realpdf(text: str, cfg: ExtractConfig):
         pw, ph, rot, cx, cy = mb_w, mb_h, 0, 0.0, 0.0
         annots = ()
         och = frozenset()
+        egs = {}
         if res_by_obj and onum is not None:
             entry = res_by_obj.get(onum)
             if entry is not None:
-                fonts, xobjs, (pw, ph, rot, cx, cy), annots, och = entry
+                fonts, xobjs, (pw, ph, rot, cx, cy), annots, och, egs = entry
         boxes, sup = _rpdf_interpret(
             _rpdf_tokens(content), pw, ph, cfg, fonts, xobjs, resolver,
-            rot=rot, crop=(cx, cy), ocnames=och,
+            rot=rot, crop=(cx, cy), ocnames=och, egs=egs,
         )
         dropped += sup
         if annots:  # v27: annotation boxes follow the content boxes
