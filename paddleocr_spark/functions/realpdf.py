@@ -1079,6 +1079,9 @@ _BASE_ENCODINGS = {
 # string sentinel in the cmap slot — a 65536-entry dict per font would
 # cost more to build than most payloads cost to extract.
 _ID2_ENTRY = ("ID2", (2,), None)
+# v53: Identity-V — same 2-byte identity decode, VERTICAL writing mode
+# (the flush advances downward and emits a column box)
+_ID2V_ENTRY = ("ID2V", (2,), None)
 
 
 def _id2_decode(s: str) -> str:
@@ -1130,8 +1133,10 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
     enc = _key_dict_body(fbody, "/Encoding", text, objs, vobjs)
     if enc is None:
         nm = _key_name(fbody, "/Encoding")
-        if nm in ("Identity-H", "Identity-V"):  # v31
+        if nm == "Identity-H":  # v31
             return _ID2_ENTRY
+        if nm == "Identity-V":  # v31 decode; v53 vertical layout
+            return _ID2V_ENTRY
         base = _BASE_ENCODINGS.get(nm) if nm else None
         if base is None:
             return None
@@ -2379,7 +2384,16 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             # per-show work and computes here; a widths buffer uses the
             # accumulated per-code counters. Tf and Q flush, so the active
             # table is constant across a buffer's life.
-            if cur_wd is None:
+            # v53: Identity-V writes DOWN — per-glyph advance is the
+            # /DW2 default (1000 glyph units = 1·fs) + Tc; Tw never
+            # applies (2-byte codes, the v38 rule), Tz is horizontal-
+            # only (§9.3.4) and rise is ignored in vertical mode
+            # (pinned); a horizontal /W table does not apply vertically
+            # (/W2 unimplemented — pinned).
+            vmode = cur_map is not None and cur_map[0] == "ID2V"
+            if vmode:
+                adv = max(0.0, (fontsize + charspace) * len(txt))
+            elif cur_wd is None:
                 adv = max(
                     0.0,
                     (
@@ -2394,7 +2408,23 @@ def _interpret(content: str, mb_w: float, mb_h: float,
                     (acc_u * fontsize + charspace * acc_g + wordspace * acc_s)
                     * (hscale / 100.0),
                 )
-            if ctm is _IDENT:
+            if vmode and ctm is _IDENT:
+                # v53: a descending column — fontsize wide, adv tall,
+                # topped at the pen position
+                u0, u1 = ox + x, ox + x + fontsize
+                v0, v1 = oy + y - adv, oy + y
+            elif vmode:
+                ca, cb, cc, cd, ce, cf = ctm
+                p0x = x * ca + y * cc + ce
+                p0y = x * cb + y * cd + cf
+                ey = y - adv
+                p1x = x * ca + ey * cc + ce
+                p1y = x * cb + ey * cd + cf
+                v0 = oy + (p0y if p0y <= p1y else p1y)
+                v1 = oy + (p0y if p0y > p1y else p1y)
+                u0 = ox + (p0x if p0x <= p1x else p1x)
+                u1 = u0 + fontsize * math.hypot(ca, cb)
+            elif ctm is _IDENT:
                 u0, u1 = ox + x, ox + x + adv
                 v0, v1 = oy + y + rise, oy + y + rise + fontsize
             else:

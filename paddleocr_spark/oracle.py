@@ -1358,6 +1358,7 @@ _RPDF_BASE_ENC = {
 # (cmap, lengths) shape with a string sentinel; decode is an independent
 # pairwise int.from_bytes-style loop (vs the kernel's shift-or scanner).
 _RPDF_ID2 = ("id2", [2])
+_RPDF_ID2V = ("id2v", [2])  # v53: Identity-V — vertical writing mode
 
 
 def _rpdf_id2_decode(s: str) -> str:
@@ -1402,8 +1403,10 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
     enc = _rpdf_key_dict(fbody, "/Encoding", text, objs, vobjs)
     if enc is None:
         nm = _rpdf_key_name(fbody, "/Encoding")
-        if nm in ("Identity-H", "Identity-V"):  # v31
+        if nm == "Identity-H":  # v31
             return _RPDF_ID2
+        if nm == "Identity-V":  # v31 decode; v53 vertical layout
+            return _RPDF_ID2V
         base = _RPDF_BASE_ENC.get(nm) if nm else None
         if base is None:
             return None
@@ -2863,6 +2866,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
 
     def flush():
         txt = "".join(buf)
+        vmode = cmap[0] is not None and cmap[0][0] == "id2v"  # v53
         if (
             (bbox is not None or clipb[0] is not None)
             and ctmb[0] is ctm0
@@ -2882,17 +2886,39 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
         if txt.strip():
             # v25: accumulated per-code accounting (identical to the old
             # length formula when no font carries /Widths)
-            adv = max(
-                0.0,
-                (
-                    state["au"] * state["fs"]
-                    + state["tc"] * state["ag"]
-                    + state["tw"] * state["asp"]
+            # v53: vertical mode — /DW2-default advance (1*fs + Tc per
+            # glyph), no Tw/Tz/rise, horizontal /W ignored
+            if vmode:
+                adv = max(
+                    0.0, (state["fs"] + state["tc"]) * len(txt)
                 )
-                * (state["tz"] / 100.0),
-            )
+            else:
+                adv = max(
+                    0.0,
+                    (
+                        state["au"] * state["fs"]
+                        + state["tc"] * state["ag"]
+                        + state["tw"] * state["asp"]
+                    )
+                    * (state["tz"] / 100.0),
+                )
             cm6 = ctmb[0]
-            if cm6 == _RPDF_IDENT:
+            if vmode and cm6 == _RPDF_IDENT:
+                u0, u1 = ox + state["x"], ox + state["x"] + state["fs"]
+                v0 = oy + state["y"] - adv
+                v1 = oy + state["y"]
+            elif vmode:
+                bx, by = state["x"], state["y"]
+                pts = [
+                    (bx * cm6[0] + py * cm6[2] + cm6[4],
+                     bx * cm6[1] + py * cm6[3] + cm6[5])
+                    for py in (by, by - adv)
+                ]
+                v0 = oy + min(pts[0][1], pts[1][1])
+                v1 = oy + max(pts[0][1], pts[1][1])
+                u0 = ox + min(pts[0][0], pts[1][0])
+                u1 = u0 + state["fs"] * math.hypot(cm6[0], cm6[1])
+            elif cm6 == _RPDF_IDENT:
                 u0, u1 = ox + state["x"], ox + state["x"] + adv
                 v0 = oy + state["y"] + state["rise"]
                 v1 = v0 + state["fs"]

@@ -4643,3 +4643,108 @@ def test_v52_corpus_fuzz_parity():
             o2["kind"], o2["spans"], o2["n_dropped"],
         ), f"seed {seed} (drop cfg)"
     assert ng >= 40
+
+
+# ---------------------------------------------------------------------------
+# v53: Identity-V vertical writing mode (ISO 32000 §9.7.4.3)
+# ---------------------------------------------------------------------------
+
+
+def _pdfv53(ops: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FV 5 0 R /FH 6 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{ops}\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-V >>\nendobj\n"
+        "6 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def _enc2(txt: str) -> str:
+    return "".join(
+        f"\\{ord(c) >> 8:03o}\\{ord(c) & 0xFF:03o}" for c in txt
+    )
+
+
+def test_v53_vertical_column_box_is_tall():
+    """An Identity-V show emits a descending column: fontsize wide,
+    (fs+Tc)·glyphs tall, topped at the pen; its Identity-H twin emits
+    the usual wide line box."""
+    spv = _parity(_pdfv53(
+        f"BT /FV 12 Tf 300 700 Td ({_enc2('縦書き')}) Tj ET"
+    ))
+    bv = spv[0][4]
+    assert spv[0][2] == "縦書き" and bv[2] - bv[0] < bv[3] - bv[1]
+    sph = _parity(_pdfv53(
+        f"BT /FH 12 Tf 300 700 Td ({_enc2('縦書き')}) Tj ET"
+    ))
+    bh = sph[0][4]
+    assert bh[2] - bh[0] > bh[3] - bh[1]
+
+
+def test_v53_tc_adds_tw_tz_rise_do_not():
+    """Vertical advance = (fs+Tc)·glyphs; Tw (2-byte codes), Tz
+    (horizontal-only) and Ts never change it."""
+    base = _parity(_pdfv53(
+        f"BT /FV 12 Tf 300 700 Td ({_enc2('縦書き文')}) Tj ET"
+    ))[0][4]
+    tc = _parity(_pdfv53(
+        f"BT /FV 12 Tf 6 Tc 300 700 Td ({_enc2('縦書き文')}) Tj ET"
+    ))[0][4]
+    assert tc[3] - tc[1] > base[3] - base[1]
+    inert = _parity(_pdfv53(
+        f"BT /FV 12 Tf 9 Tw 50 Tz 4 Ts 300 700 Td ({_enc2('縦書き文')}) Tj ET"
+    ))[0][4]
+    assert inert == base
+
+
+def test_v53_two_columns_separate():
+    """Two Tm-positioned vertical columns yield two spans (XY-cut
+    separates them; LTR column order is the documented degrade)."""
+    sp = _parity(_pdfv53(
+        f"BT /FV 14 Tf 400 700 Td ({_enc2('右の列')}) Tj"
+        f" 1 0 0 1 200 700 Tm ({_enc2('左の列')}) Tj ET"
+    ))
+    assert sorted(s[2] for s in sp) == ["右の列", "左の列"]
+    assert len({(s[4][0], s[4][2]) for s in sp}) == 2
+
+
+def test_v53_tounicode_wins_and_lays_horizontal():
+    """A V font WITH a usable ToUnicode takes the ToUnicode entry and
+    lays out horizontally (pinned — ToUnicode carries no wmode)."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FV 5 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\nBT /FV 12 Tf 100 700 Td (\\000A\\000B\\000C) Tj ET\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-V"
+        " /ToUnicode 7 0 R >>\nendobj\n"
+        "7 0 obj\n<< /Length 96 >>\nstream\nbegincmap\n"
+        "3 beginbfrange\n<0041> <0043> <0061>\nendbfrange\nendcmap\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    sp = _parity(doc)
+    assert sp and sp[0][2] == "abc"
+    b = sp[0][4]
+    assert b[2] - b[0] > b[3] - b[1]  # horizontal (pinned)
+
+
+def test_v53_corpus_fuzz_parity():
+    for seed in range(31000, 31800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    # Identity-V presence over a wide band (string scan only)
+    nv = 0
+    for seed in range(31000, 33400):
+        if "/Identity-V" in _make_realpdf(random.Random(seed), WORDS):
+            nv += 1
+    assert nv >= 8, nv
