@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 53  # v53: Identity-V vertical writing
+CORPUS_VERSION = 54  # v54: predefined Uni* CMap names (Table 118)
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -2320,10 +2320,18 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 continue
             if sch[0] == "id2":
                 # v31: Type0 with a bare-name Identity encoding and NO
-                # ToUnicode — codes are identity-to-Unicode 2-byte CIDs
+                # ToUnicode — codes are identity-to-Unicode 2-byte CIDs.
+                # v54: ~35% draw a predefined Unicode CMap name instead
+                # (Table 118) — same 2-byte identity behavior, and the
+                # -V forms keep the v53 vertical layout.
+                ename = (
+                    rng.choice(("UniGB-UCS2", "UniJIS-UCS2", "UniKS-UTF16"))
+                    if rng.random() < 0.35
+                    else "Identity"
+                )
                 fbody = (
                     "<< /Type /Font /Subtype /Type0 /BaseFont"
-                    f" /NotoSans /Encoding /Identity-{sch[1]} >>"
+                    f" /NotoSans /Encoding /{ename}-{sch[1]} >>"
                 )
                 if cid_decl and fnum == font1:
                     fbody = fbody[:-3] + cid_decl + " >>"  # v33

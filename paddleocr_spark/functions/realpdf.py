@@ -1137,6 +1137,22 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
             return _ID2_ENTRY
         if nm == "Identity-V":  # v31 decode; v53 vertical layout
             return _ID2V_ENTRY
+        # v54: predefined Unicode CMap names (ISO §9.7.5.2 Table 118) —
+        # UniGB-UCS2-H, UniJIS-UCS2-V, UniKS-UTF16-H, … are 2-byte(-ish)
+        # CID encodings whose UCS-2 forms are near-identity over the BMP.
+        # The deterministic approximation: any /Uni…-H/-V name takes the
+        # 2-byte identity entry (code consumption and advance-width
+        # accounting become correct; the decoded text is the UCS-2
+        # approximation, exact for the UCS2 variants' BMP coverage) and
+        # the -V suffix selects the v53 vertical layout. Non-Uni
+        # predefined CMaps (90ms-RKSJ-H …) keep the pre-v54 degrade
+        # (mixed-width legacy encodings — a 2-byte read would be wrong
+        # half the time).
+        if nm is not None and nm.startswith("Uni"):
+            if nm.endswith("-H"):
+                return _ID2_ENTRY
+            if nm.endswith("-V"):
+                return _ID2V_ENTRY
         base = _BASE_ENCODINGS.get(nm) if nm else None
         if base is None:
             return None
@@ -3091,6 +3107,7 @@ def _content_resources(text: str):
         and "/Widths" not in text  # v25: advance-width tables
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
+        and "/Uni" not in text  # v54: predefined Unicode CMap names
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
         and "/ExtGState" not in text  # v52: alpha-0 graphics states

@@ -1407,6 +1407,11 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
             return _RPDF_ID2
         if nm == "Identity-V":  # v31 decode; v53 vertical layout
             return _RPDF_ID2V
+        if nm is not None and nm.startswith("Uni"):  # v54: Table 118
+            if nm.endswith("-H"):
+                return _RPDF_ID2
+            if nm.endswith("-V"):
+                return _RPDF_ID2V
         base = _RPDF_BASE_ENC.get(nm) if nm else None
         if base is None:
             return None
@@ -2422,6 +2427,7 @@ def _rpdf_content_resources(text: str):
         and "/Widths" not in text  # v25: advance-width tables
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
+        and "/Uni" not in text  # v54: predefined Unicode CMap names
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
         and "/ExtGState" not in text  # v52: alpha-0 graphics states

@@ -4748,3 +4748,71 @@ def test_v53_corpus_fuzz_parity():
         if "/Identity-V" in _make_realpdf(random.Random(seed), WORDS):
             nv += 1
     assert nv >= 8, nv
+
+
+# ---------------------------------------------------------------------------
+# v54: predefined Unicode CMap names (ISO 32000 §9.7.5.2 Table 118)
+# ---------------------------------------------------------------------------
+
+
+def _pdfu54(encname: str, ops: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FU 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{ops}\nendstream\nendobj\n"
+        f"5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /{encname}"
+        " >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_v54_uni_names_decode_two_byte():
+    """UniGB-UCS2-H behaves exactly like Identity-H: 2-byte identity
+    decode, horizontal line box."""
+    sp = _parity(_pdfu54(
+        "UniGB-UCS2-H",
+        f"BT /FU 12 Tf 100 700 Td ({_enc2('中文文本')}) Tj ET",
+    ))
+    assert sp[0][2] == "中文文本"
+    b = sp[0][4]
+    assert b[2] - b[0] > b[3] - b[1]
+
+
+def test_v54_uni_v_names_lay_vertical():
+    sp = _parity(_pdfu54(
+        "UniJIS-UCS2-V",
+        f"BT /FU 12 Tf 300 700 Td ({_enc2('縦書き文')}) Tj ET",
+    ))
+    assert sp[0][2] == "縦書き文"
+    b = sp[0][4]
+    assert b[2] - b[0] < b[3] - b[1]
+
+
+def test_v54_non_uni_and_suffixless_degrade():
+    """Legacy mixed-width CMaps (90ms-RKSJ-H) and suffixless Uni names
+    keep the pre-v54 1-byte identity degrade."""
+    sp = _parity(_pdfu54(
+        "90ms-RKSJ-H", "BT /FU 12 Tf 100 700 Td (plain ascii text) Tj ET",
+    ))
+    assert sp[0][2] == "plain ascii text"
+    sp2 = _parity(_pdfu54(
+        "UniGB-UCS2", "BT /FU 12 Tf 100 700 Td (suffixless text) Tj ET",
+    ))
+    assert sp2[0][2] == "suffixless text"
+
+
+def test_v54_corpus_fuzz_parity():
+    for seed in range(31800, 32600):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    nu = 0
+    for seed in range(31800, 34200):
+        if "/Uni" in _make_realpdf(random.Random(seed), WORDS):
+            nu += 1
+    assert nu >= 8, nu
