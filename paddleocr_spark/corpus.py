@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 54  # v54: predefined Uni* CMap names (Table 118)
+CORPUS_VERSION = 55  # v55: popover attribute hides
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -85,6 +85,9 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
     shadowrootmode="open|closed"> content renders (SSR'd web
     components); invalid/valueless modes stay inert templates; traps
     for nesting inside plain templates and near-miss attributes.
+    v55: popovers (SPEC §2.2) — the popover attribute hides until
+    shown (UA [popover]{display:none}); invoker buttons render;
+    near-miss pins (class="popover", popovertarget*).
     v39: media fallback (SPEC §2.2) — audio/video/canvas descendants
     vanish (supporting browsers never render them); inline canvas keeps
     its paragraph whole; object fallback renders (pinned); traps for
@@ -235,6 +238,27 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 f"<select><option>{w()} hidden</option></style>"
                 f"<option>{w()} leaked</option></select>"
             )
+    if rng.random() < 0.06:  # v55: popovers — hidden until shown
+        pw55 = f"{w()} {w()}"
+        r55 = rng.random()
+        if r55 < 0.45:  # tooltip/menu popover + its visible invoker
+            parts.append(
+                f'<button popovertarget="m{rng.randint(1, 9)}">'
+                f"{w()} menu</button>"
+                f'<div popover id="m{rng.randint(1, 9)}"><p>{pw55}'
+                f" popover body</p></div><p>{w()} after popover</p>"
+            )
+        elif r55 < 0.70:  # manual/auto valued forms hide too
+            parts.append(
+                f'<div popover="{rng.choice(("manual", "auto", "hint"))}">'
+                f"{pw55} valued gone</div><p>{w()} tail</p>"
+            )
+        else:  # near-miss pins: class/popovertarget render
+            parts.append(rng.choice((
+                f'<p class="popover">{pw55} classy renders</p>',
+                f'<button popovertargetaction="show">{pw55} action'
+                f" label</button>",
+            )))
     if rng.random() < 0.14:  # v29: hidden content — must vanish
         hw = f"{w()} {w()}"
         r29 = rng.random()

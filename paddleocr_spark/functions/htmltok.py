@@ -184,7 +184,10 @@ def _hidden_in_tag(low: str) -> bool:
                 while e < n and low[e] not in " \t\n\r\x0c>":
                     e += 1
                 val, i = low[k:e], e
-        if name == "hidden":
+        if name == "hidden" or name == "popover":
+            # v55: a popover renders only after showPopover() — static
+            # extraction sees the UA [popover]{display:none} state.
+            # popovertarget/popovertargetaction are name-exact misses.
             return True
         if name == "style" and val and _style_hides(val):
             return True
@@ -330,7 +333,11 @@ def _parse_tag(tok: str):
                 # v29 gate: the attr walk only runs when the token can
                 # possibly hide (case-blind substring probe)
                 low = tok.lower()
-                if "hidden" in low or ("style" in low and "none" in low):
+                if (
+                    "hidden" in low
+                    or "popover" in low  # v55: UA [popover]{display:none}
+                    or ("style" in low and "none" in low)
+                ):
                     hidden = _hidden_in_tag(low)
                 # v34: the `open` walk only matters on the gated tags
                 if lname in ("details", "dialog") and "open" in low:

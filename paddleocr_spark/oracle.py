@@ -132,7 +132,7 @@ def _o_hidden_tag(low: str) -> bool:
             i += 1
             continue
         name = am.group(1)
-        if name == "hidden":
+        if name == "hidden" or name == "popover":  # v55
             return True
         if name == "style":
             val = next((g for g in am.groups()[1:] if g is not None), None)
@@ -402,7 +402,11 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                     # v29: a hidden <table> renders nothing (interior
                     # table tags: pinned no-op)
                     "hide": (
-                        ("hidden" in low or ("style" in low and "none" in low))
+                        (
+                            "hidden" in low
+                            or "popover" in low  # v55
+                            or ("style" in low and "none" in low)
+                        )
                         and _o_hidden_tag(low)
                     ),
                 }
@@ -417,7 +421,9 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 cm = CLASS_RE.search(tok)
                 low = tok.lower()
                 hid = (
-                    "hidden" in low or ("style" in low and "none" in low)
+                    "hidden" in low
+                    or "popover" in low  # v55
+                    or ("style" in low and "none" in low)
                 ) and _o_hidden_tag(low)
                 # v34: a closed <dialog> hides like a hidden element; a
                 # closed <details> opens a cdet level; a <summary> whose

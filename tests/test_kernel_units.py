@@ -1618,3 +1618,45 @@ def test_v50_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert n_sr >= 10
+
+
+# --- v55: popover attribute (SPEC §2.2) ---------------------------------
+
+
+def test_v55_popover_hides_until_shown():
+    """UA [popover]{display:none}: a popover's content never renders in
+    static extraction; the invoking button's label does."""
+    texts = _html_parity(_H34.format(
+        '<button popovertarget="m1">open menu</button>'
+        '<div popover id="m1"><p>popover body text</p></div>'
+        "<p>after popover</p>"
+    ))
+    assert texts == ["open menu", "after popover"]
+    assert _html_parity(_H34.format(
+        '<div popover="manual"><p>manual popover gone</p></div>'
+        "<p>visible tail</p>"
+    )) == ["visible tail"]
+
+
+def test_v55_near_miss_pins_render():
+    assert _html_parity(_H34.format(
+        '<p class="popover">classy popover renders</p>'
+    )) == ["classy popover renders"]
+    assert _html_parity(_H34.format(
+        '<button popovertargetaction="show">action label text</button>'
+        "<p>tail here</p>"
+    )) == ["action label text", "tail here"]
+
+
+def test_v55_corpus_fuzz_parity():
+    for seed in range(32600, 33400):
+        doc = _mk_html(_random.Random(seed), _W17)
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    n_po = 0
+    for seed in range(32600, 35000):
+        if "popover" in _mk_html(_random.Random(seed), _W17):
+            n_po += 1
+    assert n_po >= 15, n_po
