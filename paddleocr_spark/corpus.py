@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 55  # v55: popover attribute hides
+CORPUS_VERSION = 56  # v56: core-font builtin AFM metrics
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1124,6 +1124,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     use_cm = rng.random() < 0.25  # v20: q/Q/cm-positioned blocks
     use_mc = rng.random() < 0.35  # v24: marked-content payloads
     use_widths = rng.random() < 0.14  # v25: per-code advance widths
+    # v56: a widths-LESS core font rides /F1 — builtin AFM metrics
+    use_corefont = not use_widths and rng.random() < 0.10
     use_annots = rng.random() < 0.10  # v27: text-bearing annotations
     use_oc = rng.random() < 0.12  # v36: optional-content layers
     use_egs = rng.random() < 0.10  # v52: ExtGState fill-alpha states
@@ -1795,8 +1797,9 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if scheme2:
             ents += f" /F8 {font1 + 2} 0 R"
         res_inner.append(f"/Font << {ents} >>")
-    elif use_widths:
+    elif use_widths or use_corefont:
         # v25: widths ride the identity /F1 (body + header/footer font)
+        # v56: or a widths-less core font takes the builtin AFM table
         res_inner.append(
             f"/Font << {'/F#31' if esc48_key else '/F1'} 50 0 R >>"  # v48
         )
@@ -2098,6 +2101,21 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         )
         if rng.random() < 0.6:
             parts.append("46 0 obj\n<< /Type /ExtGState /LW 2 >>\nendobj")
+    if use_corefont:
+        # v56: core faces with builtin metrics; Bold/Oblique variants
+        # and unknown names keep the heuristic (pinned); ~25% draw a
+        # subset prefix
+        bf56 = rng.choice((
+            "Helvetica", "Helvetica", "Times-Roman", "Times-Roman",
+            "Courier", "Courier-Bold", "Helvetica-Bold",
+            "Times-Italic", "Georgia",
+        ))
+        if rng.random() < 0.25:
+            bf56 = "ABCDEF+" + bf56
+        parts.append(
+            "50 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont"
+            f" /{bf56} >>\nendobj"
+        )
     if use_widths:
         # v25: per-code advance widths (ISO 32000 §9.7.4) — on the identity
         # /F1 (body + header/footer font) when no encoded scheme is drawn,

@@ -1420,6 +1420,68 @@ def _append_annots(
     return dropped
 
 
+# v56: built-in metrics for the classic core fonts (public Adobe AFM
+# data — Helvetica.afm / Times-Roman.afm; Courier is fixed-pitch 600).
+# ASCII 32..126 advance widths in 1000-unit glyph space, listed in code
+# order. Bold/oblique variants have DIFFERENT AFMs and keep the
+# heuristic (pinned — no guessed metrics); all four Courier faces are
+# 600 flat, so the whole family is safe.
+_AFM_HELVETICA = (
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278,
+    333, 278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556,
+    278, 278, 584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611,
+    778, 722, 278, 500, 667, 556, 833, 722, 778, 667, 778, 722, 667,
+    611, 722, 667, 944, 667, 667, 611, 278, 278, 278, 469, 556, 333,
+    556, 556, 500, 556, 556, 278, 556, 556, 222, 222, 500, 222, 833,
+    556, 556, 556, 556, 333, 500, 278, 556, 500, 722, 500, 500, 500,
+    334, 260, 334, 584,
+)
+_AFM_TIMES = (
+    250, 333, 408, 500, 500, 833, 778, 180, 333, 333, 500, 564, 250,
+    333, 250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500,
+    278, 278, 564, 564, 564, 444, 921, 722, 667, 667, 722, 611, 556,
+    722, 722, 333, 389, 722, 611, 889, 722, 722, 556, 722, 667, 556,
+    611, 722, 722, 944, 722, 722, 611, 333, 278, 333, 469, 500, 333,
+    444, 500, 444, 500, 444, 333, 500, 500, 278, 278, 500, 278, 778,
+    500, 500, 500, 500, 333, 389, 278, 500, 500, 722, 500, 500, 444,
+    480, 200, 480, 541,
+)
+_COURIER_NAMES = frozenset((
+    "Courier", "Courier-Bold", "Courier-Oblique", "Courier-BoldOblique",
+))
+
+
+def _std14_widths(fbody: str):
+    """Built-in core-font width entry (v56): a font with NO usable
+    explicit table whose /BaseFont (subset ``ABCDEF+`` prefix stripped)
+    is exactly Helvetica, Times-Roman, or a Courier face takes the AFM
+    table over ASCII 32..126; unmapped codes fall to 0 (the v25
+    MissingWidth default). Explicit /Widths always wins."""
+    nm = _key_name(fbody, "/BaseFont")
+    if nm is None:
+        return None
+    if len(nm) > 7 and nm[6] == "+" and nm[:6].isalpha() and nm[:6].isupper():
+        nm = nm[7:]  # subset prefix
+    if nm in _COURIER_NAMES:
+        wtab = [0.0] * 256
+        for c in range(32, 127):
+            wtab[c] = 0.6
+        return tuple(wtab), 0.0
+    afm = (
+        _AFM_HELVETICA
+        if nm == "Helvetica"
+        else _AFM_TIMES
+        if nm == "Times-Roman"
+        else None
+    )
+    if afm is None:
+        return None
+    wtab = [0.0] * 256
+    for i, w in enumerate(afm):
+        wtab[32 + i] = w / 1000.0
+    return tuple(wtab), 0.0
+
+
 def _widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
     """``/FirstChar`` + ``/Widths`` (+ ``/FontDescriptor /MissingWidth``)
     → (256-entry unit-width table, multi-byte/out-of-range fallback), or
@@ -1656,6 +1718,9 @@ def _font_table(text: str, objs: dict, vobjs: dict, res):
         )
         if wd is None and "/Widths" in fbody:
             wd = _widths_entry(text, objs, vobjs, fbody)
+        if wd is None and "/BaseFont" in fbody:
+            # v56: core-font built-in metrics (explicit tables win)
+            wd = _std14_widths(fbody)
         if cm is not None or wd is not None:
             fonts[nm] = (cm, wd)
     return fonts
@@ -3108,6 +3173,9 @@ def _content_resources(text: str):
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/Uni" not in text  # v54: predefined Unicode CMap names
+        and "/Helvetica" not in text  # v56: core-font builtin metrics
+        and "/Times-Roman" not in text
+        and "/Courier" not in text
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
         and "/ExtGState" not in text  # v52: alpha-0 graphics states

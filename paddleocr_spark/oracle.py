@@ -1694,6 +1694,56 @@ def _rpdf_cid_widths(text: str, objs: dict, vobjs: dict, fbody: str):
     return wmap, dwu
 
 
+# v56 mirror: core-font AFM metrics as ONE whitespace-separated string
+# per face (independent literal form of the kernel tuples; content
+# equality gated by test). ASCII 32..126 in code order.
+_RPDF_AFM_HELV = tuple(int(w) for w in (
+    "278 278 355 556 556 889 667 191 333 333 389 584 278 333 278 278"
+    " 556 556 556 556 556 556 556 556 556 556 278 278 584 584 584 556"
+    " 1015 667 667 722 722 667 611 778 722 278 500 667 556 833 722 778"
+    " 667 778 722 667 611 722 667 944 667 667 611 278 278 278 469 556"
+    " 333 556 556 500 556 556 278 556 556 222 222 500 222 833 556 556"
+    " 556 556 333 500 278 556 500 722 500 500 500 334 260 334 584"
+).split())
+_RPDF_AFM_TIMES = tuple(int(w) for w in (
+    "250 333 408 500 500 833 778 180 333 333 500 564 250 333 250 278"
+    " 500 500 500 500 500 500 500 500 500 500 278 278 564 564 564 444"
+    " 921 722 667 667 722 611 556 722 722 333 389 722 611 889 722 722"
+    " 556 722 667 556 611 722 722 944 722 722 611 333 278 333 469 500"
+    " 333 444 500 444 500 444 333 500 500 278 278 500 278 778 500 500"
+    " 500 500 333 389 278 500 500 722 500 500 444 480 200 480 541"
+).split())
+_RPDF_COURIERS = frozenset((
+    "Courier", "Courier-Bold", "Courier-Oblique", "Courier-BoldOblique",
+))
+
+
+def _rpdf_std14(fbody: str):
+    nm = _rpdf_key_name(fbody, "/BaseFont")
+    if nm is None:
+        return None
+    if len(nm) > 7 and nm[6] == "+" and nm[:6].isalpha() and nm[:6].isupper():
+        nm = nm[7:]
+    if nm in _RPDF_COURIERS:
+        wtab = [0.0] * 256
+        for c in range(32, 127):
+            wtab[c] = 0.6
+        return tuple(wtab), 0.0
+    afm = (
+        _RPDF_AFM_HELV
+        if nm == "Helvetica"
+        else _RPDF_AFM_TIMES
+        if nm == "Times-Roman"
+        else None
+    )
+    if afm is None:
+        return None
+    wtab = [0.0] * 256
+    for i, w in enumerate(afm):
+        wtab[32 + i] = w / 1000.0
+    return tuple(wtab), 0.0
+
+
 def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
     fdict = _rpdf_key_dict(res, "/Font", text, objs, vobjs)
     if fdict is None:
@@ -1720,6 +1770,8 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
         )
         if wd is None and "/Widths" in fbody:
             wd = _rpdf_widths(text, objs, vobjs, fbody)
+        if wd is None and "/BaseFont" in fbody:
+            wd = _rpdf_std14(fbody)  # v56: core-font builtin metrics
         if cm is not None or wd is not None:
             fonts[_rpdf_name_unescape(fm.group(1))] = (cm, wd)
     return fonts
@@ -2434,6 +2486,9 @@ def _rpdf_content_resources(text: str):
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/Uni" not in text  # v54: predefined Unicode CMap names
+        and "/Helvetica" not in text  # v56: core-font builtin metrics
+        and "/Times-Roman" not in text
+        and "/Courier" not in text
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
         and "/ExtGState" not in text  # v52: alpha-0 graphics states
