@@ -1067,10 +1067,13 @@ _N_MEDIA = 300
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing (DecodeImage analog,
     /root/reference/ppocr/data/imaug/operators.py:30-68): binary payload
-    column → feature vector via a mapInPandas Arrow crossing. The codec is a
-    clearly-marked deterministic STUB (md5-derived features — the real
-    libraries are not in this container); the schema/batching/partitioning
-    is the real contract. Oracle recomputes the md5 chain in SQL."""
+    column → feature vector via a mapInPandas Arrow crossing. Round 5: image
+    rows carry REAL PNG payloads and decode through the vendored pure-stdlib
+    codec (functions/pngcodec.py — zlib inflate + all five row filters), so
+    decoder='png' rows prove pixel-level decode: their features include the
+    per-channel means only a correct unfilter can recover, mirrored exactly
+    in SQL (the synthetic color is md5-derived). Audio/video remain the
+    clearly-marked md5 STUB (codecs absent in this container)."""
     from paddleocr_spark.operators.multimodal import (
         extract_features,
         resize_plan,
@@ -2566,13 +2569,28 @@ GROUP BY n_name
             f" + (strpos('0123456789abcdef', substr(h, {2 * k + 2}, 1)) - 1))"
         )
 
+    # fake-branch features (audio/video): md5 over the payload-hex chain;
+    # png-branch features (image): decoded dims + channel means — the
+    # color bytes are md5("media:i:rgb")[k], the dims the _png_payload
+    # formulas, all exactly re-derivable in SQL
+    def _rgbbyte(k: int) -> str:
+        return _hexbyte(k).replace("substr(h,", "substr(h2,")
+
+    _PNG_F = (
+        "(4 + (p.i * 5) % 12) / 1000.0",
+        "(3 + (p.i * 7) % 9) / 1000.0",
+        f"{_rgbbyte(0)} / 255.0",
+        f"{_rgbbyte(1)} / 255.0",
+    )
     feat_cols = ",\n  ".join(
-        f"CAST(floor(1000000 * ({_hexbyte(k)} / 255.0)) AS BIGINT) AS f{k}"
+        f"CAST(floor(1000000 * (CASE WHEN p.i % 3 = 0 THEN {_PNG_F[k]}"
+        f" ELSE {_hexbyte(k)} / 255.0 END)) AS BIGINT) AS f{k}"
         for k in range(4)
     )
     sql["media_features"] = f"""
 WITH {_MEDIA_IDS},
-p AS (SELECT i, md5({payload_hex}) AS h FROM ids),
+p AS (SELECT i, md5({payload_hex}) AS h,
+         md5('media:' || i || ':rgb') AS h2 FROM ids),
 m AS (
   SELECT i,
     CASE WHEN i % 3 = 1 THEN NULL ELSE 64 + (i * 13) % 960 END AS w,
@@ -2586,7 +2604,7 @@ r AS (
   FROM m
 )
 SELECT CAST(p.i AS BIGINT) AS media_id, {_KIND.replace("i %", "p.i %")} AS kind,
-  'fake' AS decoder,
+  CASE WHEN p.i % 3 = 0 THEN 'png' ELSE 'fake' END AS decoder,
   {feat_cols},
   CAST(round(r.w * r.ratio / 32) * 32 AS INTEGER) AS resize_w,
   CAST(round(r.hgt * r.ratio / 32) * 32 AS INTEGER) AS resize_h

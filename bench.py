@@ -98,6 +98,21 @@ def main() -> None:
     # headline: full extraction pipeline
     timed("extract", lambda: _noop(extract(transcripts)))
 
+    # per-kind attribution keys (round-5, VERDICT item 1): the corpus
+    # evolves most in the real-PDF waves, so the headline extract wall
+    # moves for reasons a single number can't attribute. These keys time
+    # the SAME pipeline over the single-kind slice (SQL sniff filter —
+    # pushes to the scan, no Python before the kernel) so a future wave's
+    # cost lands on its payload kind. NEW keys — the longitudinal
+    # contract on `extract` is untouched.
+    from paddleocr_spark.operators.extract import with_payload_kind
+
+    kinds = with_payload_kind(transcripts)
+    for kname, kval in (("extract_pdf_real", "pdf_real"), ("extract_html", "html")):
+        sub = kinds.filter(F.col("payload_kind") == kval).drop("payload_kind")
+        _noop(extract(sub.limit(512)))
+        timed(kname, lambda s=sub: _noop(extract(s)))
+
     # secondary operator benchmarks (training-data pipeline layer); each gets
     # the same untimed warmup pass as extract so codegen/JIT compilation is
     # not billed to the steady-state number.
@@ -159,7 +174,13 @@ def main() -> None:
     # across BENCH_r*.json); value_all adds the new-operator keys
     legacy_keys = ("extract", "text_stats", "dedup_minhash", "ann_topk")
     total = round(sum(timings[k] for k in legacy_keys), 3)
-    total_all = round(sum(timings.values()), 3)
+    # the per-kind attribution keys re-time SLICES of the extract corpus,
+    # so they are excluded from both totals (double counting would break
+    # the longitudinal value_all contract)
+    attribution_keys = ("extract_pdf_real", "extract_html")
+    total_all = round(
+        sum(v for k, v in timings.items() if k not in attribution_keys), 3
+    )
     tps = round(n_turns / timings["extract"], 1) if timings["extract"] else 0.0
     print(
         json.dumps(

@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 56  # v56: core-font builtin AFM metrics
+CORPUS_VERSION = 57  # v57: form-level /ExtGState tables
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -2455,10 +2455,35 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 f"({_pdf_str(_sent(rng, words, rng.randint(3, 7)))} letterhead) Tj"
             )
         content_a.append("ET")
-        resources_a = ""
+        res_parts_a = []
         if form_nested:
             content_a.append("/Fy Do")
-            resources_a = f" /Resources << /XObject << /Fy {xbase + 1} 0 R >> >>"
+            res_parts_a.append(f"/XObject << /Fy {xbase + 1} 0 R >>")
+        # v57: the form's OWN /ExtGState table (ISO §8.10.2 — a form's
+        # gs names resolve through the form's /Resources, not the
+        # page's): an alpha-0-scoped line plus a visible restore, or the
+        # trap — a page-level gs name unknown in the form's table is a
+        # no-op (text stays visible)
+        if use_egs and rng.random() < 0.5:
+            res_parts_a.append("/ExtGState << /FGA 44 0 R /FGB 45 0 R >>")
+            wmf = _pdf_str(_sent(rng, words, rng.randint(2, 3)))
+            if rng.random() < 0.6:
+                content_a.append(
+                    f"q /FGA gs BT /F1 9 Tf 100 {mb_h - 300} Td"
+                    f" ({wmf} formghost) Tj ET Q"
+                )
+                content_a.append(
+                    f"BT /F1 9 Tf /FGB gs 100 {mb_h - 320} Td"
+                    f" ({wmf} formvisible) Tj ET"
+                )
+            else:
+                content_a.append(
+                    f"BT /F1 9 Tf /GA gs 100 {mb_h - 300} Td"
+                    f" ({wmf} formnoop) Tj ET"
+                )
+        resources_a = (
+            f" /Resources << {' '.join(res_parts_a)} >>" if res_parts_a else ""
+        )
         ca = "\n".join(content_a)
         # v49: ~40% of forms carry a /BBox (ISO §8.10.1 required entry) —
         # generous (covers everything), tight (clips the 2nd+ letterhead

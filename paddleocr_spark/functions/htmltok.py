@@ -416,6 +416,10 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     boiler_tags = cfg.boiler_tags
     boiler_class = cfg.boiler_class
     parse_tag = _parse_tag
+    tag_cache_get = _TAG_CACHE.get  # inline probe: hits skip the call frame
+    _strip_invisible = strip_invisible
+    _decode_entities = decode_entities
+    _collapse_ws = collapse_ws
 
     def current_kind() -> str:
         if heading_depth > 0:
@@ -505,13 +509,15 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             ):
                 continue
             piece = (
-                decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
+                _decode_entities(tok) if ("&" in tok or "\xa0" in tok) else tok
             )
             # v30: invisible format chars strip AFTER entity decode (both
             # &shy;-style entities and literal codepoints); a piece that
             # strips to nothing contributes nothing — no kind decision,
-            # no boiler mark, no link chars.
-            piece = strip_invisible(piece)
+            # no boiler mark, no link chars. (isascii inlined: O(1) flag
+            # probe skips the call frame on the dominant ASCII pieces)
+            if not piece.isascii():
+                piece = _strip_invisible(piece)
             if not piece:
                 continue
             if table_depth > 0:
@@ -535,7 +541,10 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
         if tok[1] == "!":  # comment or declaration (<!-- / <!DOCTYPE) → ignored
             continue
         else:  # --- tag token ---
-            closing, name, self_closing, class_tokens, tag_hidden, tag_open = parse_tag(tok)
+            info = tag_cache_get(tok)
+            if info is None:
+                info = parse_tag(tok)
+            closing, name, self_closing, class_tokens, tag_hidden, tag_open = info
             if name is None:
                 continue  # malformed tag → ignored
 

@@ -1147,8 +1147,16 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
         # the -V suffix selects the v53 vertical layout. Non-Uni
         # predefined CMaps (90ms-RKSJ-H …) keep the pre-v54 degrade
         # (mixed-width legacy encodings — a 2-byte read would be wrong
-        # half the time).
-        if nm is not None and nm.startswith("Uni"):
+        # half the time). Round-4 ADVICE restriction: only the -UCS2-
+        # (exact over their BMP coverage) and -UTF16- (BMP-exact; astral
+        # text would need surrogate-pair combining) variants take the
+        # 2-byte identity — -UTF32- names use 4-byte codes, so the
+        # 2-byte read decodes garbage; they keep the pre-v54 degrade.
+        if (
+            nm is not None
+            and nm.startswith("Uni")
+            and ("-UCS2-" in nm or "-UTF16-" in nm)
+        ):
             if nm.endswith("-H"):
                 return _ID2_ENTRY
             if nm.endswith("-V"):
@@ -3173,9 +3181,11 @@ def _content_resources(text: str):
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/Uni" not in text  # v54: predefined Unicode CMap names
-        and "/Helvetica" not in text  # v56: core-font builtin metrics
-        and "/Times-Roman" not in text
-        and "/Courier" not in text
+        and "Helvetica" not in text  # v56: core-font builtin metrics —
+        # bare substrings so subset-prefixed names (/ABCDEF+Helvetica)
+        # also take the slow path (round-4 ADVICE)
+        and "Times-Roman" not in text
+        and "Courier" not in text
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
         and "/ExtGState" not in text  # v52: alpha-0 graphics states
@@ -3201,6 +3211,7 @@ def _content_resources(text: str):
     part_of: dict = {}
     groups: dict = {}
     keys_of_page: dict = {}  # page obj num → scan-unit key (v21)
+    res_cache: dict = {}  # resources body → derived tables (round-5)
     seen = set(vobjs)
     for num in list(vobjs) + [m for m in objs if m not in seen]:
         body = _obj_body(text, objs, vobjs, num)
@@ -3210,16 +3221,25 @@ def _content_resources(text: str):
         if not refs:
             continue
         res_p = _inherited_resources(text, objs, vobjs, body)
-        fonts = _font_table(text, objs, vobjs, res_p)
-        xobjs = _xobject_table(text, objs, vobjs, res_p) if want_xobj else {}
+        # pages routinely inherit ONE /Resources dict from the /Pages
+        # node — the derived tables are pure functions of (text, objs,
+        # vobjs, res_p), all fixed within this call, so multi-page docs
+        # build them once per distinct resources body, not once per page
+        # (round-5 perf pass; the tables are shared read-only)
+        cached = res_cache.get(res_p)
+        if cached is None:
+            cached = (
+                _font_table(text, objs, vobjs, res_p),
+                _xobject_table(text, objs, vobjs, res_p) if want_xobj else {},
+                _egs_table(text, objs, vobjs, res_p) if want_egs else {},
+                _oc_hidden_names(text, objs, vobjs, res_p, off)
+                if want_oc
+                else frozenset(),
+            )
+            res_cache[res_p] = cached
+        fonts, xobjs, egs, och = cached
         geo = _page_geometry(text, objs, vobjs, body, dflt, want_crop)
         annots = _page_annots(text, objs, vobjs, body) if want_annots else ()
-        egs = _egs_table(text, objs, vobjs, res_p) if want_egs else {}
-        och = (
-            _oc_hidden_names(text, objs, vobjs, res_p, off)
-            if want_oc
-            else frozenset()
-        )
         entry = (fonts, xobjs, geo, annots, och, egs)
         if len(refs) == 1:
             by_content[refs[0]] = entry

@@ -77,19 +77,14 @@ def make_extract_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
             yield pd.DataFrame(
                 {
                     "payload_kind": kinds,
-                    "spans": [
-                        [
-                            {
-                                "span_idx": i,
-                                "kind": k,
-                                "text": t,
-                                "score": s,
-                                "bbox": b,
-                            }
-                            for (i, k, t, s, b) in spans
-                        ]
-                        for spans in span_lists
-                    ],
+                    # the kernel's span tuples go to Arrow AS TUPLES —
+                    # pyarrow maps them positionally onto the declared
+                    # struct fields (span_idx, kind, text, score, bbox)
+                    # and produces an array identical to the dict form at
+                    # ~1/9th the conversion cost (round-5 A/B: 11 ms vs
+                    # 102 ms per 2.8k-turn batch), so the field ORDER in
+                    # kernel.py spans is part of this contract
+                    "spans": span_lists,
                     "n_dropped": pd.array(dropped, dtype="int32"),
                     "extracted_text": extracted,
                     "truncated": truncated,

@@ -6,12 +6,14 @@ to a Spark table: media is an opaque ``binary`` column with a typed metadata
 struct; decode / feature-extract run as Arrow-batched ``mapInPandas`` stages,
 resize planning and frame sampling are pure SQL.
 
-The actual image/audio codecs are NOT in this container, so ``decode``
-dispatches: real libraries if importable, else a clearly-marked deterministic
-fake (features derived from md5 of the payload) so the Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — is real and testable. The
-fake path mirrors DecodeImage's None-on-bad-bytes contract: empty payloads
-yield null features, never an exception.
+Decode dispatch (round 5): PIL if importable → the vendored pure-stdlib
+PNG decoder (``functions/pngcodec.py`` — signature/chunk walk, zlib
+inflate, all five row filters; DecodeImage's None-on-bad-bytes contract) →
+the clearly-marked deterministic fake (md5-derived features) for non-PNG /
+undecodable payloads. ``synth_media`` emits REAL PNG payloads for image
+rows (solid md5-derived color behind cycling row filters), so the real
+decode branch executes in this container's CI and its features are exactly
+mirrorable in the DuckDB oracle. Audio/video codecs remain stubbed.
 """
 
 from __future__ import annotations
@@ -53,14 +55,32 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _png_payload(i: int) -> bytes:
+    """Image row i → a real PNG: solid color from md5("media:i:rgb")[:3],
+    small dims (4+(i*5)%12 × 3+(i*7)%9), row filters cycling 0-4 so decode
+    must actually unfilter to recover the color (see pngcodec.encode_png).
+    The META width/height stay the CLAIMED values — realistic metadata the
+    decoder does not trust; features come from the decoded pixels."""
+    from ..functions.pngcodec import encode_png
+
+    h = hashlib.md5(f"media:{i}:rgb".encode()).digest()
+    return encode_png(4 + (i * 5) % 12, 3 + (i * 7) % 9, (h[0], h[1], h[2]))
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload bytes from md5 chains)."""
+    """Deterministic media table: image rows carry REAL PNG payloads
+    (``_png_payload``), audio/video payload bytes are md5 chains."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
-        payload = b"".join(
-            hashlib.md5(f"media:{i}:{j}".encode()).digest() for j in range(8)
+        payload = (
+            _png_payload(i)
+            if kind == "image"
+            else b"".join(
+                hashlib.md5(f"media:{i}:{j}".encode()).digest()
+                for j in range(8)
+            )
         )
         meta = {
             "width": 64 + (i * 13) % 960 if kind != "audio" else None,
@@ -115,6 +135,37 @@ def _real_image_features(payload: bytes) -> list[float]:
         ]
 
 
+def _png_image_features(payload: bytes) -> list[float] | None:
+    """Vendored-decoder branch: real pixel-level decode via
+    functions/pngcodec.decode_png (the DecodeImage analog this container
+    can actually run). Features: decoded dims + per-channel means — values
+    only a correct unfilter+inflate can produce — in the same FEATURE_DIM
+    shape as every other branch. None on any undecodable payload."""
+    from ..functions.pngcodec import channel_means, decode_png
+
+    dec = decode_png(payload)
+    if dec is None:
+        return None
+    w, h, color_type, _rows = dec
+    means = channel_means(dec)
+    if color_type == 2:
+        mr, mg, mb = means
+    elif color_type == 6:
+        mr, mg, mb = means[0], means[1], means[2]
+    else:  # gray / gray+alpha: replicate the luma mean
+        mr = mg = mb = means[0]
+    return [
+        w / 1000.0,
+        h / 1000.0,
+        mr / 255.0,
+        mg / 255.0,
+        mb / 255.0,
+        min(w, h) / 1000.0,
+        max(w, h) / 1000.0,
+        len(payload) / 1e6,
+    ]
+
+
 def _fake_features(payload: bytes) -> list[float] | None:
     """STUB decode (clearly marked): deterministic features from the payload
     hash (md5 over the lowercase hex encoding — hex so the DuckDB oracle,
@@ -142,8 +193,12 @@ def extract_features(df: DataFrame) -> DataFrame:
                     return "pil", _real_image_features(bytes(payload))
                 except Exception:
                     # undecodable bytes → DecodeImage's None contract
-                    # (operators.py:56-57): fall back to the stub, never raise
+                    # (operators.py:56-57): fall back, never raise
                     pass
+            if kind == "image" and payload:
+                feats = _png_image_features(bytes(payload))
+                if feats is not None:
+                    return "png", feats
             return "fake", _fake_features(payload)
 
         for pdf in batches:

@@ -1413,7 +1413,11 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
             return _RPDF_ID2
         if nm == "Identity-V":  # v31 decode; v53 vertical layout
             return _RPDF_ID2V
-        if nm is not None and nm.startswith("Uni"):  # v54: Table 118
+        if (
+            nm is not None  # v54: Table 118; ADVICE: UCS2/UTF16 only —
+            and nm.startswith("Uni")  # UTF32 names are 4-byte codes and
+            and ("-UCS2-" in nm or "-UTF16-" in nm)  # keep the degrade
+        ):
             if nm.endswith("-H"):
                 return _RPDF_ID2
             if nm.endswith("-V"):
@@ -2110,23 +2114,17 @@ def _rpdf_form_resolver(
             content = _rpdf_decode_stream(content, params)
             if content is None:
                 return None
+        res_f = _rpdf_key_dict(params, "/Resources", text, objs, vobjs)
         entry = (
             _rpdf_tokens(content),
-            _rpdf_font_table(
-                text, objs, vobjs,
-                _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
-            ),
-            _rpdf_xobject_table(
-                text, objs, vobjs,
-                _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
-            ),
+            _rpdf_font_table(text, objs, vobjs, res_f),
+            _rpdf_xobject_table(text, objs, vobjs, res_f),
             _rpdf_matrix6(params),
-            _rpdf_oc_hidden(
-                text, objs, vobjs,
-                _rpdf_key_dict(params, "/Resources", text, objs, vobjs),
-                off,
-            ),
+            _rpdf_oc_hidden(text, objs, vobjs, res_f, off),
             _rpdf_form_bbox(params),  # v49: the form clips to its BBox
+            _rpdf_egs_table(text, objs, vobjs, res_f),  # v57: form-level
+            # /ExtGState — gs inside a Form XObject resolves through the
+            # form's own resources (ISO §8.10.2), matching the kernel
         )
         cache[num] = entry
         return entry
@@ -2486,9 +2484,11 @@ def _rpdf_content_resources(text: str):
         and "/Annots" not in text  # v27: text-bearing annotations
         and "/Identity-" not in text  # v31: Identity-H/-V CID encodings
         and "/Uni" not in text  # v54: predefined Unicode CMap names
-        and "/Helvetica" not in text  # v56: core-font builtin metrics
-        and "/Times-Roman" not in text
-        and "/Courier" not in text
+        and "Helvetica" not in text  # v56: core-font builtin metrics —
+        # bare substrings so subset-prefixed names (/ABCDEF+Helvetica)
+        # also take the slow path (round-4 ADVICE)
+        and "Times-Roman" not in text
+        and "Courier" not in text
         and "/DescendantFonts" not in text  # v33: CID /W width arrays
         and "/OCProperties" not in text  # v36: optional-content OFF layers
         and "/ExtGState" not in text  # v52: alpha-0 graphics states
@@ -3078,13 +3078,14 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
                 if num is not None and num not in chain:
                     form = resolver(num)
                     if form is not None:
-                        ftoks, ff, fx, fmat, focn, fbb = form
+                        ftoks, ff, fx, fmat, focn, fbb, fegs = form
                         _b, sup = _rpdf_interpret(
                             ftoks, mb_w, mb_h, cfg, ff, fx, resolver,
                             (ox, oy), depth + 1,
                             chain | {num}, boxes, rot,
                             ctm=_rpdf_compose(fmat, ctmb[0]), ocnames=focn,
                             bbox=fbb,  # v49
+                            egs=fegs,  # v57: the form's own gs states
                         )
                         state["sup"] += sup
         elif op == "q":

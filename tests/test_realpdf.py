@@ -4910,3 +4910,150 @@ def test_v56_corpus_fuzz_parity():
         if "/BaseFont /Times-Roman" in doc or "/BaseFont /Courier" in doc:
             nb += 1
     assert nb >= 10, nb
+
+
+# ---------------------------------------------------------------------------
+# v57: form-level /ExtGState — gs inside a Form XObject resolves through
+# the form's OWN /Resources (ISO 32000 §8.10.2)
+# ---------------------------------------------------------------------------
+
+
+def _pdfv57(form_res: str, form_ops: str, page_ops: str = "/Fx Do") -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /XObject << /Fx 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{page_ops}\nendstream\nendobj\n"
+        f"5 0 obj\n<< /Type /XObject /Subtype /Form{form_res}"
+        f" /Length {len(form_ops)} >>\nstream\n{form_ops}\nendstream\nendobj\n"
+        "7 0 obj\n<< /Type /ExtGState /ca 0 >>\nendobj\n"
+        "8 0 obj\n<< /Type /ExtGState /ca 1 >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_v57_form_extgstate_alpha_zero_suppresses():
+    """gs /ca 0 resolved from the FORM's own /ExtGState hides the form
+    text under drop_invisible_text — the ADVICE round-4 parity case."""
+    doc = _pdfv57(
+        " /Resources << /ExtGState << /FGA 7 0 R /FGB 8 0 R >> >>",
+        "BT /F1 10 Tf /FGA gs 72 700 Td (form ghost line) Tj"
+        " /FGB gs 1 0 0 1 72 600 Tm (form visible line) Tj ET",
+    )
+    cfg = ExtractConfig(drop_invisible_text=True)
+    k, sp, d = extract_payload(doc, cfg)
+    o = oracle_extract(doc, cfg)
+    assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in sp] == ["form visible line"] and d == 1
+    # default config: the OCR-layer analog extracts both
+    assert [s[2] for s in _parity(doc)] == [
+        "form ghost line", "form visible line",
+    ]
+
+
+def test_v57_page_gs_name_unknown_in_form_is_noop():
+    """A gs name defined only at page level is NOT visible inside the
+    form (the form's table is authoritative) — text stays visible."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /XObject << /Fx 5 0 R >>"
+        " /ExtGState << /GA 7 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\n/Fx Do\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /XObject /Subtype /Form /Length 54 >>\nstream\n"
+        "BT /F1 10 Tf /GA gs 72 700 Td (survives inside) Tj ET\nendstream\nendobj\n"
+        "7 0 obj\n<< /Type /ExtGState /ca 0 >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    cfg = ExtractConfig(drop_invisible_text=True)
+    k, sp, d = extract_payload(doc, cfg)
+    o = oracle_extract(doc, cfg)
+    assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in sp] == ["survives inside"] and d == 0
+
+
+def test_v57_form_alpha_does_not_leak_to_invoker():
+    """The form sets alpha 0 and never restores; text after Do on the
+    page still renders (invoker state untouched across Do)."""
+    doc = _pdfv57(
+        " /Resources << /ExtGState << /FGA 7 0 R >> >>",
+        "BT /F1 10 Tf /FGA gs 72 700 Td (ghost in form) Tj ET",
+        page_ops="/Fx Do\nBT /F1 10 Tf 72 500 Td (page text after) Tj ET",
+    )
+    cfg = ExtractConfig(drop_invisible_text=True)
+    k, sp, d = extract_payload(doc, cfg)
+    o = oracle_extract(doc, cfg)
+    assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+    assert [s[2] for s in sp] == ["page text after"] and d == 1
+
+
+def test_v57_corpus_fuzz_parity():
+    cfgd = ExtractConfig(drop_invisible_text=True)
+    nf = 0
+    for seed in range(35800, 36600):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "formghost" in doc or "formnoop" in doc:
+            nf += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+        k2, sp2, d2 = extract_payload(doc, cfgd)
+        o2 = oracle_extract(doc, cfgd)
+        assert (k2, sp2, d2) == (
+            o2["kind"], o2["spans"], o2["n_dropped"],
+        ), f"seed {seed} (drop cfg)"
+    assert nf >= 8, nf
+
+
+def test_v57_kidsless_subset_prefix_core_font_metrics():
+    """A Kids-less doc whose only core-font mention is subset-prefixed
+    (/ABCDEF+Helvetica) must still take the slow path and get builtin
+    AFM metrics (round-4 ADVICE: the fast-path gate was slash-anchored)."""
+    def kidsless(bf):
+        return (
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /MediaBox [0 0 612 792] >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            " /Resources << /Font << /F5 5 0 R >> >> >>\nendobj\n"
+            "4 0 obj\n<< >>\nstream\n"
+            "BT /F5 10 Tf 72 700 Td (iMiM) Tj ET\nendstream\nendobj\n"
+            f"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /{bf} >>"
+            "\nendobj\n"
+            "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+    a = _parity(kidsless("ABCDEF+Helvetica"))
+    b = _parity(kidsless("Helvetica"))
+    assert a == b
+    # proportional metrics actually applied: i (222) vs M (833) differ,
+    # so the box is narrower than the fixed-average estimate would give
+    c = _parity(kidsless("SomeUnknownFace"))
+    assert a[0][4] != c[0][4]
+
+
+def test_v57_utf32_uni_names_keep_degrade():
+    """UniJIS2004-UTF32-H/-V use 4-byte codes — the 2-byte identity
+    would decode garbage, so they keep the pre-v54 1-byte degrade
+    (round-4 ADVICE); UTF16 variants stay 2-byte (BMP-exact)."""
+    sp = _parity(_pdfu54(
+        "UniJIS2004-UTF32-H",
+        "BT /FU 12 Tf 100 700 Td (ascii survives) Tj ET",
+    ))
+    assert sp[0][2] == "ascii survives"
+    spv = _parity(_pdfu54(
+        "UniGB-UTF32-V",
+        "BT /FU 12 Tf 100 700 Td (vert ascii too) Tj ET",
+    ))
+    assert spv[0][2] == "vert ascii too"
+    b = spv[0][4]
+    assert b[2] - b[0] > b[3] - b[1]  # degrade = horizontal 1-byte
+    sp16 = _parity(_pdfu54(
+        "UniKS-UTF16-H",
+        f"BT /FU 12 Tf 100 700 Td ({_enc2('한국어텍스트')}) Tj ET",
+    ))
+    assert sp16[0][2] == "한국어텍스트"
