@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 57  # v57: form-level /ExtGState tables
+CORPUS_VERSION = 58  # v58: document <style> sheets hide class/id
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -259,6 +259,49 @@ def _make_html(rng: random.Random, words: List[str]) -> str:
                 f'<button popovertargetaction="show">{pw55} action'
                 f" label</button>",
             )))
+    if rng.random() < 0.08:  # v58: document stylesheets hide class/id
+        cw = f"{w()} {w()}"
+        k58 = rng.randint(1, 5)
+        sheet = (
+            f".hc{k58} {{ display: none }} "
+            f"#hi{k58} {{ visibility : hidden ; }} "
+            + rng.choice((
+                f"@media (max-width:600px) {{ .mq{k58} {{ display:none }} }} ",
+                f".ps{k58}:hover {{ display:none }} ",
+                f".an{k58} .de{k58} {{ display:none }} ",
+                f"div.tq{k58} {{ display:none }} ",
+                f".ok{k58} {{ display:block; color:#111 }} ",
+                f"/* .cm{k58} {{ display:none }} */ ",
+            ))
+        )
+        hidden_el = rng.choice((
+            f'<div class="hc{k58}"><p>{cw} sheetgone</p></div>',
+            f'<p class="deco hc{k58}">{cw} multiclass gone</p>',
+            f'<p id="hi{k58}">{cw} idgone</p>',
+        ))
+        trap_el = rng.choice((
+            f'<p class="mq{k58}">{cw} media renders</p>',
+            f'<p class="ps{k58}">{cw} pseudo renders</p>',
+            f'<p class="de{k58}">{cw} descendant renders</p>',
+            f'<div class="tq{k58}">{cw} tagqual renders</div>',
+            f'<p class="ok{k58}">{cw} block renders</p>',
+            f'<p class="cm{k58}">{cw} commented renders</p>',
+            f'<p id="hi{rng.randint(6, 9)}">{cw} otherid renders</p>',
+        ))
+        r58 = rng.random()
+        if r58 < 0.40:  # sheet before its targets
+            parts.append(f"<style>{sheet}</style>{hidden_el}{trap_el}")
+        elif r58 < 0.65:  # sheet AFTER its targets: applies backward
+            parts.append(f"{hidden_el}{trap_el}<style>{sheet}</style>")
+        elif r58 < 0.78:  # sheet inside a hidden subtree still applies
+            parts.append(
+                f'<div hidden><style>{sheet}</style></div>{hidden_el}'
+            )
+        elif r58 < 0.90:  # uppercase tag: rules NOT applied (pinned
+            # degrade), content still vanishes via the skip set
+            parts.append(f"<STYLE>{sheet}</STYLE>{hidden_el.replace('sheetgone', 'upper renders').replace('idgone', 'upper renders').replace('multiclass gone', 'upper renders')}")
+        else:  # unterminated sheet at payload end: rules apply to EOF
+            parts.append(f"{hidden_el}<style>{sheet}")
     if rng.random() < 0.14:  # v29: hidden content — must vanish
         hw = f"{w()} {w()}"
         r29 = rng.random()

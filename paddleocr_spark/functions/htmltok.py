@@ -52,11 +52,95 @@ _TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
 _CLASS_RE = re.compile(
     r"""class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
 )
+# v58: id attribute — same first-match shape as _CLASS_RE with a
+# lookbehind so grid=/data-id= never match (pinned); value case-sensitive
+_ID_RE = re.compile(
+    r"""(?<![\w-])id\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.IGNORECASE,
+)
 
 
 def _class_value(m) -> str:
     a, b, c = m.groups()
     return a if a is not None else (b if b is not None else c)
+
+
+# --- v58: same-document <style> sheets (SPEC §2.2 Stylesheet hiding) ------
+# The det-stage boilerplate analog one level up: a class/id hidden by a
+# document stylesheet hides every element carrying it. Scope is PINNED
+# narrow — exactly what a deterministic extractor can honor:
+#   - lowercase <style ...> ... </style> regions only (uppercase variants
+#     keep the pre-v58 degrade: rules not applied, content still skipped)
+#   - top-level rules only; anything inside an @-rule block (@media,
+#     @supports, …) is conditional and stays unapplied
+#   - selector lists split on ','; a selector applies iff it is EXACTLY
+#     one simple class (.name) or id (#name) selector — descendant
+#     combinators, pseudo-classes (:hover), tag-qualified (div.cls),
+#     attribute selectors are near-misses that keep their content rendered
+#   - a rule hides iff its declarations hide under the SAME v29
+#     declaration-split rule as inline style= (_style_hides)
+# Sheets apply document-wide (before and after their position, and from
+# inside hidden/skipped subtrees) — the pre-scan runs before the token
+# walk, so position never matters.
+_STYLE_OPEN_RE = re.compile(r"<style(?=[ \t\n\r\x0c/>])[^>]*>|<style>")
+_STYLE_CLOSE_RE = re.compile(r"</style[ \t\n\r\x0c]*>")
+_CSS_COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
+_SIMPLE_SEL_RE = re.compile(r"([.#])([A-Za-z_][-A-Za-z0-9_]*)\Z")
+
+
+def _css_hidden(css: str, classes: set, ids: set) -> None:
+    """Collect hidden class/id names from one stylesheet body."""
+    css = _CSS_COMMENT_RE.sub("", css)
+    depth = 0
+    sel_start = 0
+    cur_sel = None
+    decl_start = 0
+    i, n = 0, len(css)
+    while i < n:
+        c = css[i]
+        if c == "{":
+            if depth == 0:
+                cur_sel = css[sel_start:i]
+                decl_start = i + 1
+            depth += 1
+        elif c == "}":
+            if depth > 0:
+                depth -= 1
+                if depth == 0 and cur_sel is not None:
+                    sel = cur_sel.strip()
+                    # @-rule bodies (incl. nested braces) are skipped
+                    # wholesale by the depth gate; guard the head too
+                    if sel and not sel.startswith("@") and _style_hides(
+                        css[decl_start:i]
+                    ):
+                        for part in cur_sel.split(","):
+                            m = _SIMPLE_SEL_RE.match(part.strip())
+                            if m is not None:
+                                (classes if m.group(1) == "." else ids).add(
+                                    m.group(2)
+                                )
+                    cur_sel = None
+            sel_start = i + 1
+        i += 1
+
+
+def stylesheet_hidden(text: str):
+    """Document → (hidden classes, hidden ids) from every lowercase
+    <style> region; unterminated style runs to EOF (rawtext semantics)."""
+    classes: set = set()
+    ids: set = set()
+    pos = 0
+    while True:
+        m = _STYLE_OPEN_RE.search(text, pos)
+        if m is None:
+            break
+        cm = _STYLE_CLOSE_RE.search(text, m.end())
+        if cm is None:
+            _css_hidden(text[m.end() :], classes, ids)
+            break
+        _css_hidden(text[m.end() : cm.start()], classes, ids)
+        pos = cm.end()
+    return classes, ids
 
 # tags that terminate the current block when opened or closed
 BLOCK_TAGS = frozenset(
@@ -317,18 +401,22 @@ def _parse_tag(tok: str):
     if info is None:
         tm = _TAG_NAME_RE.match(tok)
         if tm is None:
-            info = (False, None, False, None, False, False)
+            info = (False, None, False, None, False, False, None)
         else:
             slash, name = tm.groups()
             closing = slash == "/"
             lname = name.lower()
             class_tokens = None
+            id_val = None
             hidden = False
             has_open = False
             if not closing and "=" in tok:
                 m = _CLASS_RE.search(tok)
                 if m:
                     class_tokens = tuple(_class_value(m).split())
+                m = _ID_RE.search(tok)  # v58: stylesheet #id matching
+                if m:
+                    id_val = _class_value(m)
             if not closing:
                 # v29 gate: the attr walk only runs when the token can
                 # possibly hide (case-blind substring probe)
@@ -354,6 +442,7 @@ def _parse_tag(tok: str):
                 class_tokens,
                 hidden,
                 has_open,
+                id_val,  # v58
             )
         if len(tok) <= _TAG_CACHE_MAX_TOKEN_LEN and len(_TAG_CACHE) < _TAG_CACHE_MAX:
             _TAG_CACHE[tok] = info
@@ -477,6 +566,13 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     # state has no exit). Entity references do NOT decode in rawtext.
     rawtext = None
 
+    # v58: document stylesheets — one pre-scan, document-wide scope
+    sheet_cls = sheet_ids = None
+    if "<style" in text:
+        sc, si = stylesheet_hidden(text)
+        sheet_cls = sc or None
+        sheet_ids = si or None
+
     for tok in _TOKEN_RE.findall(text):
         if rawtext is not None:
             if rawtext == "xmp" and tok[0] == "<" and tok[1] != "!":
@@ -544,9 +640,21 @@ def html_blocks(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
             info = tag_cache_get(tok)
             if info is None:
                 info = parse_tag(tok)
-            closing, name, self_closing, class_tokens, tag_hidden, tag_open = info
+            closing, name, self_closing, class_tokens, tag_hidden, tag_open, id_val = info
             if name is None:
                 continue  # malformed tag → ignored
+            # v58: stylesheet class/id hiding — same effect as the v29
+            # inline display:none; interior table tags keep the v29 pin
+            # (the <table> tag itself is checked in its own branch below)
+            if not closing and not tag_hidden:
+                if (
+                    sheet_cls is not None
+                    and class_tokens
+                    and not sheet_cls.isdisjoint(class_tokens)
+                ):
+                    tag_hidden = True
+                elif sheet_ids is not None and id_val in sheet_ids:
+                    tag_hidden = True
 
             # v46: inside a foreign svg subtree EVERY tag is inert except
             # svg itself (nesting counted; self-closing opens don't

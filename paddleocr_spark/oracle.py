@@ -192,8 +192,85 @@ def _o_shadowroot_tag(low: str) -> bool:
     return False
 
 
+# v58: document-stylesheet hiding mirror (SPEC §2.2 Stylesheet hiding) —
+# independent derivation: one DOTALL regex extracts lowercase <style>
+# regions (unterminated → EOF), brace EVENTS walk the rule nesting, and
+# the inline-style regex (_O_STYLE_HIDDEN_RE, already gate-tested equal
+# to the kernel's declaration-split rule) decides whether a body hides.
+# Scope pins mirror the kernel: top-level rules only (@-rule bodies out),
+# selectors that are exactly one simple .class / #id.
+_O_STYLE_RE = re.compile(
+    r"<style(?=[ \t\n\r\x0c/>])[^>]*>(.*?)(?:</style[ \t\n\r\x0c]*>|\Z)",
+    re.DOTALL,
+)
+_O_CSS_COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
+_O_SEL_RE = re.compile(r"\A[.#][A-Za-z_][-A-Za-z0-9_]*\Z")
+_O_BRACE_RE = re.compile(r"[{}]")
+_O_ID_RE = re.compile(
+    r"""(?<![\w-])id\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.IGNORECASE,
+)
+
+
+def _o_sheet_hidden(text: str):
+    classes, ids = set(), set()
+    for sm in _O_STYLE_RE.finditer(text):
+        css = _O_CSS_COMMENT_RE.sub("", sm.group(1))
+        d = 0
+        last = 0
+        sel = None
+        body_at = 0
+        for bm in _O_BRACE_RE.finditer(css):
+            if bm.group(0) == "{":
+                if d == 0:
+                    sel, body_at = css[last : bm.start()], bm.end()
+                d += 1
+            else:
+                if d > 0:
+                    d -= 1
+                    if d == 0 and sel is not None:
+                        st = sel.strip()
+                        if (
+                            st
+                            and not st.startswith("@")
+                            and _O_STYLE_HIDDEN_RE.search(
+                                css[body_at : bm.start()]
+                            )
+                        ):
+                            for part in sel.split(","):
+                                p = part.strip()
+                                if _O_SEL_RE.match(p):
+                                    (classes if p[0] == "." else ids).add(
+                                        p[1:]
+                                    )
+                        sel = None
+                last = bm.end()
+    return classes, ids
+
+
+def _o_sheet_hides_tag(tok: str, sheet_cls, sheet_ids) -> bool:
+    """Open-tag token → hidden by a document stylesheet? (class list via
+    CLASS_RE, id via _O_ID_RE — both first-match, values case-sensitive)."""
+    if sheet_cls:
+        cm = CLASS_RE.search(tok)
+        if cm is not None and not sheet_cls.isdisjoint(_class_val(cm).split()):
+            return True
+    if sheet_ids:
+        im = _O_ID_RE.search(tok)
+        if im is not None:
+            v = next((g for g in im.groups() if g is not None), None)
+            if v in sheet_ids:
+                return True
+    return False
+
+
 def _oracle_html(text: str, cfg: ExtractConfig):
     tokens = list(TOKEN_RE.finditer(text))
+    # v58: stylesheet pre-scan — document-wide, position-independent
+    if "<style" in text:
+        _sheet_cls, _sheet_ids = _o_sheet_hidden(text)
+    else:
+        _sheet_cls, _sheet_ids = set(), set()
     # context state: stack of (name, flags-dict) + clamped depth counters (SPEC §2.2)
     stack = []
     depth = {
@@ -408,7 +485,8 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                             or ("style" in low and "none" in low)
                         )
                         and _o_hidden_tag(low)
-                    ),
+                    )
+                    or _o_sheet_hides_tag(tok, _sheet_cls, _sheet_ids),
                 }
                 continue
 
@@ -421,10 +499,13 @@ def _oracle_html(text: str, cfg: ExtractConfig):
                 cm = CLASS_RE.search(tok)
                 low = tok.lower()
                 hid = (
-                    "hidden" in low
-                    or "popover" in low  # v55
-                    or ("style" in low and "none" in low)
-                ) and _o_hidden_tag(low)
+                    (
+                        "hidden" in low
+                        or "popover" in low  # v55
+                        or ("style" in low and "none" in low)
+                    )
+                    and _o_hidden_tag(low)
+                ) or _o_sheet_hides_tag(tok, _sheet_cls, _sheet_ids)
                 # v34: a closed <dialog> hides like a hidden element; a
                 # closed <details> opens a cdet level; a <summary> whose
                 # immediate parent is a closed details with an unconsumed

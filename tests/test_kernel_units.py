@@ -1660,3 +1660,111 @@ def test_v55_corpus_fuzz_parity():
         if "popover" in _mk_html(_random.Random(seed), _W17):
             n_po += 1
     assert n_po >= 15, n_po
+
+
+# ---------------------------------------------------------------------------
+# v58: document <style> sheets — class/id hiding (SPEC §2.2 Stylesheet
+# hiding); scope pins: top-level rules, simple .class/#id selectors only,
+# lowercase <style> tags, document-wide (position-independent) application
+# ---------------------------------------------------------------------------
+
+
+def test_v58_sheet_class_and_id_hide():
+    texts = _html_parity(_H34.format(
+        "<style>.nav2 { display: none } #foot2 { visibility:hidden; }</style>"
+        '<div class="nav2"><p>menu junk vanishes</p></div>'
+        "<p>body text stays here</p>"
+        '<p id="foot2">footer junk vanishes</p>'
+    ))
+    assert texts == ["body text stays here"]
+
+
+def test_v58_sheet_applies_backward_and_from_hidden_subtree():
+    """Stylesheets are document-wide: a sheet AFTER its target, or inside
+    a hidden/skipped subtree, still hides it."""
+    assert _html_parity(_H34.format(
+        '<p class="late">late target vanishes</p><p>kept text here</p>'
+        "<style>.late{display:none}</style>"
+    )) == ["kept text here"]
+    assert _html_parity(_H34.format(
+        "<div hidden><style>#h9{display:none}</style></div>"
+        '<p id="h9">still hides fine</p><p>other text stays</p>'
+    )) == ["other text stays"]
+
+
+def test_v58_near_miss_selectors_render():
+    """@media bodies, pseudo-classes, descendant combinators,
+    tag-qualified selectors, commented-out rules and display:block all
+    leave their elements rendered."""
+    texts = _html_parity(_H34.format(
+        "<style>"
+        "@media (max-width:600px){.mq{display:none}}"
+        " .ps:hover{display:none}"
+        " .an .de{display:none}"
+        " div.tq{display:none}"
+        " .ok{display:block}"
+        " /* .cm{display:none} */"
+        "</style>"
+        '<p class="mq">media renders text</p>'
+        '<p class="ps">pseudo renders text</p>'
+        '<p class="de">descendant renders text</p>'
+        '<div class="tq">tagqual renders text</div>'
+        '<p class="ok">block renders text</p>'
+        '<p class="cm">commented renders text</p>'
+    ))
+    assert texts == [
+        "media renders text", "pseudo renders text",
+        "descendant renders text", "tagqual renders text",
+        "block renders text", "commented renders text",
+    ]
+
+
+def test_v58_uppercase_style_rules_not_applied():
+    """Uppercase <STYLE> content vanishes (skip set is case-blind) but
+    its rules keep the pre-v58 degrade: not applied (pinned)."""
+    assert _html_parity(_H34.format(
+        "<STYLE>.up{display:none}</STYLE>"
+        '<p class="up">upper still renders</p>'
+    )) == ["upper still renders"]
+
+
+def test_v58_unterminated_sheet_rules_apply():
+    """An unterminated <style> consumes the rest of the document as skip
+    content, and its rules still apply to everything before it."""
+    assert _html_parity(_H34.format(
+        '<p class="gone">target text vanishes</p><p>kept body text</p>'
+        "<style>.gone{display:none} .x{"
+    )) == ["kept body text"]
+
+
+def test_v58_sheet_hidden_table_and_multiclass():
+    assert _html_parity(_H34.format(
+        "<style>.tgone{display:none}</style>"
+        '<table class="tgone"><tr><td>cell gone</td></tr></table>'
+        '<p class="deco tgone">multiclass gone too</p>'
+        "<p>after table stays</p>"
+    )) == ["after table stays"]
+
+
+def test_v58_id_first_match_and_case_sensitivity():
+    """id matching is value-case-sensitive; grid=/data-id= never match
+    (the lookbehind pin)."""
+    assert _html_parity(_H34.format(
+        "<style>#Case{display:none}</style>"
+        '<p id="case">lower renders fine</p>'
+        '<p id="Case">upper vanishes now</p>'
+        '<p data-id="Case">datum renders fine</p>'
+    )) == ["lower renders fine", "datum renders fine"]
+
+
+def test_v58_corpus_fuzz_parity():
+    n58 = 0
+    for seed in range(36600, 37400):
+        doc = _mk_html(_random.Random(seed), _W17)
+        if "sheetgone" in doc or "idgone" in doc or "multiclass" in doc:
+            n58 += 1
+        k, spans, drop = extract_payload(doc)
+        o = _ora(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert n58 >= 15, n58
