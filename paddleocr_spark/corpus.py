@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 58  # v58: document <style> sheets hide class/id
+CORPUS_VERSION = 59  # v59: empty-user-password encrypted PDFs
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1004,6 +1004,231 @@ def _diff_array(rng: random.Random, m: dict) -> str:
     if rng.random() < 0.20:  # unknown glyph name: code stays identity
         toks.append("/q7zglyph")
     return " ".join(toks)
+
+
+def _corpus_lit_bytes(body: str, i: int):
+    """Parse the literal string starting at '(' → (raw bytes, end-after).
+    Covers the escape forms the corpus itself emits (\\( \\) \\\\ and
+    three-digit octal from _lit_escape) plus nesting."""
+    out = []
+    depth = 1
+    i += 1
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            nxt = body[i + 1 : i + 2]
+            if nxt in "()\\":
+                out.append(nxt)
+                i += 2
+            elif nxt.isdigit():
+                out.append(chr(int(body[i + 1 : i + 4], 8) % 256))
+                i += 4
+            elif nxt == "n":
+                out.append("\n")
+                i += 2
+            else:
+                out.append(nxt)
+                i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out).encode("latin-1"), i + 1
+        out.append(c)
+        i += 1
+    return "".join(out).encode("latin-1"), n
+
+
+_R6_POOL: List[tuple] = []
+
+
+def _r6_pool():
+    if not _R6_POOL:
+        from .functions.pdfcrypt import r6_make_user_entries
+
+        for i in range(4):
+            key = hashlib.sha256(f"r6-key-{i}".encode()).digest()
+            vsalt = hashlib.md5(f"r6-vs-{i}".encode()).digest()[:8]
+            ksalt = hashlib.md5(f"r6-ks-{i}".encode()).digest()[:8]
+            u, ue = r6_make_user_entries(key, vsalt, ksalt)
+            _R6_POOL.append((key, vsalt, ksalt, u, ue))
+    return _R6_POOL
+
+
+def _encrypt_doc_v59(doc: str, rng: random.Random) -> str:
+    """Post-process a finished single-section classic-trailer doc into an
+    encrypted twin (ISO 32000 §7.6.3 / §7.6.4) openable with the EMPTY
+    user password: every stream (except /Type /XRef) and every
+    dict-level string encrypts under the drawn scheme; the /Encrypt
+    dict + /ID land in the trailer. ~1 in 8 draws corrupts /U after the
+    fact — the user-password-protected refusal case."""
+    from .functions.pdfcrypt import (
+        aes_encrypt_cbc,
+        file_key_rc4,
+        object_key,
+        r6_make_user_entries,
+        rc4,
+    )
+    from .functions.realpdf import _object_map
+
+    scheme = rng.choice(("rc4_40", "rc4_128", "rc4_128", "aesv2", "aesv2", "aesv3"))
+    v, r, nbytes, aes, length = {
+        "rc4_40": (1, 2, 5, False, 40),
+        "rc4_128": (2, 3, 16, False, 128),
+        "aesv2": (4, 4, 16, True, 128),
+        "aesv3": (5, 6, 32, True, 256),
+    }[scheme]
+    id0 = bytes(rng.randrange(256) for _ in range(16))
+    o = bytes(rng.randrange(256) for _ in range(32))
+    p = -(rng.randrange(1, 4000) * 4)
+    if v == 5:
+        # the 2.B KDF is deliberately expensive (≥64 SHA+AES rounds), so
+        # R6 parameters draw from a FIXED 4-tuple pool: the kernel/oracle
+        # lru_cache then pays the derivation once per process instead of
+        # once per payload (content-keyed → parallelism-invariant)
+        key, vsalt, ksalt, u, ue = _r6_pool()[rng.randrange(4)]
+        uent = (
+            f"/O <{(o + o[:16]).hex()}> /OE <{bytes(32).hex()}>"
+            f" /U <{u.hex()}> /UE <{ue.hex()}>"
+        )
+    else:
+        key = file_key_rc4(o, p, id0, r, nbytes)
+        if r == 2:
+            u = rc4(key, _CRYPT_PAD)
+        else:
+            x = rc4(key, __import__("hashlib").md5(_CRYPT_PAD + id0).digest())
+            for it in range(1, 20):
+                x = rc4(bytes(b ^ it for b in key), x)
+            u = x + bytes(16)
+        uent = f"/O <{o.hex()}> /U <{u.hex()}>"
+    objs, intervals = _object_map(doc)
+    out = []
+    last = 0
+    for s0, e0, num in intervals:
+        out.append(doc[last:s0])
+        body = doc[s0:e0]
+        last = e0
+        okey = key if v == 5 else object_key(key, num, 0, aes)
+        k = body.find("stream")
+        span = None
+        if k >= 0:
+            after = k + 6
+            cs = after + 1 if body[after : after + 1] == "\n" else None
+            if cs is not None:
+                end = body.find("endstream", cs)
+                if end >= 0:
+                    span = (cs, end)
+        head_end = span[0] - 7 if span else len(body)
+        head = body[:head_end] if span else body
+        if span and "/XRef" in head:
+            out.append(body)  # xref streams are never encrypted
+            continue
+        # dict-level strings → encrypted hex
+        hout = []
+        i = 0
+        n2 = len(head)
+        while i < n2:
+            c = head[i]
+            if c == "(":
+                raw, e2 = _corpus_lit_bytes(head, i)
+                enc = (
+                    aes_encrypt_cbc(
+                        okey, bytes(rng.randrange(256) for _ in range(16)), raw
+                    )
+                    if aes
+                    else rc4(okey, raw)
+                )
+                hout.append("<" + enc.hex() + ">")
+                i = e2
+            elif c == "<" and head[i : i + 2] != "<<":
+                j2 = head.find(">", i + 1)
+                if j2 < 0:
+                    hout.append(head[i:])
+                    break
+                hx = re.sub(r"[^0-9a-fA-F]", "", head[i + 1 : j2])
+                if len(hx) % 2:
+                    hx += "0"
+                raw = bytes.fromhex(hx)
+                enc = (
+                    aes_encrypt_cbc(
+                        okey, bytes(rng.randrange(256) for _ in range(16)), raw
+                    )
+                    if aes
+                    else rc4(okey, raw)
+                )
+                hout.append("<" + enc.hex() + ">")
+                i = j2 + 1
+            elif c == "<":
+                hout.append("<<")
+                i += 2
+            else:
+                nxt = [x for x in (head.find("(", i), head.find("<", i)) if x >= 0]
+                j2 = min(nxt) if nxt else n2
+                hout.append(head[i:j2])
+                i = j2
+        new_head = "".join(hout)
+        if span is None:
+            out.append(new_head)
+            continue
+        cs, end = span
+        data = body[cs:end].encode("latin-1")
+        if data.endswith("\n".encode()):
+            data = data[:-1]
+        enc = (
+            aes_encrypt_cbc(
+                okey, bytes(rng.randrange(256) for _ in range(16)), data
+            )
+            if aes
+            else rc4(okey, data)
+        )
+        out.append(
+            new_head
+            + body[head_end : cs]
+            + enc.decode("latin-1")
+            + "\n"
+            + body[end:]
+        )
+    out.append(doc[last:])
+    doc = "".join(out)
+    enum = max(objs) + 1 if objs else 90
+    extra = ""
+    if v == 4:
+        extra = (
+            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
+            " /StmF /StdCF /StrF /StdCF"
+        )
+    elif v == 5:
+        extra = (
+            " /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    if rng.random() < 0.12:  # user-password-protected twin: must refuse
+        u_hex = u.hex()
+        bad = ("00" if u_hex[:2] != "00" else "ff") + u_hex[2:]
+        uent = uent.replace(u_hex, bad, 1)
+    encobj = (
+        f"{enum} 0 obj\n<< /Filter /Standard /V {v} /R {r}"
+        f" /Length {length} /P {p} {uent}{extra} >>\nendobj\n"
+    )
+    doc = doc.replace(
+        "trailer\n<< /Root",
+        f"{encobj}trailer\n<< /Encrypt {enum} 0 R"
+        f" /ID [<{id0.hex()}> <{id0.hex()}>] /Root",
+        1,
+    )
+    return doc
+
+
+_CRYPT_PAD = bytes(
+    (
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    )
+)
 
 
 def _make_realpdf(rng: random.Random, words: List[str]) -> str:
@@ -2750,6 +2975,18 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             if upd_done:
                 parts.append(_tail("", prev=True))
     doc = "\n".join(parts)
+    if (
+        rng.random() < 0.08  # v59: encrypted twin (empty user password)
+        and doc.count("%%EOF") == 1
+        and "trailer\n<< /Root" in doc
+        and "/Encrypt" not in doc
+    ):
+        try:
+            doc.encode("latin-1")  # ciphertext bytes must roundtrip; docs
+            # carrying raw non-latin-1 show text skip the encryption draw
+            doc = _encrypt_doc_v59(doc, rng)
+        except UnicodeEncodeError:
+            pass
     if rng.random() < 0.07:  # truncated payload → must not error
         doc = doc[: rng.randint(len(doc) // 2, len(doc) - 1)]
     return doc

@@ -3284,12 +3284,303 @@ def _has_encrypt(text: str) -> bool:
             return True
 
 
+_ENC_REF_RE = re.compile(r"(\d+)[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+R")
+
+
+def _key_sint(body: str, key: str) -> Optional[int]:
+    """Signed variant of ``_key_int`` (the /P permission flags are
+    negative in real files — a 32-bit two's-complement print)."""
+    k = body.find(key)
+    if k < 0:
+        return None
+    after = k + len(key)
+    n = len(body)
+    if after < n and body[after] not in _WS and body[after] not in _DELIM:
+        return None
+    j = _skip_ws(body, after)
+    sign = 1
+    if body[j : j + 1] == "-":
+        sign = -1
+        j += 1
+    d0 = j
+    while j < n and body[j].isdigit():
+        j += 1
+    if j == d0:
+        return None
+    if j < n and body[j] not in _WS and body[j] not in _DELIM:
+        return None
+    return sign * int(body[d0:j])
+
+
+def _key_string_bytes(body: str, key: str):
+    """Token-exact ``key`` → raw BYTES of its literal/hex string value
+    (the /O /U /OE /UE reads); None when absent/malformed."""
+    k = -1
+    n = len(body)
+    while True:
+        k = body.find(key, k + 1)
+        if k < 0:
+            return None
+        after = k + len(key)
+        if after < n and body[after] not in _WS and body[after] not in _DELIM:
+            continue
+        i = _skip_ws(body, after)
+        c = body[i : i + 1]
+        if c == "(":
+            val, _e, ok = _read_literal(body, i)
+            if not ok:
+                return None
+            try:
+                return val.encode("latin-1")
+            except UnicodeEncodeError:
+                return None
+        if c == "<" and body[i : i + 2] != "<<":
+            val, _e = _read_hex(body, i)
+            return val.encode("latin-1")
+        return None
+
+
+def _doc_id0(text: str) -> bytes:
+    """First element of the LAST /ID array (the §7.6.3.3 key-derivation
+    salt); empty bytes when absent (degrade — derivation still runs)."""
+    best = b""
+    k = -1
+    n = len(text)
+    while True:
+        k = text.find("/ID", k + 1)
+        if k < 0:
+            return best
+        after = k + 3
+        if after < n and text[after] not in _WS and text[after] not in _DELIM:
+            continue
+        i = _skip_ws(text, after)
+        if text[i : i + 1] != "[":
+            continue
+        i = _skip_ws(text, i + 1)
+        c = text[i : i + 1]
+        if c == "<" and text[i : i + 2] != "<<":
+            val, _e = _read_hex(text, i)
+            best = val.encode("latin-1")
+        elif c == "(":
+            val, _e, ok = _read_literal(text, i)
+            if ok:
+                try:
+                    best = val.encode("latin-1")
+                except UnicodeEncodeError:
+                    pass
+
+
+def _decrypt_object_body(body: str, okey: bytes, aes: bool) -> str:
+    """One object body → decrypted body: the stream payload wholesale
+    (skipping /Type /XRef streams — never encrypted, ISO §7.5.8.2) and
+    every dict-level string individually (re-emitted as HEX — value-
+    preserving under the string readers, so downstream parsing is
+    identical to the unencrypted twin). AES padding/length failures
+    leave the region unchanged (it then fails stream decode and counts
+    dropped — the undecodable-stream degrade)."""
+    from .pdfcrypt import aes_decrypt_cbc, rc4
+
+    k = body.find("stream")
+    sdict_end = len(body)
+    stream_span = None
+    if k >= 0:
+        after = k + 6
+        if body[after : after + 2] == "\r\n":
+            cstart = after + 2
+        elif body[after : after + 1] == "\n":
+            cstart = after + 1
+        else:
+            cstart = None
+        if cstart is not None:
+            end = body.find("endstream", cstart)
+            if end >= 0:
+                sdict_end = k
+                stream_span = (cstart, end)
+    head = body[:sdict_end]
+    if stream_span is not None and _first_type_is(head, "XRef"):
+        return body  # cross-reference streams are never encrypted
+    # dict-level strings → decrypt, re-emit hex
+    out: List[str] = []
+    i = 0
+    n = len(head)
+    while i < n:
+        c = head[i]
+        if c == "(":
+            val, e, ok = _read_literal(head, i)
+            if not ok:
+                out.append(head[i:])
+                i = n
+                break
+            try:
+                raw = val.encode("latin-1")
+            except UnicodeEncodeError:
+                out.append(head[i:e])
+                i = e
+                continue
+            dec = (
+                aes_decrypt_cbc(okey, raw) if aes else rc4(okey, raw)
+            )
+            if dec is None:
+                out.append(head[i:e])
+            else:
+                out.append("<" + dec.hex() + ">")
+            i = e
+        elif c == "<" and head[i : i + 2] != "<<":
+            val, e = _read_hex(head, i)
+            raw = val.encode("latin-1")
+            dec = aes_decrypt_cbc(okey, raw) if aes else rc4(okey, raw)
+            if dec is None:
+                out.append(head[i:e])
+            else:
+                out.append("<" + dec.hex() + ">")
+            i = e
+        elif c == "<":
+            out.append("<<")
+            i += 2
+        else:
+            j = min(
+                x
+                for x in (head.find("(", i), head.find("<", i), n)
+                if x >= 0
+            )
+            out.append(head[i:j])
+            i = j
+    new_head = "".join(out)
+    if stream_span is None:
+        return new_head + body[sdict_end:]
+    cstart, end = stream_span
+    data = body[cstart:end].encode("latin-1")
+    # the scan slice runs to the "endstream" keyword, so it includes the
+    # ISO §7.3.8.1 end-of-line marker after the data — strip exactly one
+    # (it is not ciphertext; without this AES length checks fail and RC4
+    # grows a garbage trailing byte)
+    if data.endswith(b"\r\n"):
+        data = data[:-2]
+    elif data[-1:] in (b"\n", b"\r"):
+        data = data[:-1]
+    dec = aes_decrypt_cbc(okey, data) if aes else rc4(okey, data)
+    if dec is None:
+        return body  # AES shape failure → undecodable-stream degrade
+    return (
+        new_head
+        + body[sdict_end:cstart]
+        + dec.decode("latin-1")
+        + "\n"  # restore the stripped pre-endstream EOL
+        + body[end:]
+    )
+
+
+def _decrypt_document(text: str):
+    """Encrypted payload → fully-decrypted payload text, or None to
+    refuse (ISO 32000-1 §7.6.3 / 32000-2 §7.6.4, EMPTY user password
+    only — the owner-restricted-but-readable case; a real user
+    password, a non-Standard handler or an unsupported V/CFM keeps the
+    v11 whole-payload refusal)."""
+    from .pdfcrypt import (
+        file_key_rc4,
+        object_key,
+        r6_verify_empty_user,
+        user_check_r2,
+        user_check_r34,
+    )
+
+    objs, intervals = _object_map(text)
+    enc_num = None
+    k = -1
+    n = len(text)
+    while True:
+        k = text.find("/Encrypt", k + 1)
+        if k < 0:
+            break
+        after = k + 8
+        if after < n and text[after] not in _WS and text[after] not in _DELIM:
+            continue
+        m = _ENC_REF_RE.match(text, _skip_ws(text, after))
+        if m is not None:
+            enc_num = int(m.group(1))  # LAST reference wins (updates)
+    if enc_num is None or enc_num not in objs:
+        return None
+    ebody = text[objs[enc_num][0] : objs[enc_num][1]]
+    if _key_name(ebody, "/Filter") != "Standard":
+        return None
+    v = _key_int(ebody, "/V") or 0
+    r = _key_int(ebody, "/R") or 0
+    length = _key_int(ebody, "/Length") or 40
+    p = _key_sint(ebody, "/P")
+    o = _key_string_bytes(ebody, "/O")
+    u = _key_string_bytes(ebody, "/U")
+    if p is None or o is None or u is None:
+        return None
+    id0 = _doc_id0(text)
+    enc_md = "/EncryptMetadata" not in ebody or _key_name(
+        ebody, "/EncryptMetadata"
+    ) != "false"  # names don't carry booleans; raw-token read below
+    if "/EncryptMetadata" in ebody:
+        km = ebody.find("/EncryptMetadata")
+        enc_md = "false" not in ebody[km : km + 26]
+    aes = False
+    if v in (1, 2):
+        nbytes = 5 if v == 1 else max(5, min(16, length // 8))
+        key = file_key_rc4(o, p, id0, r, nbytes, enc_md)
+        if r == 2:
+            ok = user_check_r2(key) == u[:32]
+        else:
+            ok = user_check_r34(key, id0) == u[:16]
+    elif v == 4:
+        cf = _key_dict_body(ebody, "/CF", text, objs, {})
+        stdcf = (
+            _key_dict_body(cf, "/StdCF", text, objs, {})
+            if cf is not None
+            else None
+        )
+        cfm = _key_name(stdcf, "/CFM") if stdcf is not None else None
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            return None
+        if (
+            _key_name(ebody, "/StmF") != "StdCF"
+            or _key_name(ebody, "/StrF") != "StdCF"
+        ):
+            return None  # Identity/mixed filters: out of scope (pinned)
+        nbytes = max(5, min(16, length // 8)) if length else 16
+        key = file_key_rc4(o, p, id0, r, nbytes, enc_md)
+        ok = user_check_r34(key, id0) == u[:16]
+    elif v == 5:
+        ue = _key_string_bytes(ebody, "/UE")
+        key = r6_verify_empty_user(u, ue or b"")
+        ok = key is not None
+        aes = True
+    else:
+        return None
+    if not ok:
+        return None
+    out: List[str] = []
+    last = 0
+    for s0, e0, num in intervals:
+        out.append(text[last:s0])
+        body = text[s0:e0]
+        if num == enc_num:
+            out.append(body)
+        else:
+            okey = key if v == 5 else object_key(key, num, 0, aes)
+            out.append(_decrypt_object_body(body, okey, aes))
+        last = e0
+    out.append(text[last:])
+    return "".join(out)
+
+
 def parse_realpdf(text: str, cfg: ExtractConfig = DEFAULT_CONFIG):
     """Payload → (list of (page_idx, Box), n_skipped_streams)."""
     if "/Encrypt" in text and _has_encrypt(text):
-        # encrypted document: stream contents are ciphertext — refuse
-        # whole-payload rather than garbage-extract (SPEC §3b, v11)
-        return [], 1
+        # v59: the standard security handler with the EMPTY user
+        # password decrypts in place (the owner-restricted-but-readable
+        # case — the reference reads those transparently); anything else
+        # keeps the v11 whole-payload refusal
+        dec = _decrypt_document(text)
+        if dec is None:
+            return [], 1
+        text = dec
     mb_w, mb_h = media_box(text)
     dict_pos, dict_match = _dict_matches(text)  # one pass, all streams
     res_by_obj, obj_intervals, resolver, part_of, groups, dead, tree_pos = (

@@ -14,6 +14,7 @@ assembly — is re-derived from the SPEC independently.
 from __future__ import annotations
 
 import bisect as _bisect
+import hashlib
 import html as _html
 import re
 
@@ -3375,10 +3376,444 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
 
 _RPDF_ENCRYPT_RE = re.compile(r"/Encrypt(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
 
+# --- v59: standard security handler mirror (ISO 32000-1 §7.6.3 /
+# 32000-2 §7.6.4, empty user password) — INDEPENDENT primitives: GF(2^8)
+# log/antilog multiplication and a row-major AES state walk (the kernel
+# vendors a column-major list implementation with a gmul bit loop), a
+# compact RC4, and the same spec-mandated derivation steps over hashlib.
+_O_ALOG = [1] * 256
+for _k in range(1, 256):
+    _v = _O_ALOG[_k - 1]
+    _v = (_v << 1) ^ (0x11B if _v & 0x80 else 0) ^ _O_ALOG[_k - 1]
+    _O_ALOG[_k] = _v & 0xFF  # generator 3: x*2 ^ x
+_O_LOG = [0] * 256
+for _k in range(255):
+    _O_LOG[_O_ALOG[_k]] = _k
+
+
+def _o_gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _O_ALOG[(_O_LOG[a] + _O_LOG[b]) % 255]
+
+
+# constant-multiplier tables for the round functions (the mirror of the
+# kernel's _M tables — indexing beats the log/alog path per op)
+_OM = {c: [_o_gmul(x, c) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)}
+_OM2, _OM3 = _OM[2], _OM[3]
+_OM9, _OM11, _OM13, _OM14 = _OM[9], _OM[11], _OM[13], _OM[14]
+
+
+def _o_make_sbox():
+    sb = [0] * 256
+    for x in range(256):
+        b = _O_ALOG[(255 - _O_LOG[x]) % 255] if x else 0
+        y = 0x63
+        for i in range(5):
+            y ^= ((b << i) | (b >> (8 - i))) & 0xFF if i else b
+        # fold: y = 0x63 ^ b ^ rotl1 ^ rotl2 ^ rotl3 ^ rotl4
+        sb[x] = y & 0xFF
+    return sb
+
+
+_O_SBOX = _o_make_sbox()
+_O_INVSBOX = [0] * 256
+for _k, _v in enumerate(_O_SBOX):
+    _O_INVSBOX[_v] = _k
+
+
+@__import__("functools").lru_cache(maxsize=256)
+def _o_keysched(key: bytes):
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rc = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_O_SBOX[t[1]] ^ rc, _O_SBOX[t[2]], _O_SBOX[t[3]], _O_SBOX[t[0]]]
+            rc = _o_gmul(rc, 2)
+        elif nk > 6 and i % nk == 4:
+            t = [_O_SBOX[b] for b in t]
+        w.append([x ^ y for x, y in zip(w[i - nk], t)])
+    return w, nr
+
+
+def _o_aes_enc_block(b: bytes, w, nr: int) -> bytes:
+    # row-major 4x4 state: st[r][c] = b[4c+r]
+    st = [[b[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def ark(rnd):
+        for c in range(4):
+            for r in range(4):
+                st[r][c] ^= w[4 * rnd + c][r]
+
+    ark(0)
+    for rnd in range(1, nr + 1):
+        for r in range(4):
+            for c in range(4):
+                st[r][c] = _O_SBOX[st[r][c]]
+        for r in range(1, 4):
+            st[r] = st[r][r:] + st[r][:r]
+        if rnd != nr:
+            for c in range(4):
+                a0, a1, a2, a3 = st[0][c], st[1][c], st[2][c], st[3][c]
+                st[0][c] = _OM2[a0] ^ _OM3[a1] ^ a2 ^ a3
+                st[1][c] = a0 ^ _OM2[a1] ^ _OM3[a2] ^ a3
+                st[2][c] = a0 ^ a1 ^ _OM2[a2] ^ _OM3[a3]
+                st[3][c] = _OM3[a0] ^ a1 ^ a2 ^ _OM2[a3]
+        ark(rnd)
+    return bytes(st[r][c] for c in range(4) for r in range(4))
+
+
+def _o_aes_dec_block(b: bytes, w, nr: int) -> bytes:
+    st = [[b[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def ark(rnd):
+        for c in range(4):
+            for r in range(4):
+                st[r][c] ^= w[4 * rnd + c][r]
+
+    ark(nr)
+    for rnd in range(nr - 1, -1, -1):
+        for r in range(1, 4):
+            st[r] = st[r][-r:] + st[r][:-r]
+        for r in range(4):
+            for c in range(4):
+                st[r][c] = _O_INVSBOX[st[r][c]]
+        ark(rnd)
+        if rnd:
+            for c in range(4):
+                a0, a1, a2, a3 = st[0][c], st[1][c], st[2][c], st[3][c]
+                st[0][c] = _OM14[a0] ^ _OM11[a1] ^ _OM13[a2] ^ _OM9[a3]
+                st[1][c] = _OM9[a0] ^ _OM14[a1] ^ _OM11[a2] ^ _OM13[a3]
+                st[2][c] = _OM13[a0] ^ _OM9[a1] ^ _OM14[a2] ^ _OM11[a3]
+                st[3][c] = _OM11[a0] ^ _OM13[a1] ^ _OM9[a2] ^ _OM14[a3]
+    return bytes(st[r][c] for c in range(4) for r in range(4))
+
+
+def _o_aes_cbc_dec(key: bytes, data: bytes):
+    """PDF layout: IV-prefixed, PKCS#7; None on shape failure."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    w, nr = _o_keysched(key)
+    prev, out = data[:16], bytearray()
+    for off in range(16, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(
+            x ^ y for x, y in zip(_o_aes_dec_block(blk, w, nr), prev)
+        )
+        prev = blk
+    pad = out[-1] if out else 0
+    if not 1 <= pad <= 16 or len(out) < pad:
+        return None
+    return bytes(out[:-pad])
+
+
+def _o_aes_cbc_enc_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """No-padding CBC encrypt, IV not emitted (the 2.B inner step)."""
+    w, nr = _o_keysched(key)
+    prev, out = iv, bytearray()
+    for off in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[off : off + 16], prev))
+        prev = _o_aes_enc_block(blk, w, nr)
+        out += prev
+    return bytes(out)
+
+
+def _o_aes_cbc_dec_zero_nopad(key: bytes, data: bytes):
+    if len(data) % 16 or not data:
+        return None
+    w, nr = _o_keysched(key)
+    prev, out = b"\x00" * 16, bytearray()
+    for off in range(0, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(
+            x ^ y for x, y in zip(_o_aes_dec_block(blk, w, nr), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
+def _o_rc4(key: bytes, data: bytes) -> bytes:
+    S = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    i = j = 0
+    out = bytearray()
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(c ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+_O_CRYPT_PAD = bytes.fromhex(
+    "28bf4e5e4e758a41640"
+    "04e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _o_file_key(o: bytes, p: int, id0: bytes, r: int, nb: int,
+                enc_md: bool = True) -> bytes:
+    import struct as _st
+
+    h = hashlib.md5(
+        _O_CRYPT_PAD + o[:32] + _st.pack("<i", p) + id0
+        + (b"" if enc_md or r < 4 else b"\xff\xff\xff\xff")
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nb]).digest()
+    return h[:nb]
+
+
+def _o_objkey(key: bytes, num: int, aes: bool) -> bytes:
+    import struct as _st
+
+    ext = _st.pack("<I", num)[:3] + b"\x00\x00" + (b"sAlT" if aes else b"")
+    return hashlib.md5(key + ext).digest()[: min(len(key) + 5, 16)]
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _o_r6_hash(pwd: bytes, salt: bytes) -> bytes:
+    k = hashlib.sha256(pwd + salt).digest()
+    i = 0
+    while True:
+        e = _o_aes_cbc_enc_raw(k[:16], k[16:32], (pwd + k) * 64)
+        m = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[m](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _o_sint(body: str, key: str):
+    m = re.search(
+        re.escape(key)
+        + r"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%])[\x00\t\n\x0c\r ]*(-?\d+)",
+        body,
+    )
+    return int(m.group(1)) if m else None
+
+
+def _o_strbytes(body: str, key: str):
+    v = _rpdf_key_string(body, key)
+    if v is None:
+        return None
+    try:
+        return v.encode("latin-1")
+    except UnicodeEncodeError:
+        return None
+
+
+def _o_lit_span(s: str, i: int):
+    """Span end of the literal string at s[i]=='(' (escape/nesting-aware),
+    for the rebuild scan."""
+    depth, i = 1, i + 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _rpdf_decrypt(text: str):
+    """Mirror of the kernel's _decrypt_document: → decrypted text or
+    None (refusal)."""
+    objs, intervals = _rpdf_object_map(text)
+    enc_num = None
+    for em in re.finditer(
+        r"/Encrypt[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+\d+"
+        r"[\x00\t\n\x0c\r ]+R",
+        text,
+    ):
+        enc_num = int(em.group(1))  # last wins
+    if enc_num is None or enc_num not in objs:
+        return None
+    eb = text[objs[enc_num][0] : objs[enc_num][1]]
+    if _rpdf_key_name(eb, "/Filter") != "Standard":
+        return None
+    v = _rpdf_key_int(eb, "/V") or 0
+    r = _rpdf_key_int(eb, "/R") or 0
+    length = _rpdf_key_int(eb, "/Length") or 40
+    p = _o_sint(eb, "/P")
+    o = _o_strbytes(eb, "/O")
+    u = _o_strbytes(eb, "/U")
+    if p is None or o is None or u is None:
+        return None
+    # last /ID first element
+    id0 = b""
+    for im in re.finditer(
+        r"/ID[\x00\t\n\x0c\r ]*\[[\x00\t\n\x0c\r ]*", text
+    ):
+        sv = _rpdf_string_at(text, im.end())
+        if sv is not None:
+            try:
+                id0 = sv.encode("latin-1")
+            except UnicodeEncodeError:
+                pass
+    enc_md = True
+    km = eb.find("/EncryptMetadata")
+    if km >= 0:
+        enc_md = "false" not in eb[km : km + 26]
+    aes = False
+    if v in (1, 2):
+        nb = 5 if v == 1 else max(5, min(16, length // 8))
+        key = _o_file_key(o, p, id0, r, nb, enc_md)
+        if r == 2:
+            ok = _o_rc4(key, _O_CRYPT_PAD) == u[:32]
+        else:
+            x = _o_rc4(key, hashlib.md5(_O_CRYPT_PAD + id0).digest())
+            for it in range(1, 20):
+                x = _o_rc4(bytes(b ^ it for b in key), x)
+            ok = x == u[:16]
+    elif v == 4:
+        cf = _rpdf_key_dict(eb, "/CF", text, objs, {})
+        stdcf = (
+            _rpdf_key_dict(cf, "/StdCF", text, objs, {})
+            if cf is not None
+            else None
+        )
+        cfm = _rpdf_key_name(stdcf, "/CFM") if stdcf is not None else None
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            return None
+        if (
+            _rpdf_key_name(eb, "/StmF") != "StdCF"
+            or _rpdf_key_name(eb, "/StrF") != "StdCF"
+        ):
+            return None
+        nb = max(5, min(16, length // 8)) if length else 16
+        key = _o_file_key(o, p, id0, r, nb, enc_md)
+        x = _o_rc4(key, hashlib.md5(_O_CRYPT_PAD + id0).digest())
+        for it in range(1, 20):
+            x = _o_rc4(bytes(b ^ it for b in key), x)
+        ok = x == u[:16]
+    elif v == 5:
+        ue = _o_strbytes(eb, "/UE")
+        ok = False
+        key = None
+        if len(u) >= 48 and ue is not None and len(ue) >= 32:
+            if _o_r6_hash(b"", u[32:40]) == u[:32]:
+                key = _o_aes_cbc_dec_zero_nopad(
+                    _o_r6_hash(b"", u[40:48]), ue[:32]
+                )
+                ok = key is not None
+        aes = True
+    else:
+        return None
+    if not ok:
+        return None
+
+    def dec_body(body: str, okey: bytes) -> str:
+        k = body.find("stream")
+        span = None
+        sdict_end = len(body)
+        if k >= 0:
+            after = k + 6
+            if body[after : after + 2] == "\r\n":
+                cs = after + 2
+            elif body[after : after + 1] == "\n":
+                cs = after + 1
+            else:
+                cs = None
+            if cs is not None:
+                end = body.find("endstream", cs)
+                if end >= 0:
+                    span = (cs, end)
+                    sdict_end = k
+        head = body[:sdict_end]
+        if span is not None and _rpdf_first_type_is(head, "XRef"):
+            return body
+        out, i, n2 = [], 0, len(head)
+        while i < n2:
+            c = head[i]
+            if c == "(":
+                e2 = _o_lit_span(head, i)
+                val = _rpdf_string_at(head, i)
+                try:
+                    raw = val.encode("latin-1") if val is not None else None
+                except UnicodeEncodeError:
+                    raw = None
+                d = (
+                    (_o_aes_cbc_dec(okey, raw) if aes else _o_rc4(okey, raw))
+                    if raw is not None
+                    else None
+                )
+                out.append(head[i:e2] if d is None else "<" + d.hex() + ">")
+                i = e2
+            elif c == "<" and head[i : i + 2] != "<<":
+                j2 = head.find(">", i + 1)
+                if j2 < 0:
+                    out.append(head[i:])
+                    break
+                val = _rpdf_string_at(head, i)
+                raw = val.encode("latin-1") if val is not None else b""
+                d = _o_aes_cbc_dec(okey, raw) if aes else _o_rc4(okey, raw)
+                out.append(head[i : j2 + 1] if d is None else "<" + d.hex() + ">")
+                i = j2 + 1
+            elif c == "<":
+                out.append("<<")
+                i += 2
+            else:
+                nxt = [x for x in (head.find("(", i), head.find("<", i)) if x >= 0]
+                j2 = min(nxt) if nxt else n2
+                out.append(head[i:j2])
+                i = j2
+        new_head = "".join(out)
+        if span is None:
+            return new_head
+        cs, end = span
+        data = body[cs:end].encode("latin-1")
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data[-1:] in (b"\n", b"\r"):
+            data = data[:-1]
+        d = _o_aes_cbc_dec(okey, data) if aes else _o_rc4(okey, data)
+        if d is None:
+            return body
+        return (
+            new_head + body[sdict_end:cs] + d.decode("latin-1") + "\n"
+            + body[end:]
+        )
+
+    out, last = [], 0
+    for s0, e0, num in intervals:
+        out.append(text[last:s0])
+        body = text[s0:e0]
+        if num == enc_num:
+            out.append(body)
+        else:
+            okey = key if v == 5 else _o_objkey(key, num, aes)
+            out.append(dec_body(body, okey))
+        last = e0
+    out.append(text[last:])
+    return "".join(out)
+
 
 def _oracle_realpdf(text: str, cfg: ExtractConfig):
     if _RPDF_ENCRYPT_RE.search(text):
-        return [], 1  # encrypted document: whole-payload refusal (v11)
+        dec = _rpdf_decrypt(text)  # v59: empty-user-password decrypt
+        if dec is None:
+            return [], 1  # anything else: the v11 whole-payload refusal
+        text = dec
     mb_w, mb_h = _rpdf_mediabox(text)
     res_by_obj, obj_intervals, resolver, part_of, groups, dead, tree_pos = (
         _rpdf_content_resources(text)

@@ -5007,7 +5007,8 @@ def test_v57_corpus_fuzz_parity():
         assert (k2, sp2, d2) == (
             o2["kind"], o2["spans"], o2["n_dropped"],
         ), f"seed {seed} (drop cfg)"
-    assert nf >= 8, nf
+    assert nf >= 6, nf  # v59's extra end-of-doc rng draws shifted the
+    # truncation positions in this window (count was 8 pre-v59)
 
 
 def test_v57_kidsless_subset_prefix_core_font_metrics():
@@ -5057,3 +5058,196 @@ def test_v57_utf32_uni_names_keep_degrade():
         f"BT /FU 12 Tf 100 700 Td ({_enc2('한국어텍스트')}) Tj ET",
     ))
     assert sp16[0][2] == "한국어텍스트"
+
+
+# ---------------------------------------------------------------------------
+# v59: encrypted PDFs — standard security handler, EMPTY user password
+# (ISO 32000-1 §7.6.3, ISO 32000-2 §7.6.4); owner-password-only docs and
+# unsupported handlers keep the v11 whole-payload refusal
+# ---------------------------------------------------------------------------
+
+
+def _encrypt59(plain: str, scheme: str, corrupt_u: bool = False) -> str:
+    """Test-side encryptor built on the package crypto primitives (the
+    corpus encryptor re-derives the same construction with rng-drawn
+    parameters)."""
+    import hashlib as _hl
+
+    from paddleocr_spark.functions.pdfcrypt import (
+        aes_encrypt_cbc,
+        file_key_rc4,
+        object_key,
+        r6_make_user_entries,
+        rc4,
+        user_check_r2,
+        user_check_r34,
+    )
+
+    id0 = _hl.md5(b"v59-demo").digest()
+    o = bytes(range(32))
+    p = -44
+    v, r, nb, aes, ln = {
+        "rc4_40": (1, 2, 5, False, 40),
+        "rc4_128": (2, 3, 16, False, 128),
+        "aesv2": (4, 4, 16, True, 128),
+        "aesv3": (5, 6, 32, True, 256),
+    }[scheme]
+    if v == 5:
+        key = _hl.sha256(b"fk59").digest()
+        u, ue = r6_make_user_entries(key, b"vsalt678", b"ksalt678")
+        uent = (
+            f"/O <{(o + o[:16]).hex()}> /OE <{bytes(32).hex()}>"
+            f" /U <{u.hex()}> /UE <{ue.hex()}>"
+        )
+    else:
+        key = file_key_rc4(o, p, id0, r, nb)
+        u = (
+            user_check_r2(key)
+            if r == 2
+            else user_check_r34(key, id0) + bytes(16)
+        )
+        uent = f"/O <{o.hex()}> /U <{u.hex()}>"
+    if corrupt_u:
+        uent = uent.replace(u.hex(), "ff" + u.hex()[2:], 1)
+    import re as _re
+
+    # encrypt each object's stream body in place (non-greedy per object)
+    def repl(m):
+        onum = int(m.group(1))
+        head, data = m.group(2), m.group(3)
+        okey = key if v == 5 else object_key(key, onum, 0, aes)
+        enc = (
+            aes_encrypt_cbc(okey, b"\x07" * 16, data.encode("latin-1"))
+            if aes
+            else rc4(okey, data.encode("latin-1"))
+        )
+        return (
+            f"{m.group(1)} 0 obj{head}stream\n"
+            + enc.decode("latin-1")
+            + "\nendstream"
+        )
+
+    out = _re.sub(
+        r"(\d+) 0 obj((?:(?!endobj).)*?)stream\n(.*?)\nendstream",
+        repl,
+        plain,
+        flags=_re.DOTALL,
+    )
+    extra = ""
+    if v == 4:
+        extra = (
+            " /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    elif v == 5:
+        extra = (
+            " /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    encobj = (
+        f"9 0 obj\n<< /Filter /Standard /V {v} /R {r} /Length {ln}"
+        f" /P {p} {uent}{extra} >>\nendobj\n"
+    )
+    return out.replace(
+        "trailer\n<< /Root 1 0 R >>",
+        f"{encobj}trailer\n<< /Root 1 0 R /Encrypt 9 0 R"
+        f" /ID [<{id0.hex()}> <{id0.hex()}>] >>",
+    )
+
+
+_V59_PLAIN = (
+    "%PDF-1.4\n"
+    "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+    "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    "4 0 obj\n<< >>\nstream\n"
+    "BT /F1 12 Tf 72 700 Td (secret page text here) Tj ET\nendstream\nendobj\n"
+    "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+)
+
+
+def test_v59_all_schemes_decrypt_to_plain_twin():
+    want = _parity(_V59_PLAIN)
+    for scheme in ("rc4_40", "rc4_128", "aesv2", "aesv3"):
+        doc = _encrypt59(_V59_PLAIN, scheme)
+        assert "secret page text" not in doc  # actually ciphered
+        assert _parity(doc) == want, scheme
+
+
+def test_v59_wrong_user_password_refuses():
+    for scheme in ("rc4_128", "aesv3"):
+        doc = _encrypt59(_V59_PLAIN, scheme, corrupt_u=True)
+        k, sp, d = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+        assert sp == [] and d == 1, scheme
+
+
+def test_v59_unsupported_handler_refuses():
+    # non-Standard filter
+    doc = _encrypt59(_V59_PLAIN, "rc4_128").replace(
+        "/Filter /Standard", "/Filter /MyCustom"
+    )
+    k, sp, d = extract_payload(doc)
+    o = oracle_extract(doc)
+    assert (k, sp, d) == (o["kind"], o["spans"], o["n_dropped"])
+    assert sp == [] and d == 1
+    # dangling /Encrypt ref (the legacy v11 corpus draw)
+    doc2 = _V59_PLAIN.replace(
+        "trailer\n<< /Root 1 0 R >>",
+        "trailer\n<< /Root 1 0 R /Encrypt 99 0 R >>",
+    )
+    k2, sp2, d2 = extract_payload(doc2)
+    o2 = oracle_extract(doc2)
+    assert (k2, sp2, d2) == (o2["kind"], o2["spans"], o2["n_dropped"])
+    assert sp2 == [] and d2 == 1
+
+
+def test_v59_dict_string_decryption():
+    """Dict-level strings (annotation /Contents) decrypt per object —
+    covered with an explicitly encrypted annot string."""
+    import hashlib as _hl
+
+    from paddleocr_spark.functions.pdfcrypt import (
+        file_key_rc4,
+        object_key,
+        rc4,
+        user_check_r34,
+    )
+
+    id0 = _hl.md5(b"v59-demo").digest()
+    o = bytes(range(32))
+    key = file_key_rc4(o, -44, id0, 3, 16)
+    u = user_check_r34(key, id0) + bytes(16)
+    sval = b"annot words decrypted"
+    senc = rc4(object_key(key, 7, 0, False), sval)
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Annots [7 0 R] >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\n"
+        + rc4(object_key(key, 4, 0, False),
+              b"BT /F1 10 Tf 72 700 Td (page body words) Tj ET").decode("latin-1")
+        + "\nendstream\nendobj\n"
+        "7 0 obj\n<< /Type /Annot /Subtype /FreeText"
+        f" /Rect [100 100 300 130] /Contents <{senc.hex()}> >>\nendobj\n"
+        "9 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44"
+        f" /O <{o.hex()}> /U <{u.hex()}> >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R /Encrypt 9 0 R"
+        f" /ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n"
+    )
+    sp = _parity(doc)
+    assert [s[2] for s in sp] == ["page body words", "annot words decrypted"]
+
+
+def test_v59_corpus_fuzz_parity():
+    ne = 0
+    for seed in range(37400, 38200):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/Filter /Standard" in doc:
+            ne += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert ne >= 25, ne
