@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 59  # v59: empty-user-password encrypted PDFs
+CORPUS_VERSION = 60  # v60: /W2//DW2 vertical CID metrics
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -2643,6 +2643,47 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     "<< /Type /Font /Subtype /Type0 /BaseFont"
                     f" /NotoSans /Encoding /{ename}-{sch[1]} >>"
                 )
+                # v60: ~half the VERTICAL Type0 fonts carry a descendant
+                # with real vertical metrics (/DW2 and/or /W2, ISO Table
+                # 117) — letters get per-code downward advances; traps
+                # refuse the whole entry (degrade = the v53 default)
+                if (
+                    sch[1] == "V"
+                    and not (cid_decl and fnum == font1)
+                    and rng.random() < 0.5
+                ):
+                    r60 = rng.random()
+                    if r60 < 0.25:  # DW2-only: every glyph one default
+                        vdecl = f" /DW2 [880 {-rng.choice((400, 600, 750))}]"
+                    elif r60 < 0.50:  # range form (letters band)
+                        vdecl = (
+                            f" /DW2 [880 -1000] /W2 [97 122"
+                            f" {-rng.choice((1200, 1400, 1600))} 0 0]"
+                        )
+                    elif r60 < 0.68:  # bracket TRIPLES for a few codes
+                        ws60 = " ".join(
+                            f"{-rng.choice((500, 800, 1300))} 0 0"
+                            for _ in range(rng.randint(2, 5))
+                        )
+                        vdecl = f" /W2 [{rng.choice((97, 101, 105))} [{ws60}]]"
+                    elif r60 < 0.82:  # /W2 as a ref'd array object
+                        parts.append(
+                            f"79 0 obj\n[ 32 126 {-rng.choice((700, 900))}"
+                            " 0 0 ]\nendobj"
+                        )
+                        vdecl = " /DW2 [880 -500] /W2 79 0 R"
+                    else:  # refusal traps — entry must NOT form
+                        vdecl = rng.choice((
+                            " /W2 [97 [600]]",  # not a triple multiple
+                            " /W2 [97 90 -500 0 0]",  # reversed bounds
+                            " /W2 [97 122 -500 0]",  # short range group
+                            " /DW2 [880]",  # one-element DW2
+                        ))
+                    parts.append(
+                        "78 0 obj\n<< /Type /Font /Subtype /CIDFontType2"
+                        f" /BaseFont /NotoSans{vdecl} >>\nendobj"
+                    )
+                    fbody = fbody[:-3] + " /DescendantFonts [78 0 R] >>"
                 if cid_decl and fnum == font1:
                     fbody = fbody[:-3] + cid_decl + " >>"  # v33
                 if wdecl and fnum == font1:

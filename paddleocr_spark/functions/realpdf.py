@@ -1689,6 +1689,137 @@ def _cid_widths_entry(text: str, objs: dict, vobjs: dict, fbody: str):
     return wmap, dwu
 
 
+def _cid_w2_entry(text: str, objs: dict, vobjs: dict, fbody: str):
+    """``/DescendantFonts`` → descendant CIDFont ``/W2`` + ``/DW2`` →
+    ({code: downward advance in em units}, default), or None when
+    malformed / no descendant (v60; ISO 32000 §9.7.4.3 Table 117).
+    Vertical metrics: w1y is NEGATIVE for downward text — the advance
+    magnitude used is ``-w1y/1000``; /DW2 default [880 -1000] → 1.0 em.
+    Position vectors (v1x v1y per glyph in both forms) are consumed and
+    IGNORED (pinned — the box model anchors at the pen)."""
+    k = fbody.find("/DescendantFonts")
+    if k < 0:
+        return None
+    after = k + len("/DescendantFonts")
+    if after < len(fbody) and fbody[after] not in _WS and fbody[after] not in _DELIM:
+        return None
+    j = _skip_ws(fbody, after)
+    if fbody[j : j + 1] == "[":
+        arr, j = fbody, j + 1
+    else:
+        num, _ = _read_ref(fbody, after)
+        if num is None:
+            return None
+        ob = _obj_body(text, objs, vobjs, num)
+        if ob is None:
+            return None
+        j = _skip_ws(ob, 0)
+        if ob[j : j + 1] != "[":
+            return None
+        arr, j = ob, j + 1
+    dnum, _ = _read_ref(arr, j)
+    if dnum is None:
+        return None
+    desc = _obj_body(text, objs, vobjs, dnum)
+    if desc is None:
+        return None
+    dw2u = 1.0
+    has_vert = False
+    k0 = desc.find("/DW2")
+    if k0 >= 0:
+        a0 = k0 + 4
+        if a0 >= len(desc) or desc[a0] in _WS or desc[a0] in _DELIM:
+            j0 = _skip_ws(desc, a0)
+            if desc[j0 : j0 + 1] == "[":
+                j0 += 1
+                _vy, j0, t0 = _wnum(desc, j0)
+                w1, _j1, t1 = _wnum(desc, j0)
+                if t0 == "n" and t1 == "n":
+                    dw2u = -w1 / 1000.0
+                    has_vert = True
+                else:
+                    return None
+    k2 = desc.find("/W2")
+    if k2 < 0:
+        # no /W2 and no usable /DW2 → no vertical metrics at all: None
+        # keeps the exact pre-v60 default-advance float path
+        return ({}, dw2u) if has_vert else None
+    after2 = k2 + 3
+    if after2 < len(desc) and desc[after2] not in _WS and desc[after2] not in _DELIM:
+        # longer name = /W2 absent (same rule as the /W walk)
+        return ({}, dw2u) if has_vert else None
+    j2 = _skip_ws(desc, after2)
+    if desc[j2 : j2 + 1] == "[":
+        warr, j2 = desc, j2 + 1
+    else:
+        wnum, _ = _read_ref(desc, after2)
+        if wnum is None:
+            return None
+        wb = _obj_body(text, objs, vobjs, wnum)
+        if wb is None:
+            return None
+        j2 = _skip_ws(wb, 0)
+        if wb[j2 : j2 + 1] != "[":
+            return None
+        warr, j2 = wb, j2 + 1
+    wmap: dict = {}
+    covered = 0
+    while True:
+        v, j2, t = _wnum(warr, j2)
+        if t == "]":
+            break
+        if t != "n":
+            return None
+        if v != int(v) or not (0.0 <= v <= 65535.0):
+            return None
+        c1 = int(v)
+        v2, j3, t2 = _wnum(warr, j2)
+        if t2 == "[":
+            j2 = j3 + 1
+            vals: List[float] = []
+            while True:
+                w, j2, t3 = _wnum(warr, j2)
+                if t3 == "]":
+                    j2 += 1
+                    break
+                if t3 != "n":
+                    return None
+                vals.append(w)
+                if len(vals) > 3 * 65536:
+                    return None
+            if len(vals) % 3:
+                return None  # triples: w1y v1x v1y per glyph
+            for i in range(0, len(vals), 3):
+                covered += 1
+                if covered > 65536:
+                    return None
+                c = c1 + i // 3
+                if c <= 65535:
+                    wmap[c] = -vals[i] / 1000.0
+        elif t2 == "n":
+            if v2 != int(v2) or not (0.0 <= v2 <= 65535.0):
+                return None
+            c2 = int(v2)
+            if c2 < c1:
+                return None
+            w, j2, t3 = _wnum(warr, j3)
+            if t3 != "n":
+                return None
+            _vx, j2, t4 = _wnum(warr, j2)
+            _vy2, j2, t5 = _wnum(warr, j2)
+            if t4 != "n" or t5 != "n":
+                return None
+            covered += c2 - c1 + 1
+            if covered > 65536:
+                return None
+            wu = -w / 1000.0
+            for c in range(c1, c2 + 1):
+                wmap[c] = wu
+        else:
+            return None
+    return wmap, dw2u
+
+
 def _font_table(text: str, objs: dict, vobjs: dict, res):
     """Resolved /Resources dict body → {font name: (cmap entry, widths
     entry)} via /Font (inline dict or ref) → per-entry font object →
@@ -1729,6 +1860,18 @@ def _font_table(text: str, objs: dict, vobjs: dict, res):
         if wd is None and "/BaseFont" in fbody:
             # v56: core-font built-in metrics (explicit tables win)
             wd = _std14_widths(fbody)
+        # v60: a vertical font's /W2 table REPLACES the widths slot (a
+        # horizontal table never applies vertically — the v53 pin); the
+        # 3rd element tags it so the vertical flush knows to use the
+        # per-code accounting
+        if (
+            cm is not None
+            and cm[0] == "ID2V"
+            and "/DescendantFonts" in fbody
+        ):
+            w2 = _cid_w2_entry(text, objs, vobjs, fbody)
+            if w2 is not None:
+                wd = (w2[0], w2[1], "v")
         if cm is not None or wd is not None:
             fonts[nm] = (cm, wd)
     return fonts
@@ -2481,7 +2624,12 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             # (/W2 unimplemented — pinned).
             vmode = cur_map is not None and cur_map[0] == "ID2V"
             if vmode:
-                adv = max(0.0, (fontsize + charspace) * len(txt))
+                if cur_wd is not None and len(cur_wd) == 3:
+                    # v60: /W2 per-code vertical advances (Tc per glyph;
+                    # Tw/Tz never apply — the v53 rules stand)
+                    adv = max(0.0, acc_u * fontsize + charspace * acc_g)
+                else:
+                    adv = max(0.0, (fontsize + charspace) * len(txt))
             elif cur_wd is None:
                 adv = max(
                     0.0,
@@ -2574,7 +2722,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         flush). A per-piece subtotal keeps float association identical
         to the oracle's per-piece sums."""
         nonlocal acc_u, acc_g, acc_s
-        wtab, miss = cur_wd
+        wtab, miss = cur_wd[0], cur_wd[1]  # v60: 3rd element = "v" tag
         # v33: a CID /W entry is a dict keyed by FULL code value (default
         # /DW); the v25 tuple keys 0..255 with the multi-byte fallback
         isd = type(wtab) is dict

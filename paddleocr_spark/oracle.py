@@ -1780,6 +1780,127 @@ def _rpdf_cid_widths(text: str, objs: dict, vobjs: dict, fbody: str):
     return wmap, dwu
 
 
+def _rpdf_cid_w2(text: str, objs: dict, vobjs: dict, fbody: str):
+    """Mirror of the kernel /DescendantFonts → /W2 + /DW2 rule (v60, ISO
+    §9.7.4.3 Table 117): {code: downward em advance} (= −w1y/1000) +
+    default from /DW2[1] (default −1000 → 1.0). Bracket groups are
+    TRIPLES (w1y v1x v1y per glyph — non-multiple-of-3 refuses); range
+    groups are 5 numbers; position vectors ignored (pinned). None when
+    the descendant carries neither /W2 nor a usable /DW2 (the exact
+    pre-v60 default path), or on any malformed form."""
+    k = fbody.find("/DescendantFonts")
+    if k < 0 or _RPDF_DFKEY_RE.match(fbody, k) is None:
+        return None
+    after = k + len("/DescendantFonts")
+    am = _RPDF_ARROPEN_RE.match(fbody, after)
+    if am:
+        arr, j = fbody, am.end()
+    else:
+        rm = _RPDF_REFVAL_RE.match(fbody, after)
+        if rm is None:
+            return None
+        ob = _rpdf_obj_body(text, objs, vobjs, int(rm.group(1)))
+        if ob is None:
+            return None
+        am = _RPDF_ARROPEN_RE.match(ob)
+        if am is None:
+            return None
+        arr, j = ob, am.end()
+    j = _RPDF_WSRUN_RE.match(arr, j).end()
+    dm = _RPDF_REFVAL0_RE.match(arr, j)
+    if dm is None:
+        return None
+    desc = _rpdf_obj_body(text, objs, vobjs, int(dm.group(1)))
+    if desc is None:
+        return None
+    dw2u = 1.0
+    has_vert = False
+    k0 = desc.find("/DW2")
+    if k0 >= 0 and re.match(
+        r"/DW2(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)", desc[k0:]
+    ):
+        m0 = re.match(
+            r"/DW2[\x00\t\n\x0c\r ]*\[[\x00\t\n\x0c\r ]*"
+            r"(-?(?:\d+\.?\d*|\.\d+))[\x00\t\n\x0c\r ]+"
+            r"(-?(?:\d+\.?\d*|\.\d+))",
+            desc[k0:],
+        )
+        if m0 is None:
+            return None
+        dw2u = -float(m0.group(2)) / 1000.0
+        has_vert = True
+    kw = desc.find("/W2")
+    if kw < 0 or re.match(
+        r"/W2(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)", desc[kw:]
+    ) is None:
+        return ({}, dw2u) if has_vert else None
+    after2 = kw + 3
+    am2 = _RPDF_ARROPEN_RE.match(desc, after2)
+    if am2:
+        warr, j2 = desc, am2.end()
+    else:
+        rm2 = _RPDF_REFVAL_RE.match(desc, after2)
+        if rm2 is None:
+            return None
+        wb = _rpdf_obj_body(text, objs, vobjs, int(rm2.group(1)))
+        if wb is None:
+            return None
+        am2 = _RPDF_ARROPEN_RE.match(wb)
+        if am2 is None:
+            return None
+        warr, j2 = wb, am2.end()
+    toks = _rpdf_warr_tokens(warr, j2)
+    if toks is None:
+        return None
+    wmap: dict = {}
+    covered = 0
+    i, n = 0, len(toks)
+    while i < n:
+        c1 = toks[i]
+        if not isinstance(c1, float) or c1 != int(c1) or not 0 <= c1 <= 65535:
+            return None
+        c1 = int(c1)
+        i += 1
+        if i < n and toks[i] == "[":
+            i += 1
+            vals = []
+            while i < n and toks[i] != "]":
+                if not isinstance(toks[i], float):
+                    return None
+                vals.append(toks[i])
+                i += 1
+            if i >= n:
+                return None
+            i += 1
+            if len(vals) % 3:
+                return None
+            for g in range(len(vals) // 3):
+                covered += 1
+                if covered > 65536:
+                    return None
+                if c1 + g <= 65535:
+                    wmap[c1 + g] = -vals[3 * g] / 1000.0
+        elif i + 3 < n and all(
+            isinstance(toks[i + t], float) for t in range(4)
+        ):
+            c2 = toks[i]
+            if c2 != int(c2) or not 0 <= c2 <= 65535:
+                return None
+            c2 = int(c2)
+            if c2 < c1:
+                return None
+            covered += c2 - c1 + 1
+            if covered > 65536:
+                return None
+            wu = -toks[i + 1] / 1000.0
+            for c in range(c1, c2 + 1):
+                wmap[c] = wu
+            i += 4
+        else:
+            return None
+    return wmap, dw2u
+
+
 # v56 mirror: core-font AFM metrics as ONE whitespace-separated string
 # per face (independent literal form of the kernel tuples; content
 # equality gated by test). ASCII 32..126 in code order.
@@ -1858,6 +1979,14 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
             wd = _rpdf_widths(text, objs, vobjs, fbody)
         if wd is None and "/BaseFont" in fbody:
             wd = _rpdf_std14(fbody)  # v56: core-font builtin metrics
+        if (
+            cm is not None
+            and cm[0] == "id2v"
+            and "/DescendantFonts" in fbody
+        ):
+            w2 = _rpdf_cid_w2(text, objs, vobjs, fbody)  # v60
+            if w2 is not None:
+                wd = (w2[0], w2[1], "v")
         if cm is not None or wd is not None:
             fonts[_rpdf_name_unescape(fm.group(1))] = (cm, wd)
     return fonts
@@ -2695,7 +2824,7 @@ def _rpdf_show_decode(s: str, entry, wd):
     if wd is None:
         txt = _rpdf_apply_cmap(s, entry)
         return txt, 0.5 * len(txt), len(txt), txt.count(" ")
-    wtab, miss = wd
+    wtab, miss = wd[0], wd[1]  # v60: optional 3rd element = "v" tag
     if isinstance(wtab, dict):
         # v33: a CID /W map keys FULL code values, /DW fallback for all
         def _w(code):
@@ -3038,9 +3167,19 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
             # v53: vertical mode — /DW2-default advance (1*fs + Tc per
             # glyph), no Tw/Tz/rise, horizontal /W ignored
             if vmode:
-                adv = max(
-                    0.0, (state["fs"] + state["tc"]) * len(txt)
-                )
+                wdv = wdb[0]
+                if wdv is not None and len(wdv) == 3:
+                    # v60: /W2 per-code vertical advances (Tc per glyph;
+                    # Tw/Tz never apply)
+                    adv = max(
+                        0.0,
+                        state["au"] * state["fs"]
+                        + state["tc"] * state["ag"],
+                    )
+                else:
+                    adv = max(
+                        0.0, (state["fs"] + state["tc"]) * len(txt)
+                    )
             else:
                 adv = max(
                     0.0,

@@ -5251,3 +5251,131 @@ def test_v59_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert ne >= 25, ne
+
+
+# ---------------------------------------------------------------------------
+# v60: /W2 + /DW2 vertical CID metrics (ISO 32000 §9.7.4.3 Table 117)
+# ---------------------------------------------------------------------------
+
+
+def _pdfv60(vdecl: str, ops: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FV 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{ops}\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        " /Encoding /Identity-V /DescendantFonts [6 0 R] >>\nendobj\n"
+        f"6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X"
+        f"{vdecl} >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def _enc2v(s: str) -> str:
+    return "".join(f"\\{ord(c) >> 8:03o}\\{ord(c) & 0xFF:03o}"
+                   if False else f"{chr(0)}{c}" for c in s)
+
+
+def test_v60_w2_per_code_vertical_advances():
+    """'v' gets a 2 em drop from /W2, the rest the /DW2 0.5 em default —
+    the column is exactly (2.0 + 3*0.5) * fs tall."""
+    doc = _pdfv60(
+        " /DW2 [880 -500] /W2 [118 118 -2000 0 0]",
+        f"BT /FV 10 Tf 300 700 Td ({_enc2v('vert')}) Tj ET",
+    )
+    sp = _parity(doc)
+    assert sp[0][2] == "vert"
+    b = sp[0][4]
+    assert abs((b[3] - b[1]) * 792 / 1000 - 35.0) < 1.0
+    # taller than the default-metrics twin would be (4 * 10 = 40 > 35)
+    dflt = _parity(_pdfv60(
+        "", f"BT /FV 10 Tf 300 700 Td ({_enc2v('vert')}) Tj ET",
+    ))[0][4]
+    assert (dflt[3] - dflt[1]) > (b[3] - b[1])
+
+
+def test_v60_bracket_triples_and_range_forms():
+    # bracket triples: codes 118,119 ('v','w')
+    tri = _parity(_pdfv60(
+        " /W2 [118 [-1500 0 0 -1500 0 0]]",
+        f"BT /FV 10 Tf 300 700 Td ({_enc2v('vwvw')}) Tj ET",
+    ))[0][4]
+    assert abs((tri[3] - tri[1]) * 792 / 1000 - 60.0) < 1.0
+    # range form over the letter band
+    rng_ = _parity(_pdfv60(
+        " /W2 [97 122 -1200 0 0]",
+        f"BT /FV 10 Tf 300 700 Td ({_enc2v('abc')}) Tj ET",
+    ))[0][4]
+    assert abs((rng_[3] - rng_[1]) * 792 / 1000 - 36.0) < 1.0
+
+
+def test_v60_dw2_only_and_ref_array():
+    d = _parity(_pdfv60(
+        " /DW2 [880 -600]",
+        f"BT /FV 10 Tf 300 700 Td ({_enc2v('abcd')}) Tj ET",
+    ))[0][4]
+    assert abs((d[3] - d[1]) * 792 / 1000 - 24.0) < 1.0
+    # /W2 as a ref'd array object
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FV 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\nBT /FV 10 Tf 300 700 Td"
+        f" ({_enc2v('abcd')}) Tj ET\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        " /Encoding /Identity-V /DescendantFonts [6 0 R] >>\nendobj\n"
+        "6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X"
+        " /W2 7 0 R >>\nendobj\n"
+        "7 0 obj\n[ 32 126 -900 0 0 ]\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    b = _parity(doc)[0][4]
+    assert abs((b[3] - b[1]) * 792 / 1000 - 36.0) < 1.0
+
+
+def test_v60_malformed_refuses_to_default():
+    """Traps keep the exact v53 default layout: non-triple brackets,
+    reversed bounds, short range groups, one-element /DW2."""
+    want = _parity(_pdfv60(
+        "", f"BT /FV 10 Tf 300 700 Td ({_enc2v('abc')}) Tj ET",
+    ))
+    for vdecl in (
+        " /W2 [97 [600]]",
+        " /W2 [97 90 -500 0 0]",
+        " /W2 [97 122 -500 0]",
+        " /DW2 [880]",
+    ):
+        got = _parity(_pdfv60(
+            vdecl, f"BT /FV 10 Tf 300 700 Td ({_enc2v('abc')}) Tj ET",
+        ))
+        assert got == want, vdecl
+
+
+def test_v60_horizontal_font_ignores_w2_path():
+    """An Identity-H font with the same descendant keeps horizontal
+    layout driven by /W (or the default) — /W2 never applies
+    horizontally."""
+    doc = _pdfv60(
+        " /DW2 [880 -500] /W2 [97 122 -2000 0 0]",
+        f"BT /FV 10 Tf 100 700 Td ({_enc2v('abc')}) Tj ET",
+    ).replace("/Identity-V", "/Identity-H")
+    b = _parity(doc)[0][4]
+    assert b[2] - b[0] > b[3] - b[1]  # horizontal line box
+
+
+def test_v60_corpus_fuzz_parity():
+    nw = 0
+    for seed in range(38200, 39000):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "/W2" in doc or "/DW2" in doc:
+            nw += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert nw >= 15, nw
