@@ -37,6 +37,14 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=2, help="timed reps per case (best kept)")
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--big-kind",
+        choices=("mix", "pdf_real"),
+        default="mix",
+        help="payload kind of the monster conversation: the corpus mix, "
+        "or FORCED real-PDF payloads (round-4 verdict item 9 — the "
+        "~740 us/turn kernel path is the worst straggler fuel)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -54,14 +62,28 @@ def main() -> None:
     words = "alpha beta gamma delta epsilon zeta eta theta".split()
     from paddleocr_spark.corpus import payload_for, turn_row
 
+    big_kind = args.big_kind
+    big_id = args.convs
+
     def gen_part(it):
+        import random as _rnd
+
         import pandas as pd
 
+        from paddleocr_spark.corpus import _h, _make_realpdf, conv_id_for
+
         for pdf in it:
-            rows = [
-                turn_row(int(d), 0, int(t), words)
-                for d, t in zip(pdf["doc_id"], pdf["turn_idx"])
-            ]
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["turn_idx"]):
+                row = turn_row(int(d), 0, int(t), words)
+                if big_kind == "pdf_real" and int(d) == big_id:
+                    # force the monster conversation onto the real-PDF
+                    # kernel path (deterministic per turn)
+                    row["text"] = _make_realpdf(
+                        _rnd.Random(_h(f"{conv_id_for(int(d), 0)}:{int(t)}")),
+                        words,
+                    )
+                rows.append(row)
             yield pd.DataFrame(rows)
 
     normal = (

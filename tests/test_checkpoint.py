@@ -181,7 +181,14 @@ def test_iceberg_merge_sink_roundtrip(spark, transcripts):
 
     cat = find_iceberg_catalog(spark)
     if cat is None:
-        pytest.skip("no Iceberg catalog in this environment (parquet sink covered above)")
+        pytest.skip(
+            "no Iceberg catalog in this environment (parquet sink covered "
+            "above). Round-5 re-check: no iceberg-spark-runtime jar exists "
+            "anywhere on this host and the sandbox has no network to fetch "
+            "one (maven unreachable), so the MERGE roundtrip cannot run "
+            "here; the IcebergMergeSink code path stays covered by the "
+            "loud-RuntimeError contract test above."
+        )
     tbl = f"{cat}.default.ckpt_merge_test"  # pragma: no cover
     s1 = run_extract_job(spark, transcripts, tbl, n_buckets=8, group_size=4)
     assert s1["groups_run"] == 2
