@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 60  # v60: /W2//DW2 vertical CID metrics
+CORPUS_VERSION = 61  # v61: UTF-16 surrogate-pair CMaps
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1425,7 +1425,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if rng.random() < 0.15:
             scheme2 = ("shift", 3)
     elif r2 < 0.62:  # v31: Identity-H/-V Type0 without ToUnicode
-        scheme = ("id2", "H" if rng.random() < 0.8 else "V")
+        # v61: ~1/3 draw the UTF-16 predefined-CMap flavor instead —
+        # same 2-byte identity over the BMP, but astral chars encode as
+        # surrogate PAIRS that must combine back
+        kind2 = "id2u" if rng.random() < 0.35 else "id2"
+        scheme = (kind2, "H" if rng.random() < 0.8 else "V")
         if rng.random() < 0.20:
             scheme2 = ("shift", 4)
 
@@ -1458,6 +1462,15 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     out.append("3F")
             elif kind == "id2":  # v31: CID == UTF-16BE code unit
                 out.append(f"{o:04X}" if o <= 0xFFFF else "FFFD")
+            elif kind == "id2u":  # v61: UTF-16BE incl. surrogate pairs
+                if o <= 0xFFFF:
+                    out.append(f"{o:04X}")
+                else:
+                    o2 = o - 0x10000
+                    out.append(
+                        f"{0xD800 + (o2 >> 10):04X}"
+                        f"{0xDC00 + (o2 & 0x3FF):04X}"
+                    )
             else:
                 out.append(f"{m.setdefault(ch, 0x0100 + len(m)):04X}")
         return "".join(out)
@@ -1470,6 +1483,18 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         ws[i] = rng_.choice(
             (f"αβγ {ws[i]}", f"{ws[i]} привет", f"你好{ws[i]}",
              f"{ws[i]}—em", f"№{ws[i]}", f"{ws[i]} 数据")
+        )
+        return " ".join(ws)
+
+    def _id2u_decorate(rng_, sent: str) -> str:
+        # v61: salt with ASTRAL glyphs (emoji, math alphanumerics, CJK
+        # ext-B) that only a pair-combining decode recovers, plus BMP
+        # controls for the mixed case
+        ws = sent.split(" ")
+        i = rng_.randrange(len(ws))
+        ws[i] = rng_.choice(
+            (f"😀{ws[i]}", f"{ws[i]} 𝒜𝓑", f"𠀋{ws[i]}",
+             f"{ws[i]} 🚀🎉", f"汉{ws[i]}𪚥", f"𝕏 {ws[i]}")
         )
         return " ".join(ws)
 
@@ -1500,11 +1525,14 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             sent = _base_decorate(rng, sent, sch[0])
         elif sch is not None and sch[0] == "id2" and rng.random() < 0.7:
             sent = _id2_decorate(rng, sent)
+        elif sch is not None and sch[0] == "id2u" and rng.random() < 0.8:
+            sent = _id2u_decorate(rng, sent)
         if sch is not None:  # encoded shows: hex-string or literal forms
-            if sch[0] == "id2" and roll < 0.12:
+            if sch[0] in ("id2", "id2u") and roll < 0.12:
                 # v31 traps: odd trailing byte (identity char) and a
-                # surrogate-range code (U+FFFD)
-                tail = rng.choice(("41", "D801"))
+                # LONE surrogate code — U+FFFD under both flavors (a
+                # trailing high surrogate has no low to pair with)
+                tail = rng.choice(("41", "D801", "DC05"))
                 return f"<{_codes(sent, sch)}{tail}> Tj"
             if roll < 0.45:
                 return f"<{_codes(sent, sch)}> Tj"
@@ -1937,7 +1965,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     )),
                     "ET",
                 ]
-        if scheme and scheme[0] in ("id2", "cid") and rng.random() < 0.30:
+        if scheme and scheme[0] in ("id2", "id2u", "cid") and rng.random() < 0.30:
             # v38: word spacing vs multi-byte codes — a large Tw must NOT
             # widen 2-byte 0x0020 codes (ISO §9.3.3); the widths regime
             # (v33 descendants ride these schemes) makes it observable
@@ -2464,7 +2492,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     # same font.
     use_cidw = (
         scheme is not None
-        and scheme[0] in ("id2", "shift", "cid")
+        and scheme[0] in ("id2", "id2u", "shift", "cid")
         and rng.random() < 0.55
     )
     cid_decl = ""
@@ -2628,17 +2656,24 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 else:
                     parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
                 continue
-            if sch[0] == "id2":
+            if sch[0] in ("id2", "id2u"):
                 # v31: Type0 with a bare-name Identity encoding and NO
                 # ToUnicode — codes are identity-to-Unicode 2-byte CIDs.
                 # v54: ~35% draw a predefined Unicode CMap name instead
                 # (Table 118) — same 2-byte identity behavior, and the
                 # -V forms keep the v53 vertical layout.
-                ename = (
-                    rng.choice(("UniGB-UCS2", "UniJIS-UCS2", "UniKS-UTF16"))
-                    if rng.random() < 0.35
-                    else "Identity"
-                )
+                # v61: the id2u flavor ALWAYS draws a -UTF16- name (the
+                # pair-combining entries; UCS2/Identity never pair)
+                if sch[0] == "id2u":
+                    ename = rng.choice(
+                        ("UniKS-UTF16", "UniGB-UTF16", "UniJIS2004-UTF16")
+                    )
+                else:
+                    ename = (
+                        rng.choice(("UniGB-UCS2", "UniJIS-UCS2"))
+                        if rng.random() < 0.35
+                        else "Identity"
+                    )
                 fbody = (
                     "<< /Type /Font /Subtype /Type0 /BaseFont"
                     f" /NotoSans /Encoding /{ename}-{sch[1]} >>"

@@ -1082,6 +1082,12 @@ _ID2_ENTRY = ("ID2", (2,), None)
 # v53: Identity-V — same 2-byte identity decode, VERTICAL writing mode
 # (the flush advances downward and emits a column box)
 _ID2V_ENTRY = ("ID2V", (2,), None)
+# v61: UTF-16 predefined CMaps — 2-byte code units with SURROGATE-PAIR
+# combining (astral text decodes to real code points; lone surrogates
+# degrade to U+FFFD). Identity/UCS2 entries keep the pair-less v31 rule.
+_U16_ENTRY = ("U16", (2,), None)
+_U16V_ENTRY = ("U16V", (2,), None)
+_VERT_KINDS = ("ID2V", "U16V")
 
 
 def _id2_decode(s: str) -> str:
@@ -1091,6 +1097,37 @@ def _id2_decode(s: str) -> str:
         o0 = ord(s[i])
         if o0 <= 0xFF and i + 1 < n and ord(s[i + 1]) <= 0xFF:
             code = (o0 << 8) | ord(s[i + 1])
+            out.append("�" if 0xD800 <= code <= 0xDFFF else chr(code))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _u16_decode(s: str) -> str:
+    """v61: UTF-16BE code units with surrogate-pair combining; a high
+    surrogate followed by a low combines to one astral char, any lone
+    surrogate degrades to U+FFFD (never raises)."""
+    out: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        o0 = ord(s[i])
+        if o0 <= 0xFF and i + 1 < n and ord(s[i + 1]) <= 0xFF:
+            code = (o0 << 8) | ord(s[i + 1])
+            if (
+                0xD800 <= code <= 0xDBFF
+                and i + 3 < n
+                and ord(s[i + 2]) <= 0xFF
+                and ord(s[i + 3]) <= 0xFF
+            ):
+                lo = (ord(s[i + 2]) << 8) | ord(s[i + 3])
+                if 0xDC00 <= lo <= 0xDFFF:
+                    out.append(
+                        chr(0x10000 + ((code - 0xD800) << 10) + (lo - 0xDC00))
+                    )
+                    i += 4
+                    continue
             out.append("�" if 0xD800 <= code <= 0xDFFF else chr(code))
             i += 2
         else:
@@ -1157,10 +1194,11 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
             and nm.startswith("Uni")
             and ("-UCS2-" in nm or "-UTF16-" in nm)
         ):
+            u16 = "-UTF16-" in nm  # v61: pair-combining entries
             if nm.endswith("-H"):
-                return _ID2_ENTRY
+                return _U16_ENTRY if u16 else _ID2_ENTRY
             if nm.endswith("-V"):
-                return _ID2V_ENTRY
+                return _U16V_ENTRY if u16 else _ID2V_ENTRY
         base = _BASE_ENCODINGS.get(nm) if nm else None
         if base is None:
             return None
@@ -1866,7 +1904,7 @@ def _font_table(text: str, objs: dict, vobjs: dict, res):
         # per-code accounting
         if (
             cm is not None
-            and cm[0] == "ID2V"
+            and cm[0] in _VERT_KINDS
             and "/DescendantFonts" in fbody
         ):
             w2 = _cid_w2_entry(text, objs, vobjs, fbody)
@@ -2287,6 +2325,8 @@ def _apply_cmap(s: str, entry) -> str:
         return s
     cmap, lengths, xlate = entry
     if type(cmap) is str:  # v31: identity 2-byte (/Identity-H, -V)
+        if cmap[0] == "U":  # v61: UTF-16 pair combining
+            return _u16_decode(s)
         return _id2_decode(s)
     if xlate is not None:
         return s.translate(xlate)
@@ -2622,7 +2662,7 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             # only (§9.3.4) and rise is ignored in vertical mode
             # (pinned); a horizontal /W table does not apply vertically
             # (/W2 unimplemented — pinned).
-            vmode = cur_map is not None and cur_map[0] == "ID2V"
+            vmode = cur_map is not None and cur_map[0] in _VERT_KINDS
             if vmode:
                 if cur_wd is not None and len(cur_wd) == 3:
                     # v60: /W2 per-code vertical advances (Tc per glyph;
@@ -2745,12 +2785,38 @@ def _interpret(content: str, mb_w: float, mb_h: float,
         # multi-byte CMap: consume codes exactly as _apply_cmap does
         cmapd, lengths, _x = cur_map
         if type(cmapd) is str:  # v31: identity 2-byte with a width table
+            u16 = cmapd[0] == "U"  # v61: surrogate pairs combine
             out2: List[str] = []
             i3, n3 = 0, len(raw)
             while i3 < n3:
                 o0 = ord(raw[i3])
                 if o0 <= 0xFF and i3 + 1 < n3 and ord(raw[i3 + 1]) <= 0xFF:
                     code = (o0 << 8) | ord(raw[i3 + 1])
+                    if (
+                        u16
+                        and 0xD800 <= code <= 0xDBFF
+                        and i3 + 3 < n3
+                        and ord(raw[i3 + 2]) <= 0xFF
+                        and ord(raw[i3 + 3]) <= 0xFF
+                        and 0xDC00
+                        <= ((ord(raw[i3 + 2]) << 8) | ord(raw[i3 + 3]))
+                        <= 0xDFFF
+                    ):
+                        lo = (ord(raw[i3 + 2]) << 8) | ord(raw[i3 + 3])
+                        out2.append(
+                            chr(
+                                0x10000
+                                + ((code - 0xD800) << 10)
+                                + (lo - 0xDC00)
+                            )
+                        )
+                        # one GLYPH; astral codes take the default width
+                        # (pinned — real UTF16 CMaps map pairs to CIDs
+                        # this identity approximation cannot know)
+                        du += miss
+                        acc_g += 1
+                        i3 += 4
+                        continue
                     out2.append(
                         "�" if 0xD800 <= code <= 0xDFFF else chr(code)
                     )

@@ -1447,6 +1447,9 @@ _RPDF_BASE_ENC = {
 # pairwise int.from_bytes-style loop (vs the kernel's shift-or scanner).
 _RPDF_ID2 = ("id2", [2])
 _RPDF_ID2V = ("id2v", [2])  # v53: Identity-V — vertical writing mode
+_RPDF_U16 = ("u16", [2])  # v61: UTF-16 — surrogate pairs combine
+_RPDF_U16V = ("u16v", [2])
+_RPDF_VERT = ("id2v", "u16v")
 
 
 def _rpdf_id2_decode(s: str) -> str:
@@ -1461,6 +1464,36 @@ def _rpdf_id2_decode(s: str) -> str:
         else:
             out.append(s[i])
             i += 1
+    return "".join(out)
+
+
+def _rpdf_u16_units(s: str, i: int):
+    """Code unit at i (2 latin-1 chars) or None."""
+    pair = s[i : i + 2]
+    if len(pair) == 2 and ord(pair[0]) < 256 and ord(pair[1]) < 256:
+        return ord(pair[0]) * 256 + ord(pair[1])
+    return None
+
+
+def _rpdf_u16_decode(s: str) -> str:
+    """v61 mirror: unit-pair walk with surrogate combining; lone
+    surrogates → U+FFFD."""
+    out = []
+    i = 0
+    while i < len(s):
+        u = _rpdf_u16_units(s, i)
+        if u is None:
+            out.append(s[i])
+            i += 1
+            continue
+        if 0xD800 <= u < 0xDC00:
+            lo = _rpdf_u16_units(s, i + 2)
+            if lo is not None and 0xDC00 <= lo < 0xE000:
+                out.append(chr(0x10000 + ((u - 0xD800) << 10) + (lo - 0xDC00)))
+                i += 4
+                continue
+        out.append("�" if 0xD800 <= u < 0xE000 else chr(u))
+        i += 2
     return "".join(out)
 _RPDF_KEYNAME_RE = re.compile(
     r"[\x00\t\n\x0c\r ]*/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
@@ -1500,10 +1533,11 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
             and nm.startswith("Uni")  # UTF32 names are 4-byte codes and
             and ("-UCS2-" in nm or "-UTF16-" in nm)  # keep the degrade
         ):
+            u16 = "-UTF16-" in nm  # v61
             if nm.endswith("-H"):
-                return _RPDF_ID2
+                return _RPDF_U16 if u16 else _RPDF_ID2
             if nm.endswith("-V"):
-                return _RPDF_ID2V
+                return _RPDF_U16V if u16 else _RPDF_ID2V
         base = _RPDF_BASE_ENC.get(nm) if nm else None
         if base is None:
             return None
@@ -1981,7 +2015,7 @@ def _rpdf_font_table(text: str, objs: dict, vobjs: dict, res):
             wd = _rpdf_std14(fbody)  # v56: core-font builtin metrics
         if (
             cm is not None
-            and cm[0] == "id2v"
+            and cm[0] in _RPDF_VERT
             and "/DescendantFonts" in fbody
         ):
             w2 = _rpdf_cid_w2(text, objs, vobjs, fbody)  # v60
@@ -2789,6 +2823,8 @@ def _rpdf_apply_cmap(s: str, entry):
         return s
     cmap, lengths = entry
     if isinstance(cmap, str):  # v31: identity 2-byte
+        if cmap[0] == "u":  # v61: UTF-16 pair combining
+            return _rpdf_u16_decode(s)
         return _rpdf_id2_decode(s)
     out = []
     i, n = 0, len(s)
@@ -2843,12 +2879,23 @@ def _rpdf_show_decode(s: str, entry, wd):
         return s, u, len(s), sp
     cmap, lengths = entry
     if isinstance(cmap, str):  # v31: identity 2-byte with a width table
+        u16 = cmap[0] == "u"  # v61: surrogate pairs combine, one glyph
         out = []
         i = 0
         while i < len(s):
-            pair = s[i : i + 2]
-            if len(pair) == 2 and ord(pair[0]) < 256 and ord(pair[1]) < 256:
-                code = ord(pair[0]) * 256 + ord(pair[1])
+            code = _rpdf_u16_units(s, i)
+            if code is not None:
+                if u16 and 0xD800 <= code < 0xDC00:
+                    lo = _rpdf_u16_units(s, i + 2)
+                    if lo is not None and 0xDC00 <= lo < 0xE000:
+                        out.append(
+                            chr(0x10000 + ((code - 0xD800) << 10)
+                                + (lo - 0xDC00))
+                        )
+                        u += miss  # astral: the pinned default width
+                        g += 1
+                        i += 4
+                        continue
                 out.append("�" if 0xD800 <= code < 0xE000 else chr(code))
                 u += _w(code)
                 g += 1
@@ -3144,7 +3191,7 @@ def _rpdf_interpret(toks, mb_w: float, mb_h: float, cfg: ExtractConfig,
 
     def flush():
         txt = "".join(buf)
-        vmode = cmap[0] is not None and cmap[0][0] == "id2v"  # v53
+        vmode = cmap[0] is not None and cmap[0][0] in _RPDF_VERT  # v53/v61
         if (
             (bbox is not None or clipb[0] is not None)
             and ctmb[0] is ctm0

@@ -5379,3 +5379,109 @@ def test_v60_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert nw >= 15, nw
+
+
+# ---------------------------------------------------------------------------
+# v61: UTF-16 predefined CMaps — surrogate pairs combine (ISO §9.7.5.2)
+# ---------------------------------------------------------------------------
+
+
+def _enc_u16(txt: str) -> str:
+    out = []
+    for ch in txt:
+        o = ord(ch)
+        if o > 0xFFFF:
+            o -= 0x10000
+            out.append(f"{0xD800 + (o >> 10):04X}{0xDC00 + (o & 0x3FF):04X}")
+        else:
+            out.append(f"{o:04X}")
+    return "".join(out)
+
+
+def _pdfu61(ename: str, ops: str) -> str:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FU 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< >>\nstream\n{ops}\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        f" /Encoding /{ename} >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_v61_utf16_pairs_combine_to_astral():
+    sp = _parity(_pdfu61(
+        "UniKS-UTF16-H",
+        f"BT /FU 12 Tf 100 700 Td <{_enc_u16('emoji 😀 math 𝒜 done')}> Tj ET",
+    ))
+    assert sp[0][2] == "emoji 😀 math 𝒜 done"
+
+
+def test_v61_ucs2_and_identity_keep_fffd():
+    """UCS2 names and Identity-H NEVER pair — surrogates stay U+FFFD
+    (a CID stream's 0xD8xx codes are CIDs, not UTF-16)."""
+    for ename in ("UniGB-UCS2-H", "Identity-H"):
+        sp = _parity(_pdfu61(
+            ename,
+            f"BT /FU 12 Tf 100 700 Td <{_enc_u16('pair 😀 here')}> Tj ET",
+        ))
+        assert sp[0][2] == "pair �� here", ename
+
+
+def test_v61_lone_surrogates_degrade():
+    """A trailing high surrogate, a bare low, and a high followed by a
+    BMP unit all decode U+FFFD without consuming the neighbour."""
+    sp = _parity(_pdfu61(
+        "UniJIS2004-UTF16-H",
+        "BT /FU 12 Tf 100 700 Td <0041D8010042DC050043D801> Tj ET",
+    ))
+    assert sp[0][2] == "A�B�C�"
+
+
+def test_v61_vertical_utf16_lays_columns():
+    sp = _parity(_pdfu61(
+        "UniKS-UTF16-V",
+        f"BT /FU 12 Tf 300 700 Td <{_enc_u16('세로 🚀 텍스트')}> Tj ET",
+    ))
+    assert sp[0][2] == "세로 🚀 텍스트"
+    b = sp[0][4]
+    assert b[3] - b[1] > b[2] - b[0]  # column box
+
+
+def test_v61_pair_is_one_glyph_for_advance():
+    """With a /DW2-bearing vertical font, the astral pair advances ONE
+    default step (a pair is one glyph), so 'a😀b' is 3 glyphs tall."""
+    doc = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /FU 5 0 R >> >> >>\nendobj\n"
+        "4 0 obj\n<< >>\nstream\nBT /FU 10 Tf 300 700 Td"
+        f" <{_enc_u16('a😀b')}> Tj ET\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        " /Encoding /UniKS-UTF16-V /DescendantFonts [6 0 R] >>\nendobj\n"
+        "6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X"
+        " /DW2 [880 -700] >>\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    sp = _parity(doc)
+    assert sp[0][2] == "a😀b"
+    b = sp[0][4]
+    assert abs((b[3] - b[1]) * 792 / 1000 - 21.0) < 1.0  # 3 glyphs * 0.7 em
+
+
+def test_v61_corpus_fuzz_parity():
+    nu = 0
+    for seed in range(39000, 39800):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "UTF16" in doc:
+            nu += 1
+        k, spans, drop = extract_payload(doc)
+        o = oracle_extract(doc)
+        assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+        assert drop == o["n_dropped"], f"seed {seed}"
+    assert nu >= 20, nu
