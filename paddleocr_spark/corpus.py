@@ -40,7 +40,7 @@ SKEW_MOD = 97
 # stamps include it, so /tmp artifacts from older corpus code can never be
 # silently reused (they are keyed only by the documents.parquet content
 # otherwise)
-CORPUS_VERSION = 61  # v61: UTF-16 surrogate-pair CMaps
+CORPUS_VERSION = 62  # v62: UTF-32 4-byte code-point CMaps
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 ROLES = ("user", "assistant", "tool")
 TOOLS = ("fetch", "browser", "search")
@@ -1425,10 +1425,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
         if rng.random() < 0.15:
             scheme2 = ("shift", 3)
     elif r2 < 0.62:  # v31: Identity-H/-V Type0 without ToUnicode
-        # v61: ~1/3 draw the UTF-16 predefined-CMap flavor instead —
-        # same 2-byte identity over the BMP, but astral chars encode as
-        # surrogate PAIRS that must combine back
-        kind2 = "id2u" if rng.random() < 0.35 else "id2"
+        # v61: ~1/4 draw the UTF-16 predefined-CMap flavor (astral chars
+        # as surrogate PAIRS); v62: ~1/8 the UTF-32 flavor (4-byte code
+        # points); the rest stay Identity/UCS2 2-byte
+        r61 = rng.random()
+        kind2 = "id4u" if r61 < 0.125 else ("id2u" if r61 < 0.375 else "id2")
         scheme = (kind2, "H" if rng.random() < 0.8 else "V")
         if rng.random() < 0.20:
             scheme2 = ("shift", 4)
@@ -1471,6 +1472,8 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                         f"{0xD800 + (o2 >> 10):04X}"
                         f"{0xDC00 + (o2 & 0x3FF):04X}"
                     )
+            elif kind == "id4u":  # v62: UTF-32BE 4-byte code points
+                out.append(f"{o:08X}")
             else:
                 out.append(f"{m.setdefault(ch, 0x0100 + len(m)):04X}")
         return "".join(out)
@@ -1525,7 +1528,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
             sent = _base_decorate(rng, sent, sch[0])
         elif sch is not None and sch[0] == "id2" and rng.random() < 0.7:
             sent = _id2_decorate(rng, sent)
-        elif sch is not None and sch[0] == "id2u" and rng.random() < 0.8:
+        elif (
+            sch is not None
+            and sch[0] in ("id2u", "id4u")
+            and rng.random() < 0.8
+        ):
             sent = _id2u_decorate(rng, sent)
         if sch is not None:  # encoded shows: hex-string or literal forms
             if sch[0] in ("id2", "id2u") and roll < 0.12:
@@ -1533,6 +1540,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 # LONE surrogate code — U+FFFD under both flavors (a
                 # trailing high surrogate has no low to pair with)
                 tail = rng.choice(("41", "D801", "DC05"))
+                return f"<{_codes(sent, sch)}{tail}> Tj"
+            if sch[0] == "id4u" and roll < 0.12:
+                # v62 traps: short tail (identity chars), out-of-range
+                # scalar and a surrogate code point — both U+FFFD
+                tail = rng.choice(("41", "0042", "00110000", "0000D805"))
                 return f"<{_codes(sent, sch)}{tail}> Tj"
             if roll < 0.45:
                 return f"<{_codes(sent, sch)}> Tj"
@@ -1965,7 +1977,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                     )),
                     "ET",
                 ]
-        if scheme and scheme[0] in ("id2", "id2u", "cid") and rng.random() < 0.30:
+        if scheme and scheme[0] in ("id2", "id2u", "id4u", "cid") and rng.random() < 0.30:
             # v38: word spacing vs multi-byte codes — a large Tw must NOT
             # widen 2-byte 0x0020 codes (ISO §9.3.3); the widths regime
             # (v33 descendants ride these schemes) makes it observable
@@ -2492,7 +2504,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
     # same font.
     use_cidw = (
         scheme is not None
-        and scheme[0] in ("id2", "id2u", "shift", "cid")
+        and scheme[0] in ("id2", "id2u", "id4u", "shift", "cid")
         and rng.random() < 0.55
     )
     cid_decl = ""
@@ -2656,7 +2668,7 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 else:
                     parts.append(f"{fnum} 0 obj\n{fbody}\nendobj")
                 continue
-            if sch[0] in ("id2", "id2u"):
+            if sch[0] in ("id2", "id2u", "id4u"):
                 # v31: Type0 with a bare-name Identity encoding and NO
                 # ToUnicode — codes are identity-to-Unicode 2-byte CIDs.
                 # v54: ~35% draw a predefined Unicode CMap name instead
@@ -2664,7 +2676,11 @@ def _make_realpdf(rng: random.Random, words: List[str]) -> str:
                 # -V forms keep the v53 vertical layout.
                 # v61: the id2u flavor ALWAYS draws a -UTF16- name (the
                 # pair-combining entries; UCS2/Identity never pair)
-                if sch[0] == "id2u":
+                if sch[0] == "id4u":  # v62: 4-byte UTF-32 names
+                    ename = rng.choice(
+                        ("UniJIS2004-UTF32", "UniGB-UTF32", "UniKS-UTF32")
+                    )
+                elif sch[0] == "id2u":
                     ename = rng.choice(
                         ("UniKS-UTF16", "UniGB-UTF16", "UniJIS2004-UTF16")
                     )

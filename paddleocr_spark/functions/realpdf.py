@@ -1087,7 +1087,12 @@ _ID2V_ENTRY = ("ID2V", (2,), None)
 # degrade to U+FFFD). Identity/UCS2 entries keep the pair-less v31 rule.
 _U16_ENTRY = ("U16", (2,), None)
 _U16V_ENTRY = ("U16V", (2,), None)
-_VERT_KINDS = ("ID2V", "U16V")
+# v62: UTF-32 predefined CMaps — 4-byte big-endian code points (valid
+# scalar values only; surrogates/out-of-range → U+FFFD; trailing 1–3
+# bytes fall back to identity chars, the v31 odd-byte rule)
+_U32_ENTRY = ("U32", (4,), None)
+_U32V_ENTRY = ("U32V", (4,), None)
+_VERT_KINDS = ("ID2V", "U16V", "U32V")
 
 
 def _id2_decode(s: str) -> str:
@@ -1099,6 +1104,32 @@ def _id2_decode(s: str) -> str:
             code = (o0 << 8) | ord(s[i + 1])
             out.append("�" if 0xD800 <= code <= 0xDFFF else chr(code))
             i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _u32_decode(s: str) -> str:
+    """v62: 4-byte UTF-32BE codes → code points; invalid scalar values
+    (surrogates, > U+10FFFF) degrade to U+FFFD; a non-byte char or a
+    short tail falls back to identity one char at a time."""
+    out: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if i + 3 < n and all(ord(s[i + k]) <= 0xFF for k in range(4)):
+            code = (
+                (ord(s[i]) << 24)
+                | (ord(s[i + 1]) << 16)
+                | (ord(s[i + 2]) << 8)
+                | ord(s[i + 3])
+            )
+            out.append(
+                "�"
+                if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF
+                else chr(code)
+            )
+            i += 4
         else:
             out.append(s[i])
             i += 1
@@ -1184,16 +1215,18 @@ def _differences_entry(text: str, objs: dict, vobjs: dict, fbody: str):
         # the -V suffix selects the v53 vertical layout. Non-Uni
         # predefined CMaps (90ms-RKSJ-H …) keep the pre-v54 degrade
         # (mixed-width legacy encodings — a 2-byte read would be wrong
-        # half the time). Round-4 ADVICE restriction: only the -UCS2-
-        # (exact over their BMP coverage) and -UTF16- (BMP-exact; astral
-        # text would need surrogate-pair combining) variants take the
-        # 2-byte identity — -UTF32- names use 4-byte codes, so the
-        # 2-byte read decodes garbage; they keep the pre-v54 degrade.
+        # half the time). v61/v62: -UTF16- pairs combine, -UTF32- reads
+        # real 4-byte code points; -UCS2- stays the 2-byte identity.
         if (
             nm is not None
             and nm.startswith("Uni")
-            and ("-UCS2-" in nm or "-UTF16-" in nm)
+            and ("-UCS2-" in nm or "-UTF16-" in nm or "-UTF32-" in nm)
         ):
+            if "-UTF32-" in nm:  # v62
+                if nm.endswith("-H"):
+                    return _U32_ENTRY
+                if nm.endswith("-V"):
+                    return _U32V_ENTRY
             u16 = "-UTF16-" in nm  # v61: pair-combining entries
             if nm.endswith("-H"):
                 return _U16_ENTRY if u16 else _ID2_ENTRY
@@ -2325,6 +2358,8 @@ def _apply_cmap(s: str, entry) -> str:
         return s
     cmap, lengths, xlate = entry
     if type(cmap) is str:  # v31: identity 2-byte (/Identity-H, -V)
+        if cmap.startswith("U32"):  # v62: 4-byte code points
+            return _u32_decode(s)
         if cmap[0] == "U":  # v61: UTF-16 pair combining
             return _u16_decode(s)
         return _id2_decode(s)
@@ -2784,6 +2819,53 @@ def _interpret(content: str, mb_w: float, mb_h: float,
             return
         # multi-byte CMap: consume codes exactly as _apply_cmap does
         cmapd, lengths, _x = cur_map
+        if type(cmapd) is str and cmapd.startswith("U32"):
+            # v62: 4-byte code points with a width table — one glyph per
+            # code; BMP codes look up, astral take the default (the v61
+            # pinned rule); invalid scalars decode U+FFFD
+            out4: List[str] = []
+            i4, n4 = 0, len(raw)
+            while i4 < n4:
+                if i4 + 3 < n4 and all(
+                    ord(raw[i4 + k]) <= 0xFF for k in range(4)
+                ):
+                    code = (
+                        (ord(raw[i4]) << 24)
+                        | (ord(raw[i4 + 1]) << 16)
+                        | (ord(raw[i4 + 2]) << 8)
+                        | ord(raw[i4 + 3])
+                    )
+                    out4.append(
+                        "�"
+                        if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF
+                        else chr(code)
+                    )
+                    du += (
+                        (
+                            wtab.get(code, miss)
+                            if isd
+                            else (wtab[code] if code <= 0xFF else miss)
+                        )
+                        if code <= 0xFFFF
+                        else miss
+                    )
+                    acc_g += 1
+                    i4 += 4
+                else:
+                    o0 = ord(raw[i4])
+                    out4.append(raw[i4])
+                    du += (
+                        wtab.get(o0, miss)
+                        if isd
+                        else (wtab[o0] if o0 <= 0xFF else miss)
+                    )
+                    acc_g += 1
+                    if o0 == 32:
+                        acc_s += 1
+                    i4 += 1
+            acc_u += du
+            buf.append("".join(out4))
+            return
         if type(cmapd) is str:  # v31: identity 2-byte with a width table
             u16 = cmapd[0] == "U"  # v61: surrogate pairs combine
             out2: List[str] = []

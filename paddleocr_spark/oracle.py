@@ -1449,7 +1449,9 @@ _RPDF_ID2 = ("id2", [2])
 _RPDF_ID2V = ("id2v", [2])  # v53: Identity-V — vertical writing mode
 _RPDF_U16 = ("u16", [2])  # v61: UTF-16 — surrogate pairs combine
 _RPDF_U16V = ("u16v", [2])
-_RPDF_VERT = ("id2v", "u16v")
+_RPDF_U32 = ("u32", [4])  # v62: UTF-32 — real 4-byte code points
+_RPDF_U32V = ("u32v", [4])
+_RPDF_VERT = ("id2v", "u16v", "u32v")
 
 
 def _rpdf_id2_decode(s: str) -> str:
@@ -1473,6 +1475,34 @@ def _rpdf_u16_units(s: str, i: int):
     if len(pair) == 2 and ord(pair[0]) < 256 and ord(pair[1]) < 256:
         return ord(pair[0]) * 256 + ord(pair[1])
     return None
+
+
+def _rpdf_u32_unit(s: str, i: int):
+    quad = s[i : i + 4]
+    if len(quad) == 4 and all(ord(c) < 256 for c in quad):
+        return (
+            (ord(quad[0]) << 24) | (ord(quad[1]) << 16)
+            | (ord(quad[2]) << 8) | ord(quad[3])
+        )
+    return None
+
+
+def _rpdf_u32_decode(s: str) -> str:
+    """v62 mirror: 4-byte code points; invalid scalars → U+FFFD; short
+    tails identity."""
+    out = []
+    i = 0
+    while i < len(s):
+        code = _rpdf_u32_unit(s, i)
+        if code is None:
+            out.append(s[i])
+            i += 1
+            continue
+        out.append(
+            "�" if code > 0x10FFFF or 0xD800 <= code < 0xE000 else chr(code)
+        )
+        i += 4
+    return "".join(out)
 
 
 def _rpdf_u16_decode(s: str) -> str:
@@ -1531,8 +1561,13 @@ def _rpdf_differences(text: str, objs: dict, vobjs: dict, fbody: str):
         if (
             nm is not None  # v54: Table 118; ADVICE: UCS2/UTF16 only —
             and nm.startswith("Uni")  # UTF32 names are 4-byte codes and
-            and ("-UCS2-" in nm or "-UTF16-" in nm)  # keep the degrade
+            and ("-UCS2-" in nm or "-UTF16-" in nm or "-UTF32-" in nm)
         ):
+            if "-UTF32-" in nm:  # v62
+                if nm.endswith("-H"):
+                    return _RPDF_U32
+                if nm.endswith("-V"):
+                    return _RPDF_U32V
             u16 = "-UTF16-" in nm  # v61
             if nm.endswith("-H"):
                 return _RPDF_U16 if u16 else _RPDF_ID2
@@ -2823,6 +2858,8 @@ def _rpdf_apply_cmap(s: str, entry):
         return s
     cmap, lengths = entry
     if isinstance(cmap, str):  # v31: identity 2-byte
+        if cmap.startswith("u32"):  # v62: 4-byte code points
+            return _rpdf_u32_decode(s)
         if cmap[0] == "u":  # v61: UTF-16 pair combining
             return _rpdf_u16_decode(s)
         return _rpdf_id2_decode(s)
@@ -2878,6 +2915,30 @@ def _rpdf_show_decode(s: str, entry, wd):
                 sp += 1
         return s, u, len(s), sp
     cmap, lengths = entry
+    if isinstance(cmap, str) and cmap.startswith("u32"):
+        # v62: 4-byte code points with a width table — one glyph per
+        # code, BMP looks up / astral takes the default (the v61 rule)
+        out = []
+        i = 0
+        while i < len(s):
+            code = _rpdf_u32_unit(s, i)
+            if code is None:
+                o0 = ord(s[i])
+                out.append(s[i])
+                u += _w(o0)
+                g += 1
+                if o0 == 32:
+                    sp += 1
+                i += 1
+                continue
+            out.append(
+                "�" if code > 0x10FFFF or 0xD800 <= code < 0xE000
+                else chr(code)
+            )
+            u += _w(code) if code <= 0xFFFF else miss
+            g += 1
+            i += 4
+        return "".join(out), u, g, sp
     if isinstance(cmap, str):  # v31: identity 2-byte with a width table
         u16 = cmap[0] == "u"  # v61: surrogate pairs combine, one glyph
         out = []

@@ -3465,7 +3465,9 @@ def test_v31_corpus_fuzz_parity():
         o = oracle_extract(doc)
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
-    assert n_id2 >= 30 and n_tu >= 20 and n_trap >= 5
+    # v61/v62 carved the UTF16/UTF32 flavors out of the id2 draw, so
+    # bare-Identity counts in this window dropped from the original 30+
+    assert n_id2 >= 22 and n_tu >= 20 and n_trap >= 5
 
 
 def test_v31_truncation_fuzz_id2():
@@ -5037,22 +5039,10 @@ def test_v57_kidsless_subset_prefix_core_font_metrics():
     assert a[0][4] != c[0][4]
 
 
-def test_v57_utf32_uni_names_keep_degrade():
-    """UniJIS2004-UTF32-H/-V use 4-byte codes — the 2-byte identity
-    would decode garbage, so they keep the pre-v54 1-byte degrade
-    (round-4 ADVICE); UTF16 variants stay 2-byte (BMP-exact)."""
-    sp = _parity(_pdfu54(
-        "UniJIS2004-UTF32-H",
-        "BT /FU 12 Tf 100 700 Td (ascii survives) Tj ET",
-    ))
-    assert sp[0][2] == "ascii survives"
-    spv = _parity(_pdfu54(
-        "UniGB-UTF32-V",
-        "BT /FU 12 Tf 100 700 Td (vert ascii too) Tj ET",
-    ))
-    assert spv[0][2] == "vert ascii too"
-    b = spv[0][4]
-    assert b[2] - b[0] > b[3] - b[1]  # degrade = horizontal 1-byte
+def test_v57_utf16_names_two_byte():
+    """UTF16 variants decode 2-byte BMP units (the round-4 ADVICE
+    restriction; v62 later made UTF32 names real 4-byte — see the v62
+    section — so only the UTF16 half of the original pin remains)."""
     sp16 = _parity(_pdfu54(
         "UniKS-UTF16-H",
         f"BT /FU 12 Tf 100 700 Td ({_enc2('한국어텍스트')}) Tj ET",
@@ -5485,3 +5475,55 @@ def test_v61_corpus_fuzz_parity():
         assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
         assert drop == o["n_dropped"], f"seed {seed}"
     assert nu >= 20, nu
+
+
+# ---------------------------------------------------------------------------
+# v62: UTF-32 predefined CMaps — real 4-byte code points
+# ---------------------------------------------------------------------------
+
+
+def _enc_u32(txt: str) -> str:
+    return "".join(f"{ord(c):08X}" for c in txt)
+
+
+def test_v62_utf32_codes_decode_incl_astral():
+    sp = _parity(_pdfu54(
+        "UniJIS2004-UTF32-H",
+        f"BT /FU 12 Tf 100 700 Td <{_enc_u32('utf32 😀 and 𝒜 here')}> Tj ET",
+    ))
+    assert sp[0][2] == "utf32 😀 and 𝒜 here"
+
+
+def test_v62_invalid_scalars_and_short_tails():
+    """Out-of-range scalars and surrogate code points decode U+FFFD; a
+    1-3 byte tail falls back to identity chars (the v31 odd-byte rule)."""
+    sp = _parity(_pdfu54(
+        "UniGB-UTF32-H",
+        "BT /FU 12 Tf 100 700 Td <0000004100110000%s0000004241> Tj ET"
+        % "0000D805",
+    ))
+    assert sp[0][2] == "A��BA"
+
+
+def test_v62_vertical_utf32_columns():
+    sp = _parity(_pdfu54(
+        "UniKS-UTF32-V",
+        f"BT /FU 12 Tf 300 700 Td <{_enc_u32('세로 🚀 글')}> Tj ET",
+    ))
+    assert sp[0][2] == "세로 🚀 글"
+    b = sp[0][4]
+    assert b[3] - b[1] > b[2] - b[0]
+
+
+def test_v62_corpus_fuzz_parity():
+    n32 = 0
+    for seed in range(39800, 41400):
+        doc = _make_realpdf(random.Random(seed), WORDS)
+        if "UTF32" in doc:
+            n32 += 1
+        if seed < 40600:
+            k, spans, drop = extract_payload(doc)
+            o = oracle_extract(doc)
+            assert k == o["kind"] and spans == o["spans"], f"seed {seed}"
+            assert drop == o["n_dropped"], f"seed {seed}"
+    assert n32 >= 15, n32
